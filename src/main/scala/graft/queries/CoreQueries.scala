@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Core query surface of the reference engine (SURVEY.md §2.2–2.5):
+  * selection, filtering (EQ/NEQ/IN/NOT_IN/RANGE/REGEXP_LIKE), the core
+  * aggregation functions, GROUP BY … TOP N, HAVING, ORDER BY + LIMIT
+  * offset,size pagination — all expressed declaratively so Catalyst
+  * plans partial→final hash aggregation (the Spark analogue of Pinot's
+  * segment→server→broker merge: `CombineGroupByOperator` +
+  * `BrokerReduceService.reduceOnDataTable`, see SURVEY §3.1).
+  *
+  * Conventions shared with the DuckDB oracle SQL:
+  *  - every computed column is aliased identically on both sides;
+  *  - double-typed aggregates are `round(_, k)` on both sides so
+  *    engine-specific FP summation order can't flip the hash compare;
+  *  - every query has a total ORDER BY (unique tiebreak column) so row
+  *    order is deterministic in both engines.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** COUNT(*) no-filter — reference answers from segment metadata
+    * (`MetadataBasedAggregationOperator`, InstancePlanMakerImplV2.java:148-169);
+    * Spark answers from parquet footer row counts without reading data. */
+  def qCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** Aggregation battery with group-by — count/sum/min/max/avg/
+    * minMaxRange (AggregationFunctionType.java:25-50; minMaxRange =
+    * MinMaxRangeAggregationFunction.java). One shuffle on group keys,
+    * map-side partial aggregation. */
+  def qAggBasic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum($"l_quantity"), 3).as("sum_qty"),
+        round(sum($"l_extendedprice"), 3).as("sum_price"),
+        round(min($"l_extendedprice"), 3).as("min_price"),
+        round(max($"l_extendedprice"), 3).as("max_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        round(max($"l_quantity") - min($"l_quantity"), 3).as("range_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** The six leaf predicate types in one filter tree
+    * (FilterOperator.java:32-40: EQ, NEQ, IN, NOT_IN, RANGE composed
+    * with AND/OR). Catalyst pushes all of it to the parquet scan. */
+  def qFilterPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R" &&
+        $"l_linestatus" =!= "O" &&
+        $"l_quantity".between(5, 45) &&
+        ($"l_linenumber".isin(1, 2, 3) || $"l_discount" > 0.08) &&
+        !$"l_suppkey".isin(1, 2))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_extendedprice"), 3).as("sum_price"))
+  }
+
+  /** REGEXP_LIKE predicate (RegexpLikePredicate.java) → `rlike`,
+    * evaluated in whole-stage codegen after pushdown-eligible
+    * conjuncts prune at the scan. */
+  def qRegexpLike(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_type".rlike("^PROMO") && $"p_size" >= 10)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"p_retailprice"), 3).as("avg_price"))
+      .orderBy($"p_brand")
+  }
+
+  /** GROUP BY … TOP N (PQL2.g4:100-110, GroupBy.java:53-65): groups
+    * ordered by the aggregate, bounded. Spark's TakeOrderedAndProject
+    * keeps a size-N heap per partition then merges — exact where the
+    * reference trims approximately (AggregationGroupByTrimmingService). */
+  def qGroupByTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_quantity"), 3).as("total_qty"))
+      .orderBy($"total_qty".desc, $"l_suppkey")
+      .limit(10)
+  }
+
+  /** HAVING over aggregates (PQL2.g4:103, HavingClauseComparisonTree
+    * evaluated at the broker post-reduce) — Catalyst plans it as a
+    * Filter above Aggregate, no extra pass. */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"o_totalprice"), 3).as("sum_price"))
+      .where($"cnt" > 100 && $"sum_price" > 1000.0)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Selection + ORDER BY + LIMIT offset,size pagination
+    * (SelectionOrderByOperator.java, Selection.java:55-67). Unique sort
+    * key (o_orderkey tiebreak) keeps pagination deterministic — the
+    * reference documents tie-instability; we do better. */
+  def qSelectOrderByPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 3).as("o_totalprice"),
+        $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .offset(5)
+      .limit(10)
+  }
+
+  /** Selection-only with LIMIT (SelectionOnlyOperator.java:45-85):
+    * early-terminating CollectLimitExec. Deterministic via unique-key
+    * sort (the reference returns arbitrary rows; an ORDER BY makes the
+    * oracle compare meaningful). */
+  def qSelectLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+      .limit(5)
+  }
+
+  /** distinctCount — exact (the reference's hashcode-set,
+    * DistinctCountAggregationFunction.java:79-91, can collide; exact is
+    * a documented strict improvement, SURVEY §7.3). */
+  def qDistinctCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("dc_part"),
+        countDistinct($"l_suppkey").as("dc_supp"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** DISTINCT selection (PQL `SELECT DISTINCT` via DistinctAggregation) */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Exact percentiles (PercentileAggregationFunction.java — the
+    * reference collects ALL values per group into a DoubleArrayList;
+    * Spark's percentile aggregate is the same exact semantics without
+    * the unbounded memory, it spills). */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 3).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Arithmetic transform functions add/sub/mult/div
+    * (TransformFunctionFactory.java:43-50) — native Column arithmetic,
+    * codegen'd; no UDFs. */
+  def qArithmetic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 3)
+          .as("charged"),
+        round($"l_extendedprice" / $"l_quantity", 3).as("unit_price"),
+        round($"l_extendedprice" + $"l_tax" - $"l_discount", 3).as("addsub"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(1000)
+  }
+
+  /** Time bucketing — dateTimeConvert's epoch bucketing semantics
+    * (DateTimeConversionTransformFunction.java: floor to granularity)
+    * over the events stream table. Output as epoch seconds so both
+    * engines agree on representation. */
+  def qTimeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hour_epoch"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"))
+      .orderBy($"hour_epoch", $"event_type")
+  }
+
+  /** Capability superset: joins (the reference has none —
+    * "Query cannot span across multiple tables", README.md:27). Star
+    * join with small dims broadcast — at 100 TB the fact side never
+    * shuffles for these joins. */
+  def qJoinStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 3).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"n_name")
+  }
+
+  /** Capability superset: window functions (none in reference,
+    * PQL2.g4 has no OVER). Rank orders per customer by price. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"o_custkey", $"rk", $"o_orderkey",
+        round($"o_totalprice", 3).as("o_totalprice"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Capability superset: set ops — the hybrid-table union analogue
+    * (SURVEY §2.6): same query over two complementary time slices,
+    * unioned. This is exactly how the OFFLINE∪REALTIME stitch works. */
+  def qUnionTimeSlices(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val boundary = "2024-06-01 00:00:00"
+    val lo = e.filter($"ts" < lit(boundary).cast("timestamp"))
+    val hi = e.filter($"ts" >= lit(boundary).cast("timestamp"))
+    lo.union(hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(avg($"value"), 6).as("avg_value"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count" -> qCount,
+    "q_agg_basic" -> qAggBasic,
+    "q_filter_predicates" -> qFilterPredicates,
+    "q_regexp_like" -> qRegexpLike,
+    "q_groupby_topn" -> qGroupByTopN,
+    "q_having" -> qHaving,
+    "q_select_orderby_page" -> qSelectOrderByPage,
+    "q_select_limit" -> qSelectLimit,
+    "q_distinct_count" -> qDistinctCount,
+    "q_distinct" -> qDistinct,
+    "q_percentile" -> qPercentile,
+    "q_arithmetic" -> qArithmetic,
+    "q_time_bucket" -> qTimeBucket,
+    "q_join_star" -> qJoinStar,
+    "q_window_rank" -> qWindowRank,
+    "q_union_time_slices" -> qUnionTimeSlices)
+
+  val oracles: Map[String, String] = Map(
+    "q_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS cnt,
+        |  round(sum(l_quantity), 3) AS sum_qty,
+        |  round(sum(l_extendedprice), 3) AS sum_price,
+        |  round(min(l_extendedprice), 3) AS min_price,
+        |  round(max(l_extendedprice), 3) AS max_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(max(l_quantity) - min(l_quantity), 3) AS range_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_predicates" ->
+      """SELECT count(*) AS cnt, round(sum(l_extendedprice), 3) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
+        |  AND l_quantity BETWEEN 5 AND 45
+        |  AND (l_linenumber IN (1,2,3) OR l_discount > 0.08)
+        |  AND l_suppkey NOT IN (1,2)""".stripMargin,
+    "q_regexp_like" ->
+      """SELECT p_brand, count(*) AS cnt, round(avg(p_retailprice), 3) AS avg_price
+        |FROM part WHERE regexp_matches(p_type, '^PROMO') AND p_size >= 10
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_groupby_topn" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 3) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY total_qty DESC, l_suppkey LIMIT 10""".stripMargin,
+    "q_having" ->
+      """SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 3) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING count(*) > 100 AND round(sum(o_totalprice), 3) > 1000.0
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_select_orderby_page" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 3) AS o_totalprice, o_orderpriority
+        |FROM orders ORDER BY round(o_totalprice, 3) DESC, o_orderkey
+        |LIMIT 10 OFFSET 5""".stripMargin,
+    "q_select_limit" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey LIMIT 5""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_part,
+        |  count(DISTINCT l_suppkey) AS dc_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 3) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 3) AS charged,
+        |  round(l_extendedprice / l_quantity, 3) AS unit_price,
+        |  round(l_extendedprice + l_tax - l_discount, 3) AS addsub
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  count(*) AS cnt, round(sum("value"), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 3) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_union_time_slices" ->
+      """SELECT event_type, count(*) AS cnt, round(avg("value"), 6) AS avg_value
+        |FROM (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-06-01 00:00:00'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-06-01 00:00:00')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
