@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure `Column` composition over
+  * `org.apache.spark.sql.functions` — no Scala UDFs — so the whole
+  * pipeline stays inside Catalyst: it codegens, it pushes through
+  * shuffles, and at 100 TB it is embarrassingly parallel per row with
+  * zero driver participation. (The reference has no text operators;
+  * these extend the engine per the project brief, as ingest-time
+  * transforms in the spirit of Pinot's record-transformer chain,
+  * `pinot-core/.../data/recordtransformer/`.)
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization with empty-token removal. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokens). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: word-piece heuristic — alnum runs split
+    * into ≤4-char pieces plus one token per punctuation char. A cheap
+    * deterministic stand-in for a real BPE vocab (which would ship as
+    * a broadcast dictionary at scale). */
+  def bpeTokenEstimate(text: Column): Column = {
+    val words = tokens(text)
+    val wordPieces = aggregate(
+      transform(words, w => ceil(length(w).cast("double") / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    wordPieces + punct.cast("long")
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language
+    * heuristic. Small enough to inline as literals (at scale these are
+    * effectively broadcast constants inside the codegen'd expression). */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  /** Stopword-hit ratio for one language profile: |tokens ∩ profile| /
+    * |tokens| (multiset numerator — repeated stopwords count). */
+  def stopwordRatio(text: Column, profile: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(profile.map(x => x: Any): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Language ID: argmax over stopword-profile scores, ties broken by
+    * profile order, "und" (undetermined) when no profile scores > 0.
+    * Deterministic and SQL-expressible, so it can be oracle-checked. */
+  def langId(text: Column): Column = {
+    val scores = stopwordProfiles.map { case (lang, prof) =>
+      lang -> stopwordRatio(text, prof)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality metrics struct: char/token counts, mean token length,
+    * stopword ratio (en), punctuation and digit ratios — the standard
+    * cheap filters a pretraining pipeline runs before dedup. */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    struct(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(when(nToks > 0,
+        aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / nToks)
+        .otherwise(0.0), 4).as("mean_token_len"),
+      round(stopwordRatio(text, stopwordProfiles.head._2), 4).as("stopword_ratio"),
+      round(when(nChars > 0,
+        length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / nChars)
+        .otherwise(0.0), 4).as("punct_ratio"),
+      round(when(nChars > 0,
+        length(regexp_replace(text, "[^0-9]", "")).cast("double") / nChars)
+        .otherwise(0.0), 4).as("digit_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes too-short docs,
+    * degenerate token lengths, and punct/digit floods. Weights are
+    * heuristic; the shape (bounded, monotone per feature) is what a
+    * quality filter needs. */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text)
+    val lenScore = least(m.getField("n_tokens").cast("double") / lit(20.0), lit(1.0))
+    val tokLen = m.getField("mean_token_len")
+    val tokScore = when(tokLen.between(2.5, 9.0), 1.0).otherwise(0.3)
+    val punctScore = when(m.getField("punct_ratio") < 0.2, 1.0).otherwise(0.2)
+    val digitScore = when(m.getField("digit_ratio") < 0.3, 1.0).otherwise(0.2)
+    round(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.15 + digitScore * 0.15, 4)
+  }
+
+  /** Whitespace/case-normalized form used by fingerprints and exact
+    * dedup — Pinot's SanitationTransformer analog. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 128-bit content fingerprint (hex md5 of the normalized text).
+    * Portable across engines — DuckDB's md5 produces the identical
+    * string, so fingerprints are oracle-checkable. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling fingerprint (xxhash64 of the normalized text) —
+    * cheaper join key for dedup at scale (8 bytes vs 32-hex chars). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+}

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Multi-value column semantics (SURVEY §2.3 MV aggregates, §2.7
+  * valueIn) plus the training-data pipeline operators (dedup,
+  * similarity search, text analysis) over the `documents` /
+  * `embeddings` / `events` tables. Same oracle-parity conventions as
+  * CoreQueries.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  // ---- multi-value column semantics ------------------------------------
+
+  /** countMV (CountMVAggregationFunction): per-row array lengths summed
+    * — `sum(size(col))`, no explode needed. */
+  def qMvCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("cnt"), sum(size($"embedding")).as("mv_total"))
+      .orderBy($"label")
+  }
+
+  /** sumMV/minMV/maxMV/avgMV via explode — exactly the reference's MV
+    * group-by semantics (one group entry per array element,
+    * DefaultGroupByExecutor.aggregateGroupByMV). */
+  def qMvAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", explode($"embedding").as("e"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_elems"),
+        round(sum($"e".cast("double")), 4).as("sum_e"),
+        round(min($"e".cast("double")), 4).as("min_e"),
+        round(max($"e".cast("double")), 4).as("max_e"),
+        round(avg($"e".cast("double")), 4).as("avg_e"))
+      .orderBy($"label")
+  }
+
+  /** valueIn (ValueInTransformFunction.java:51): filter an MV column's
+    * elements to a literal set, then group on the surviving values. */
+  def qMvValueIn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Seq("scan", "join", "filter", "the")
+    t(s, dir, "documents")
+      .select($"lang", explode(
+        filter(split($"text", " "), w => w.isin(words.map(x => x: Any): _*)))
+        .as("word"))
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"word")
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"n_chars"), 3).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Token counting: whitespace tokens, distinct tokens, and the
+    * BPE-ish subword estimate (TextAnalysis.bpeTokenEstimate). */
+  def qTokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens($"text"))).as("n_distinct"),
+        TextAnalysis.bpeTokenEstimate($"text").as("bpe_est"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID (stopword-profile argmax) vs the labeled lang —
+    * confusion counts. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"lang", TextAnalysis.langId($"text").as("lang_pred"))
+      .groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  /** Quality scoring rollup per source. */
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"source", TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.qualityMetrics($"text").getField("stopword_ratio").as("sw"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"q"), 3).as("avg_score"),
+        round(avg($"sw"), 3).as("avg_stopword"))
+      .orderBy($"source")
+  }
+
+  /** Document fingerprinting (md5 of normalized text — portable across
+    * engines) + distinct-fingerprint counts per lang. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(TextAnalysis.fingerprintMd5($"text")).as("distinct_fp"),
+        min(TextAnalysis.fingerprintMd5($"text")).as("min_fp"))
+      .orderBy($"lang")
+  }
+
+  /** Exact dedup operator: rows surviving Dedup.exactDedup per lang. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang")
+  }
+
+  /** JSON extraction (superset of the reference's ingest-time UDFs):
+    * bucket events by the JSON payload's k field. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(floor(get_json_object($"props", "$.k").cast("int") / lit(10))
+        .as("k_bucket"), $"value")
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  /** Brute-force exact cosine top-k (the ANN correctness baseline).
+    * Query vector = embedding of vec_id 0, collected as a query
+    * parameter (1 row), then inlined as a literal into the scan. */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
+  }
+
+  /** knn-join: 3 nearest corpus vectors for each of 5 query vectors
+    * (broadcast query side, un-shuffled corpus). */
+  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnJoin(emb.filter(col("vec_id") < 5), "vec_id",
+      emb, "vec_id", "embedding", 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** LSH-bucketed ANN (the scale path; rows-only driver check, recall
+    * asserted against brute force in ScalaTest). */
+  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshBucketedKnn(emb.filter(col("vec_id") < 20), "vec_id",
+      emb, "vec_id", "embedding", 3, numPlanes = 6)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---- near-duplicate detection (rows-only; oracled in ScalaTest) ------
+
+  /** MinHash+LSH candidate pairs at a low threshold (the corpus is
+    * synthetic word-salad; high-Jaccard pairs are rare). */
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 2, minEstJaccard = 0.05)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash fingerprints + Hamming distance to doc 0. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", Dedup.simhash64($"text").as("sh"))
+    val ref = docs.filter($"doc_id" === 0).select($"sh".as("sh0"))
+    docs.crossJoin(broadcast(ref))
+      .select($"doc_id", Dedup.hamming64($"sh", $"sh0").as("hamming"))
+      .filter($"doc_id" < 100)
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_count" -> qMvCount,
+    "q_mv_agg" -> qMvAgg,
+    "q_mv_valuein" -> qMvValueIn,
+    "q_text_stats" -> qTextStats,
+    "q_token_stats" -> qTokenStats,
+    "q_lang_id" -> qLangId,
+    "q_quality" -> qQuality,
+    "q_fingerprint" -> qFingerprint,
+    "q_dedup_exact" -> qDedupExact,
+    "q_json_extract" -> qJsonExtract,
+    "q_knn_brute" -> qKnnBrute,
+    "q_knn_join" -> qKnnJoin,
+    "q_lsh_ann" -> qLshAnn,
+    "q_minhash_pairs" -> qMinhashPairs,
+    "q_simhash" -> qSimhash)
+
+  // Shared SQL fragments for the oracles.
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
+  private val normSql =
+    """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private def cosSql(a: String, b: String) =
+    s"""(list_aggregate(list_transform(list_zip($a, $b),
+       |   s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum')
+       | / (sqrt(list_aggregate(list_transform($a,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |  * sqrt(list_aggregate(list_transform($b,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))""".stripMargin
+
+  private val langProfilesSql: Seq[(String, String)] =
+    TextAnalysis.stopwordProfiles.map { case (lang, prof) =>
+      lang -> prof.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+
+  val oracles: Map[String, String] = Map(
+    "q_mv_count" ->
+      """SELECT label, count(*) AS cnt, CAST(sum(len(embedding)) AS BIGINT) AS mv_total
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_mv_agg" ->
+      """SELECT label, count(*) AS n_elems,
+        |  round(sum(CAST(e AS DOUBLE)), 4) AS sum_e,
+        |  round(min(CAST(e AS DOUBLE)), 4) AS min_e,
+        |  round(max(CAST(e AS DOUBLE)), 4) AS max_e,
+        |  round(avg(CAST(e AS DOUBLE)), 4) AS avg_e
+        |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_mv_valuein" ->
+      """SELECT lang, word, count(*) AS cnt FROM (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |    w -> w IN ('scan','join','filter','the'))) AS word
+        |  FROM documents)
+        |GROUP BY lang, word ORDER BY lang, word""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS cnt,
+        |  round(avg(n_chars), 3) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_distinct,
+         |  CAST(COALESCE(list_aggregate(list_transform($toksSql,
+         |      w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum'), 0)
+         |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+         |    AS bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      val ratios = langProfilesSql.map { case (lang, set) =>
+        s"""CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN $set)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+      }.mkString(",\n    ")
+      val best = langProfilesSql.map(p => s"r_${p._1}").mkString("greatest(", ", ", ")")
+      val caseChain = langProfilesSql.map { case (lang, _) =>
+        s"WHEN r_$lang > 0 AND r_$lang = $best THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT lang, lang_pred, count(*) AS cnt FROM (
+         |  SELECT lang, $caseChain AS lang_pred FROM (
+         |    SELECT lang, $ratios
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)))
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    },
+    "q_quality" -> {
+      val enSet = langProfilesSql.head._2
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |    round(CASE WHEN len(toks) > 0 THEN
+         |      list_aggregate(list_transform(toks, w -> CAST(len(w) AS DOUBLE)), 'sum')
+         |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS mtl,
+         |    round(CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, x -> x IN $enSet)) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS sw,
+         |    round(CASE WHEN length(text) > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS pr,
+         |    round(CASE WHEN length(text) > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS dr
+         |  FROM (SELECT source, text, $toksSql AS toks FROM documents))
+         |SELECT source, count(*) AS cnt,
+         |  round(avg(round(
+         |    least(n_tokens / 20.0, 1.0) * 0.4
+         |    + (CASE WHEN mtl BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.2 END) * 0.15
+         |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE 0.2 END) * 0.15, 4)), 3) AS avg_score,
+         |  round(avg(sw), 3) AS avg_stopword
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""SELECT lang, count(*) AS cnt,
+         |  count(DISTINCT md5($normSql)) AS distinct_fp,
+         |  min(md5($normSql)) AS min_fp
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT lang, count(*) AS cnt FROM (
+         |  SELECT lang, row_number() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS BIGINT) AS k_bucket,
+        |  count(*) AS cnt, round(sum("value"), 3) AS sum_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    "q_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
+         |FROM embeddings e, q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_join" ->
+      s"""SELECT query_id, corpus_id, sim, rk FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+         |    round(${cosSql("q.embedding", "e.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "e.embedding")}, 6) DESC, e.vec_id) AS rk
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)
+}

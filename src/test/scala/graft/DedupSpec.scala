@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while the sun sets slowly behind tall mountains"
+
+  test("exactDedup keeps one row per normalized text") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "  hello world "), (3L, "other doc"),
+      (4L, "HELLO WORLD"), (5L, "other  DOC")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text")
+    assert(out.count() === 2)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips distinct docs") {
+    val nearDup = base.replace("quick", "fast") // 1-word edit
+    val unrelated = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution plans"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val pairs = Dedup.nearDupPairs(df, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhash estimated jaccard approximates exact jaccard") {
+    val nearDup = base.replace("quick", "fast")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("id", "text")
+    val est = Dedup.minhashCandidatePairs(df, "id", "text",
+      numHashes = 128, bands = 32, minEstJaccard = 0.0)
+      .select("est_jaccard").as[Double].head()
+    val exact = df.agg(Dedup.ngramJaccard(
+        lit(base), lit(nearDup), 3).as("j"))
+      .select("j").as[Double].head()
+    assert(math.abs(est - exact) < 0.2, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val nearDup = base.replace("quick", "fast")
+    val unrelated = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val sh = df.select($"id", Dedup.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 12, s"near-dup hamming=${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 16, s"unrelated hamming=${ham(sh(1L), sh(3L))}")
+    assert(sh(1L) === df.filter($"id" === 1)
+      .select(Dedup.simhash64($"text")).as[Long].head(), "deterministic")
+  }
+
+  test("ngramJaccard identical=1, disjoint=0") {
+    val df = Seq(1).toDF("x")
+    val r = df.select(
+      Dedup.ngramJaccard(lit(base), lit(base), 3).as("same"),
+      Dedup.ngramJaccard(lit(base), lit("zz yy xx ww vv uu tt ss"), 3).as("diff"))
+      .as[(Double, Double)].head()
+    assert(r._1 === 1.0)
+    assert(r._2 === 0.0)
+  }
+
+  test("fingerprints are normalization-invariant") {
+    val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.fingerprint64($"t1") === TextAnalysis.fingerprint64($"t2")).as("eq64"),
+      (TextAnalysis.fingerprintMd5($"t1") === TextAnalysis.fingerprintMd5($"t2")).as("eqMd5"))
+      .as[(Boolean, Boolean)].head()
+    assert(r === ((true, true)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b")
+    val r = df.select(
+      round(Similarity.cosine($"a", $"b"), 9).as("orth"),
+      round(Similarity.cosine($"a", $"a"), 9).as("same"),
+      round(Similarity.cosine($"a", transform($"a", x => -x)), 9).as("opp"))
+      .as[(Double, Double, Double)].head()
+    assert(r === ((0.0, 1.0, -1.0)))
+  }
+
+  test("bruteForceKnn returns self first, k rows, descending sims") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 7).select($"embedding").head().getSeq[Float](0)
+    val res = Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(res.length === 5)
+    assert(res.head._1 === 7L && math.abs(res.head._2 - 1.0) < 1e-6)
+    assert(res.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending")
+  }
+
+  test("lshBucketedKnn achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val k = 5
+    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
+        "embedding", k, numPlanes = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall (random would be ~${k.toDouble/500})")
+    // determinism: same planes → same buckets on re-run
+    val rerun = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
+        "embedding", k, numPlanes = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(rerun === approx)
+  }
+}
