@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row kernels (MinHash,
+  * SimHash, cosine, hyperplane LSH). Each generates a single static
+  * call into [[HashOps]] via `defineCodeGen`, so the surrounding plan
+  * stays inside whole-stage codegen — the Spark-native analogue of the
+  * reference's block-oriented `TransformFunction`s
+  * (`pinot-core/.../operator/transform/function/BaseTransformFunction.java:1-426`),
+  * which are its mechanism for keeping per-row work out of the
+  * interpreter.
+  *
+  * Preference order per the project brief: built-in functions first;
+  * these expressions exist exactly where the built-in higher-order
+  * functions (`transform`/`aggregate`/`zip_with`) are interpreted
+  * per-element and were measured dominating the benchmark.
+  */
+object exprs {
+
+  /** MinHash signature of a text column → array<bigint> of running
+    * minima over `numHashes` double-hashed XXH64 functions. */
+  case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
+      extends UnaryExpression {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.minhashSig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        numHashes, shingleSize)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.minhashSig($c, $numHashes, $shingleSize)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** SimHash-64 of a text column → bigint. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.simhash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Cosine similarity of two array<double> columns → double. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.cosineDouble(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.cosineDouble($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  /** Dot product of two array<double> columns → double. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.dotDouble(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.dotDouble($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product"
+  }
+
+  /** Random-hyperplane LSH bucket of an array<double> column → bigint
+    * with the low `numPlanes` bits populated. */
+  case class LshBucket(child: Expression, numPlanes: Int)
+      extends UnaryExpression {
+    require(numPlanes > 0 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63], got $numPlanes")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.lshBucket(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        numPlanes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.lshBucket($c, $numPlanes)")
+    override protected def withNewChildInternal(newChild: Expression): LshBucket =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_bucket"
+  }
+
+  /** Fraction of equal components of two array<bigint> signatures. */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.sigAgreement(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.sigAgreement($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+      copy(left = l, right = r)
+    override def prettyName: String = "sig_agreement"
+  }
+}
+
+/** Column-level façade over the custom expressions. */
+object GraftFunctions {
+  private def expr(c: Column) = GraftSqlBridge.expression(c)
+  private def asDoubleArray(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
+    GraftSqlBridge.column(exprs.MinHashSig(expr(text), numHashes, shingleSize))
+
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(exprs.SimHash64(expr(text)))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.CosineSim(expr(asDoubleArray(a)), expr(asDoubleArray(b))))
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.DotProduct(expr(asDoubleArray(a)), expr(asDoubleArray(b))))
+
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    GraftSqlBridge.column(exprs.LshBucket(expr(asDoubleArray(vec)), numPlanes))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.SigAgreement(expr(a), expr(b)))
+}

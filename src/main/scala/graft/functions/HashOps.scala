@@ -1,0 +1,199 @@
+package graft.functions
+
+import java.util.Locale
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for the custom Catalyst expressions in
+  * [[graft.functions]]. Each method is a tight single-pass JVM loop
+  * invoked from generated code (`defineCodeGen` emits a static call),
+  * replacing interpreted higher-order-function pipelines that walked
+  * each array once per hash function.
+  *
+  * Reference semantics (what, not how): Pinot evaluates block-oriented
+  * transform functions over projected columns
+  * (`pinot-core/.../operator/transform/function/TransformFunction.java:1-172`);
+  * these kernels are the per-row equivalent, kept inside whole-stage
+  * codegen so the 100 TB scan path never leaves Tungsten.
+  *
+  * Determinism: all hashing is seeded XXH64 — task retries and
+  * speculative re-execution at cluster scale reproduce identical
+  * results.
+  */
+object HashOps {
+  final val Seed1 = 42L
+  final val Seed2 = 0x9747b28cL
+
+  @inline private def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** Lowercased whitespace tokens — the kernel equivalent of
+    * `TextAnalysis.tokens(TextAnalysis.normalized(text))`. */
+  def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toString.toLowerCase(Locale.ROOT)
+    val out = mutable.ArrayBuilder.make[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** Distinct word n-gram shingles joined by single spaces. Texts with
+    * fewer than n tokens produce one shingle of all tokens (so every
+    * doc has a non-empty shingle set). */
+  def shingleSet(tokens: Array[String], n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    if (tokens.length < n) {
+      set.add(tokens.mkString(" "))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= tokens.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    }
+    set
+  }
+
+  /** MinHash signature in ONE pass over the shingle set: per shingle
+    * two base hashes (h1, h2), the i-th hash function is h1 + i*h2
+    * (standard double hashing), accumulated into running minima.
+    * O(shingles · (len + numHashes)) vs the HOF formulation's
+    * O(shingles · numHashes) full-array rebuilds. */
+  def minhashSig(text: UTF8String, numHashes: Int, shingleSize: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingleSet(tokenize(text), shingleSize).iterator()
+    while (it.hasNext) {
+      val u = UTF8String.fromString(it.next())
+      val h1 = hashStr(u, Seed1)
+      val h2 = hashStr(u, Seed2) | 1L
+      var g = h1
+      var i = 0
+      while (i < numHashes) {
+        if (g < sig(i)) sig(i) = g
+        g += h2
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash-64 over the token multiset: per token one hash, its bits
+    * vote ±1 into 64 counters; positive counters set the output bit. */
+  def simhash64(text: UTF8String): Long = {
+    val counters = new Array[Int](64)
+    val toks = tokenize(text)
+    var t = 0
+    while (t < toks.length) {
+      val h = hashStr(UTF8String.fromString(toks(t)), Seed1)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine similarity over double arrays, sequential summation —
+    * bit-identical to the declarative
+    * `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` formulation (and therefore
+    * to the DuckDB oracle's list_aggregate sum order). 0.0 when either
+    * norm is 0. */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  /** Dot product over double arrays (sequential order). */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** Random-hyperplane LSH bucket id. Exactly reproduces the previous
+    * declarative formula: component(p, i) =
+    * (pmod(xxhash64(p:int, i:int), 2000001) - 1e6) / 1e6 with Spark's
+    * xxhash64 seed chaining (seed 42), bit p set iff the plane dot
+    * product is >= 0. One pass per plane over the vector, all in one
+    * JVM frame. */
+  def lshBucket(vec: ArrayData, numPlanes: Int): Long = {
+    require(numPlanes > 0 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63], got $numPlanes")
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val seedP = XXH64.hashInt(p, 42L)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, seedP)
+        val m = h % 2000001L
+        val pm = if (m < 0) m + 2000001L else m
+        d += vec.getDouble(i) * ((pm - 1000000.0) / 1000000.0)
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Fraction of equal components between two equal-length MinHash
+    * signatures — the MinHash Jaccard estimate. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+}

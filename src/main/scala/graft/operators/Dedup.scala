@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Deduplication operators for training-data pipelines: exact dedup,
   * MinHash+LSH near-dup candidate generation, SimHash, and exact
@@ -31,23 +32,18 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. Seeding via a literal
-    * prefix keeps it a single codegen'd expression (xxhash64 has no
-    * seed arg at the Column API level). */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = array_distinct(shingles(text, shingleSize))
-    val funcs = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }
-    array(funcs: _*)
-  }
+  /** MinHash signature via the custom codegen'd expression
+    * ([[graft.functions.exprs.MinHashSig]]): one pass over the shingle
+    * set with double-hashed XXH64 — O(shingles) hashing instead of the
+    * O(shingles × numHashes) array rebuilds a higher-order-function
+    * formulation costs (which dominated the round-1 benchmark). */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    GraftFunctions.minhashSig(text, numHashes, shingleSize)
 
   /** Estimated Jaccard from two MinHash signatures: fraction of equal
     * components. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
-      .cast("double") / size(sigA).cast("double")
+    GraftFunctions.sigAgreement(sigA, sigB)
 
   /** LSH banding: explode a signature into (band, bandHash) rows.
     * Docs sharing any band-hash collide → candidates. bands must
@@ -68,6 +64,9 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
+        "components would otherwise be silently dropped, weakening recall")
     val withSig = df.select(col(idCol),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     val banded = lshBands(withSig, idCol, "sig", bands)
@@ -115,27 +114,10 @@ object Dedup {
   }
 
   /** SimHash-64: sign-aggregated bitwise hash of the token multiset.
-    * Near-dup docs differ in few bits (Hamming distance). Built from
-    * higher-order functions only: one pass over tokens accumulating 64
-    * signed counters, then bit reconstruction — no UDF, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
-    val bitIdx = sequence(lit(0), lit(63))
-    val counters = aggregate(
-      toks,
-      transform(bitIdx, _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, bitIdx,
-          (a, i) => a + when(
-            call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-      })
-    aggregate(
-      zip_with(counters, bitIdx, (c, i) => when(c > 0,
-        call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Near-dup docs differ in few bits (Hamming distance). Single-pass
+    * codegen'd kernel ([[graft.functions.exprs.SimHash64]]) — no UDF,
+    * no shuffle, stays inside whole-stage codegen. */
+  def simhash64(text: Column): Column = GraftFunctions.simhash64(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -143,9 +125,14 @@ object Dedup {
   /** Exact dedup: keep one row per distinct normalized-text
     * fingerprint. Window-free formulation — groupBy(fingerprint) +
     * min(id) then semi-join keeps it a pair of hash shuffles that
-    * scale linearly (vs a global sort a window would need). */
+    * scale linearly (vs a global sort a window would need).
+    *
+    * Keys on the 128-bit md5 fingerprint: at pretraining scale
+    * (billions of docs) a 64-bit key has substantial birthday-collision
+    * probability (~0.4 at 4B docs) and would silently drop distinct
+    * documents; 128 bits puts collisions below 1e-18 at that scale. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("_fp", TextAnalysis.fingerprint64(col(textCol)))
+    val fp = df.withColumn("_fp", TextAnalysis.fingerprintMd5(col(textCol)))
     val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     fp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
   }

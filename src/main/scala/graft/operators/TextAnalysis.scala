@@ -56,12 +56,37 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Language ID: argmax over stopword-profile scores, ties broken by
-    * profile order, "und" (undetermined) when no profile scores > 0.
+  /** Languages whose profile is scored by character-substring counts
+    * rather than whitespace tokens (scripts written without spaces —
+    * a whitespace token of Chinese text is a whole sentence and would
+    * never equal a single-character stopword). */
+  val charProfileLangs: Set[String] = Set("zh")
+
+  /** Occurrence-count ratio of profile characters as substrings:
+    * Σ occurrences(c) / n_chars. The scoring path for
+    * [[charProfileLangs]]. */
+  def charProfileRatio(text: Column, profile: Seq[String]): Column = {
+    val nChars = length(text).cast("double")
+    val hits = profile
+      .map(c => (length(text) - length(replace(text, lit(c), lit("")))).cast("double")
+        / lit(c.length.toDouble))
+      .reduce(_ + _)
+    when(nChars > 0, hits / nChars).otherwise(lit(0.0))
+  }
+
+  /** Per-profile language score: token stopword-hit ratio for
+    * space-delimited languages, character-occurrence ratio for
+    * [[charProfileLangs]]. */
+  def langScore(text: Column, lang: String, profile: Seq[String]): Column =
+    if (charProfileLangs(lang)) charProfileRatio(text, profile)
+    else stopwordRatio(text, profile)
+
+  /** Language ID: argmax over per-language profile scores, ties broken
+    * by profile order, "und" (undetermined) when no profile scores > 0.
     * Deterministic and SQL-expressible, so it can be oracle-checked. */
   def langId(text: Column): Column = {
     val scores = stopwordProfiles.map { case (lang, prof) =>
-      lang -> stopwordRatio(text, prof)
+      lang -> langScore(text, lang, prof)
     }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>

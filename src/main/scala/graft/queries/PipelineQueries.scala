@@ -154,11 +154,12 @@ object PipelineQueries {
   }
 
   /** knn-join: 3 nearest corpus vectors for each of 5 query vectors
-    * (broadcast query side, un-shuffled corpus). */
+    * (broadcast query side, un-shuffled corpus). Queries ⊆ corpus here,
+    * so excludeSelf is valid. */
   def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.knnJoin(emb.filter(col("vec_id") < 5), "vec_id",
-      emb, "vec_id", "embedding", 3)
+      emb, "vec_id", "embedding", 3, excludeSelf = true)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -167,7 +168,7 @@ object PipelineQueries {
   def qLshAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshBucketedKnn(emb.filter(col("vec_id") < 20), "vec_id",
-      emb, "vec_id", "embedding", 3, numPlanes = 6)
+      emb, "vec_id", "embedding", 3, numPlanes = 6, excludeSelf = true)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -261,8 +262,17 @@ object PipelineQueries {
          |    AS bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> {
-      val ratios = langProfilesSql.map { case (lang, set) =>
-        s"""CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN $set)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+      val ratios = TextAnalysis.stopwordProfiles.map { case (lang, prof) =>
+        if (TextAnalysis.charProfileLangs(lang)) {
+          // char-substring occurrence ratio (languages without spaces)
+          val hits = prof.map(c =>
+            s"(length(text) - length(replace(text, '$c', ''))) / ${c.length}.0")
+            .mkString(" + ")
+          s"""CASE WHEN length(text) > 0 THEN CAST($hits AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+        } else {
+          val set = prof.map(w => s"'$w'").mkString("(", ",", ")")
+          s"""CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN $set)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+        }
       }.mkString(",\n    ")
       val best = langProfilesSql.map(p => s"r_${p._1}").mkString("greatest(", ", ", ")")
       val caseChain = langProfilesSql.map { case (lang, _) =>
@@ -271,7 +281,7 @@ object PipelineQueries {
       s"""SELECT lang, lang_pred, count(*) AS cnt FROM (
          |  SELECT lang, $caseChain AS lang_pred FROM (
          |    SELECT lang, $ratios
-         |    FROM (SELECT lang, $toksSql AS toks FROM documents)))
+         |    FROM (SELECT lang, text, $toksSql AS toks FROM documents)))
          |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
     },
     "q_quality" -> {

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Catalyst Expression
+  * converters. Lives in the `org.apache.spark.sql` package solely to
+  * satisfy the access modifier — the standard pattern for libraries
+  * that register custom expressions without forking Spark. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

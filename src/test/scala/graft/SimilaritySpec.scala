@@ -31,16 +31,17 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
     val k = 5
-    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", k)
+    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", k,
+        excludeSelf = true)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
-        "embedding", k, numPlanes = 4)
+        "embedding", k, numPlanes = 4, excludeSelf = true)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.3, s"recall=$recall (random would be ~${k.toDouble/500})")
     // determinism: same planes → same buckets on re-run
     val rerun = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
-        "embedding", k, numPlanes = 4)
+        "embedding", k, numPlanes = 4, excludeSelf = true)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(rerun === approx)
   }
