@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line for the driver.
+  *
+  * Methodology (fixes the round-2 harness artifacts):
+  *  - one full WARMUP pass first, so JVM/codegen/classload cost lands
+  *    nowhere in the per-query numbers (previously the first Map entry
+  *    absorbed ~5 s of it);
+  *  - the action is a checksum `sum(xxhash64(struct(*)))` over every
+  *    output column, NOT `.count()` — count lets Catalyst prune the
+  *    computed projections of non-aggregating queries, so expensive
+  *    columns never executed and selection-class timings were fiction;
+  *  - failures are LOUD: stack trace to stderr, query listed in
+  *    "failed", exit code 1 — never a silently-fast bogus number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +29,37 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    /** Force full evaluation of every output column. */
+    def run(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    names.foreach { n =>
+      try run(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $n FAILED"); e.printStackTrace()
+        failed += n
+      }
+    }
+    val results = names.filterNot(failed.contains).map { n =>
+      val t0 = System.nanoTime()
+      try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $n FAILED"); e.printStackTrace()
+        failed += n
+        n -> -1.0
+      }
+    }.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hot per-row kernels (MinHash,
   * SimHash, cosine, hyperplane LSH). Each generates a single static
@@ -15,6 +17,11 @@ import org.apache.spark.sql.types._
   * which are its mechanism for keeping per-row work out of the
   * interpreter.
   *
+  * All expressions declare `inputTypes` via [[ImplicitCastInputTypes]]
+  * so Catalyst inserts casts (array<float> → array<double>) and rejects
+  * wrong-typed inputs at ANALYSIS time instead of failing inside
+  * generated code at execution.
+  *
   * Preference order per the project brief: built-in functions first;
   * these expressions exist exactly where the built-in higher-order
   * functions (`transform`/`aggregate`/`zip_with`) are interpreted
@@ -22,16 +29,19 @@ import org.apache.spark.sql.types._
   */
 object exprs {
 
+  private val DoubleArray: GraftSqlBridge.AbstractType = ArrayType(DoubleType)
+  private val LongArray: GraftSqlBridge.AbstractType = ArrayType(LongType)
+
   /** MinHash signature of a text column → array<bigint> of running
     * minima over `numHashes` double-hashed XXH64 functions. */
   case class MinHashSig(child: Expression, numHashes: Int, shingleSize: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(numHashes > 0, s"numHashes must be positive, got $numHashes")
     require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      HashOps.minhashSig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-        numHashes, shingleSize)
+      HashOps.minhashSig(input.asInstanceOf[UTF8String], numHashes, shingleSize)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         c => s"graft.functions.HashOps.minhashSig($c, $numHashes, $shingleSize)")
@@ -42,10 +52,11 @@ object exprs {
 
   /** SimHash-64 of a text column → bigint. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
-      HashOps.simhash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      HashOps.simhash64(input.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash64($c)")
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -55,11 +66,11 @@ object exprs {
 
   /** Cosine similarity of two array<double> columns → double. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.cosineDouble(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      HashOps.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         (a, b) => s"graft.functions.HashOps.cosineDouble($a, $b)")
@@ -70,11 +81,11 @@ object exprs {
 
   /** Dot product of two array<double> columns → double. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.dotDouble(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      HashOps.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         (a, b) => s"graft.functions.HashOps.dotDouble($a, $b)")
@@ -83,16 +94,32 @@ object exprs {
     override def prettyName: String = "dot_product"
   }
 
+  /** Euclidean distance of two array<double> columns → double
+    * (single-pass stable sum((a_i-b_i)^2) kernel). */
+  case class L2Distance(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.l2Distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.l2Distance($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
+      copy(left = l, right = r)
+    override def prettyName: String = "l2_distance"
+  }
+
   /** Random-hyperplane LSH bucket of an array<double> column → bigint
     * with the low `numPlanes` bits populated. */
   case class LshBucket(child: Expression, numPlanes: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     require(numPlanes > 0 && numPlanes <= 63,
       s"numPlanes must be in [1, 63], got $numPlanes")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
-      HashOps.lshBucket(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        numPlanes)
+      HashOps.lshBucket(input.asInstanceOf[ArrayData], numPlanes)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.lshBucket($c, $numPlanes)")
     override protected def withNewChildInternal(newChild: Expression): LshBucket =
@@ -100,13 +127,32 @@ object exprs {
     override def prettyName: String = "lsh_bucket"
   }
 
+  /** OR-amplified multi-table LSH buckets → array<bigint> of
+    * `numTables` independent bucket ids (HashOps.lshBuckets). */
+  case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(numPlanes > 0 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63], got $numPlanes")
+    require(numTables > 0, s"numTables must be positive, got $numTables")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.lshBuckets(input.asInstanceOf[ArrayData], numPlanes, numTables)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.lshBuckets($c, $numPlanes, $numTables)")
+    override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_buckets"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(LongArray, LongArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.sigAgreement(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      HashOps.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         (a, b) => s"graft.functions.HashOps.sigAgreement($a, $b)")
@@ -119,7 +165,6 @@ object exprs {
 /** Column-level façade over the custom expressions. */
 object GraftFunctions {
   private def expr(c: Column) = GraftSqlBridge.expression(c)
-  private def asDoubleArray(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
     GraftSqlBridge.column(exprs.MinHashSig(expr(text), numHashes, shingleSize))
@@ -128,13 +173,19 @@ object GraftFunctions {
     GraftSqlBridge.column(exprs.SimHash64(expr(text)))
 
   def cosine(a: Column, b: Column): Column =
-    GraftSqlBridge.column(exprs.CosineSim(expr(asDoubleArray(a)), expr(asDoubleArray(b))))
+    GraftSqlBridge.column(exprs.CosineSim(expr(a), expr(b)))
 
   def dot(a: Column, b: Column): Column =
-    GraftSqlBridge.column(exprs.DotProduct(expr(asDoubleArray(a)), expr(asDoubleArray(b))))
+    GraftSqlBridge.column(exprs.DotProduct(expr(a), expr(b)))
+
+  def l2Distance(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.L2Distance(expr(a), expr(b)))
 
   def lshBucket(vec: Column, numPlanes: Int): Column =
-    GraftSqlBridge.column(exprs.LshBucket(expr(asDoubleArray(vec)), numPlanes))
+    GraftSqlBridge.column(exprs.LshBucket(expr(vec), numPlanes))
+
+  def lshBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
+    GraftSqlBridge.column(exprs.LshBuckets(expr(vec), numPlanes, numTables))
 
   def sigAgreement(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.SigAgreement(expr(a), expr(b)))

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.Locale
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -31,17 +29,26 @@ object HashOps {
   @inline private def hashStr(s: UTF8String, seed: Long): Long =
     XXH64.hashUTF8String(s, seed)
 
-  /** Lowercased whitespace tokens — the kernel equivalent of
-    * `TextAnalysis.tokens(TextAnalysis.normalized(text))`. */
+  /** Java-regex `\s` (ASCII-only — the class the Column path's
+    * `split(text, "\\s+")` matches; `Character.isWhitespace` would also
+    * split on U+3000 etc. and diverge). */
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Lowercased whitespace tokens — exact kernel equivalent of
+    * `TextAnalysis.tokens(TextAnalysis.normalized(text))`: lowercase via
+    * `UTF8String.toLowerCase` (the same call Spark's `lower()` makes,
+    * so non-ASCII case mapping is identical), split on the ASCII `\s`
+    * class only. Parity is asserted in TokenizeParitySpec. */
   def tokenize(text: UTF8String): Array[String] = {
-    val s = text.toString.toLowerCase(Locale.ROOT)
+    val s = text.toLowerCase.toString
     val out = mutable.ArrayBuilder.make[String]
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isAsciiSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isAsciiSpace(s.charAt(i))) i += 1
       if (i > start) out += s.substring(start, i)
     }
     out.result()
@@ -119,13 +126,31 @@ object HashOps {
     out
   }
 
+  /** Vector kernels reject malformed embeddings loudly instead of
+    * silently truncating to the shorter array or NPE-ing on a null
+    * element — at 100 TB a silent wrong similarity is unfindable, a
+    * task failure with row context is. */
+  @inline private def checkVectors(a: ArrayData, b: ArrayData, op: String): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"$op: embedding length mismatch (${a.numElements()} vs ${b.numElements()})")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$op: null element at index $i — malformed embedding")
+      i += 1
+    }
+    n
+  }
+
   /** Cosine similarity over double arrays, sequential summation —
     * bit-identical to the declarative
     * `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` formulation (and therefore
     * to the DuckDB oracle's list_aggregate sum order). 0.0 when either
     * norm is 0. */
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkVectors(a, b, "cosine_sim")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -144,7 +169,7 @@ object HashOps {
 
   /** Dot product over double arrays (sequential order). */
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkVectors(a, b, "dot_product")
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -152,6 +177,23 @@ object HashOps {
       i += 1
     }
     dot
+  }
+
+  /** Euclidean distance in ONE pass over sum((a_i-b_i)^2) — the
+    * numerically stable form. The three-dot-product identity
+    * sqrt(aa - 2ab + bb) cancels catastrophically for near-identical
+    * vectors (the near-duplicate regime this engine targets) and can
+    * return exactly 0.0 for close-but-distinct vectors. */
+  def l2Distance(a: ArrayData, b: ArrayData): Double = {
+    val n = checkVectors(a, b, "l2_distance")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
   }
 
   /** Random-hyperplane LSH bucket id. Exactly reproduces the previous
@@ -181,6 +223,45 @@ object HashOps {
       p += 1
     }
     bucket
+  }
+
+  /** OR-amplified multi-table LSH: `numTables` independent bucket ids,
+    * table t's planes seeded by chaining t into the plane seed
+    * (table 0 reproduces [[lshBucket]] exactly). A neighbor is a
+    * candidate if it collides in ANY table — for per-plane collision
+    * probability p = 1 - θ/π, recall amplifies from p^planes to
+    * 1-(1-p^planes)^tables, fixing the geometric recall collapse of a
+    * single-probe single table. Candidate cost grows ≤ ×tables and the
+    * scoring stays ∝ collisions, not |corpus|². */
+  def lshBuckets(vec: ArrayData, numPlanes: Int, numTables: Int): ArrayData = {
+    require(numTables > 0, s"numTables must be positive, got $numTables")
+    require(numPlanes > 0 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63], got $numPlanes")
+    val n = vec.numElements()
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      val seedT = if (t == 0) 42L else XXH64.hashInt(t, 0x5EEDB00CL)
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val seedP = XXH64.hashInt(p, seedT)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(i, seedP)
+          val m = h % 2000001L
+          val pm = if (m < 0) m + 2000001L else m
+          d += vec.getDouble(i) * ((pm - 1000000.0) / 1000000.0)
+          i += 1
+        }
+        if (d >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Fraction of equal components between two equal-length MinHash

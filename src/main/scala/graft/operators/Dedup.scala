@@ -123,17 +123,23 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact dedup: keep one row per distinct normalized-text
-    * fingerprint. Window-free formulation — groupBy(fingerprint) +
-    * min(id) then semi-join keeps it a pair of hash shuffles that
-    * scale linearly (vs a global sort a window would need).
+    * fingerprint, surviving row = min id in the group.
+    *
+    * ONE shuffle, one scan: `groupBy(fingerprint).agg(min_by(row, id))`
+    * — the survivor is selected inside the aggregation, so map-side
+    * partial aggregation keeps at most one candidate row per
+    * fingerprint per partition before the shuffle, and there is no
+    * second scan or semi-join probe re-hashing the full text (the
+    * round-2 formulation paid both).
     *
     * Keys on the 128-bit md5 fingerprint: at pretraining scale
     * (billions of docs) a 64-bit key has substantial birthday-collision
     * probability (~0.4 at 4B docs) and would silently drop distinct
     * documents; 128 bits puts collisions below 1e-18 at that scale. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("_fp", TextAnalysis.fingerprintMd5(col(textCol)))
-    val keep = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    fp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+    val cols = df.columns.toSeq
+    df.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_survivor"))
+      .select(cols.map(c => col("_survivor").getField(c).as(c)): _*)
   }
 }

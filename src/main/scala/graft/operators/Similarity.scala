@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftAggs, GraftFunctions}
 
 /** Approximate-nearest-neighbor / similarity search over embedding
   * columns (`ArrayType(FloatType)`).
@@ -13,15 +13,27 @@ import graft.functions.GraftFunctions
   *    size-k TakeOrdered — no shuffle of the corpus, linear in corpus
   *    size, trivially parallel at 100 TB;
   *  - `knnJoin` broadcasts the (small) query set and keeps the corpus
-  *    un-shuffled; top-k per query via partial-aggregated window;
-  *  - `lshBucketedKnn` is the scale path: random-hyperplane LSH with
-  *    deterministic seeded planes → candidates collide on a bucket id,
-  *    so the expensive exact scoring runs on |bucket| not |corpus|.
+  *    un-shuffled; per-query top-k via a bounded-heap
+  *    `TypedImperativeAggregate` ([[graft.functions.aggs.TopKByScore]])
+  *    that partially aggregates map-side, so the shuffle carries ≤ k
+  *    entries per query per partition — NOT every scored candidate
+  *    (the window-function formulation shuffled all of them);
+  *  - `lshBucketedKnn` is the scale path: OR-amplified multi-table
+  *    random-hyperplane LSH — candidates collide on (table, bucket),
+  *    so exact scoring runs on collisions only, and recall amplifies
+  *    as 1-(1-p^planes)^tables instead of the single-table p^planes
+  *    (which collapses geometrically for moderate similarities).
   *
   * All vector math runs through the custom codegen'd kernels in
   * [[graft.functions.exprs]] (single JVM loop per row, double
   * precision) — the declarative higher-order-function formulation is
   * interpreted per-element and was measured 5-10× slower.
+  *
+  * API note (changed in round 2, kept): `knnJoin`/`lshBucketedKnn`
+  * default to `excludeSelf = false`; callers whose query set is a
+  * subset of the corpus and who want the old implicit self-exclusion
+  * must now opt in explicitly — a silent self-pair at sim=1.0 would
+  * otherwise consume one of the k slots.
   */
 object Similarity {
 
@@ -33,12 +45,11 @@ object Similarity {
   /** Cosine similarity in double precision; 0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
-  def l2Distance(a: Column, b: Column): Column = {
-    val aa = dot(a, a)
-    val bb = dot(b, b)
-    val ab = dot(a, b)
-    sqrt(greatest(aa - lit(2.0) * ab + bb, lit(0.0)))
-  }
+  /** Euclidean distance via the single-pass sum((a_i-b_i)^2) kernel —
+    * numerically stable for near-identical vectors, where the
+    * three-dot-product identity sqrt(aa-2ab+bb) cancels
+    * catastrophically (the near-dup regime this engine targets). */
+  def l2Distance(a: Column, b: Column): Column = GraftFunctions.l2Distance(a, b)
 
   /** Exact top-k by cosine against one literal query vector. The
     * vector is inlined as an array literal → broadcast by codegen. */
@@ -51,9 +62,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Shared final stage: per-query top-k of scored (query_id,
+    * corpus_id, sim) rows via the bounded-heap aggregate, exploded
+    * back to ranked rows (rk = 1-based, ties broken by corpus_id) —
+    * identical output contract to a `row_number` window over
+    * (sim desc, corpus_id), at a fraction of the shuffle. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(GraftAggs.topKByScore(col("sim"), col("corpus_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as("sim"), (col("pos") + 1).as("rk"))
+
   /** Top-k join: for every row of `queries`, the k nearest corpus
     * rows. `queries` is broadcast (it must be the small side); corpus
-    * never shuffles — the only shuffle is the final per-query top-k.
+    * never shuffles — the only shuffle is the partially-aggregated
+    * per-query top-k (≤ k rows per query per partition).
     *
     * `excludeSelf` (opt-in) drops corpus rows whose id equals the
     * query id; valid ONLY when `queries` is a subset of `corpus`
@@ -63,7 +87,6 @@ object Similarity {
   def knnJoin(queries: DataFrame, qIdCol: String, corpus: DataFrame,
       cIdCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(cIdCol).as("corpus_id"), col(vecCol).as("c_vec"))
     val joined =
@@ -71,10 +94,7 @@ object Similarity {
       else c.crossJoin(broadcast(q))
     val scored = joined.select(col("query_id"), col("corpus_id"),
       round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "corpus_id", "sim", "rk")
+    topKPerQuery(scored, k)
   }
 
   /** LSH bucket id: sign bits of the vector's dot products with
@@ -87,28 +107,34 @@ object Similarity {
     GraftFunctions.lshBucket(vec, numPlanes)
   }
 
-  /** ANN: exact cosine within LSH buckets only. Queries and corpus
-    * both bucketed with the same planes; join on the bucket id —
-    * the shuffle moves only bucket-collided pairs. Recall grows with
-    * fewer planes (bigger buckets); cost shrinks with more planes.
-    * `excludeSelf` semantics as in [[knnJoin]]. */
+  /** ANN: exact cosine within OR-amplified LSH buckets. Queries and
+    * corpus are both hashed into `numTables` independent plane sets
+    * (deterministic seeds); a corpus row is a candidate for a query if
+    * they collide in ANY table. The join key is (table, bucket), the
+    * query side is broadcast, and a pair colliding in several tables
+    * is scored once (distinct before the top-k).
+    *
+    * Tuning: recall ≈ 1-(1-p^numPlanes)^numTables for per-plane
+    * agreement p = 1-θ/π; candidate cost grows ≤ ×numTables. More
+    * planes → smaller buckets (cheaper, lower recall per table); more
+    * tables → recall back up. `excludeSelf` semantics as in
+    * [[knnJoin]]. */
   def lshBucketedKnn(queries: DataFrame, qIdCol: String, corpus: DataFrame,
       cIdCol: String, vecCol: String, k: Int, numPlanes: Int = 8,
-      excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      numTables: Int = 8, excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      posexplode(GraftFunctions.lshBuckets(col(vecCol), numPlanes, numTables))
+        .as(Seq("table", "bucket")))
     val c = corpus.select(col(cIdCol).as("corpus_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val joined = c.join(broadcast(q), Seq("bucket"))
+      posexplode(GraftFunctions.lshBuckets(col(vecCol), numPlanes, numTables))
+        .as(Seq("table", "bucket")))
+    val joined = c.join(broadcast(q), Seq("table", "bucket"))
     val filtered =
       if (excludeSelf) joined.filter(col("corpus_id") =!= col("query_id"))
       else joined
     val scored = filtered.select(col("query_id"), col("corpus_id"),
-      round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "corpus_id", "sim", "rk")
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+      .distinct()
+    topKPerQuery(scored, k)
   }
 }

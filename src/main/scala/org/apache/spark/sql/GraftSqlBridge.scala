@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; this public alias
+    * lets graft expressions declare `inputTypes` (ExpectsInputTypes)
+    * for analysis-time type checking. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
