@@ -163,34 +163,92 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** LSH-bucketed ANN (the scale path; rows-only driver check, recall
-    * asserted against brute force in ScalaTest). */
+  /** Deterministic near-duplicate universe both engines can enumerate:
+    * docs with ≥30 whitespace tokens (doc_id < 200) paired with a
+    * perturbed copy of themselves — the same text minus its first two
+    * tokens. The perturbed copy is a REAL near-duplicate (high n-gram
+    * Jaccard), and the doc filter is plain SQL, so the DuckDB oracle
+    * can reproduce the exact row universe while Spark proves
+    * hash-dependent invariants over it. */
+  private def perturbedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter($"doc_id" < 200 && size(TextAnalysis.tokens($"text")) >= 30)
+      .select($"doc_id", $"text",
+        array_join(slice(TextAnalysis.tokens($"text"), 3, 1000000), " ").as("pert"))
+  }
+
+  /** LSH-bucketed ANN self-oracle: per query (vec_id < 20), did the
+    * OR-amplified LSH path recover ≥2 of the exact top-3 neighbors?
+    * Both LSH and brute force are deterministic (seeded planes), so
+    * `recall_ok` is a reproducible boolean the DuckDB oracle expects
+    * to be uniformly true. */
   def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    Similarity.lshBucketedKnn(emb.filter(col("vec_id") < 20), "vec_id",
-      emb, "vec_id", "embedding", 3, numPlanes = 6, excludeSelf = true)
-      .orderBy(col("query_id"), col("rk"))
+    val queries = emb.filter($"vec_id" < 20)
+    val k = 3
+    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
+        "embedding", k, excludeSelf = true)
+      .select($"query_id", $"corpus_id")
+    val approx = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
+        "embedding", k, numPlanes = 4, numTables = 32, excludeSelf = true)
+      .select($"query_id", $"corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        (coalesce($"hits", lit(0L)) >= 2).as("recall_ok"),
+        ($"n_exact" === k).as("k_ok"))
+      .orderBy($"query_id")
   }
 
-  // ---- near-duplicate detection (rows-only; oracled in ScalaTest) ------
+  // ---- near-duplicate detection self-oracles ---------------------------
 
-  /** MinHash+LSH candidate pairs at a low threshold (the corpus is
-    * synthetic word-salad; high-Jaccard pairs are rare). */
+  /** MinHash estimator + LSH banding verified on the perturbed-copy
+    * universe: `est_ok` = the 128-hash MinHash Jaccard estimate is
+    * within 0.25 of the exact bigram Jaccard (binomial sd ≈ 0.044 —
+    * a >5σ margin); `found_ok` = every pair with exact Jaccard ≥ 0.7
+    * was surfaced as an LSH banding candidate (32 bands × 4 rows ⇒
+    * miss probability 1.5e-4 per pair, and the seeded hashing makes
+    * the outcome reproducible, not merely probable). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleSize = 2, minEstJaccard = 0.05)
-      .orderBy(col("id_a"), col("id_b"))
+    import s.implicits._
+    val base = perturbedDocs(s, dir)
+    val withJ = base.select($"doc_id",
+      Dedup.minhashJaccard(
+        Dedup.minhashSignature($"text", 128, 2),
+        Dedup.minhashSignature($"pert", 128, 2)).as("est"),
+      Dedup.ngramJaccard($"text", $"pert", 2).as("exact"))
+    val corpus = base.select($"doc_id", $"text")
+      .union(base.select(($"doc_id" + 1000000).as("doc_id"), $"pert".as("text")))
+    val found = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleSize = 2, minEstJaccard = 0.0)
+      .filter($"id_b" === $"id_a" + 1000000)
+      .select($"id_a".as("doc_id"), lit(true).as("found"))
+    withJ.join(found, Seq("doc_id"), "left")
+      .select($"doc_id",
+        (abs($"est" - $"exact") <= 0.25).as("est_ok"),
+        ($"exact" < 0.7 || coalesce($"found", lit(false))).as("found_ok"))
+      .orderBy($"doc_id")
   }
 
-  /** SimHash fingerprints + Hamming distance to doc 0. */
+  /** SimHash self-oracle on the perturbed-copy universe: identical
+    * text hashes identically (`self_ok`), a 2-token-drop near-dup
+    * stays within a generous Hamming radius (`near_ok` — measured max
+    * ≤ 12 at both SFs, bound 24), and the distance is a valid 64-bit
+    * Hamming value (`range_ok`). */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-      .select($"doc_id", Dedup.simhash64($"text").as("sh"))
-    val ref = docs.filter($"doc_id" === 0).select($"sh".as("sh0"))
-    docs.crossJoin(broadcast(ref))
-      .select($"doc_id", Dedup.hamming64($"sh", $"sh0").as("hamming"))
-      .filter($"doc_id" < 100)
+    perturbedDocs(s, dir)
+      .select($"doc_id",
+        Dedup.hamming64(Dedup.simhash64($"text"), Dedup.simhash64($"text")).as("self_ham"),
+        Dedup.hamming64(Dedup.simhash64($"text"), Dedup.simhash64($"pert")).as("pert_ham"))
+      .select($"doc_id",
+        ($"self_ham" === 0).as("self_ok"),
+        ($"pert_ham" <= 24).as("near_ok"),
+        ($"pert_ham" >= 0 && $"pert_ham" <= 64).as("range_ok"))
       .orderBy($"doc_id")
   }
 
@@ -331,6 +389,20 @@ object PipelineQueries {
          |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
          |FROM embeddings e, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    // Self-oracles: Spark proves hash-dependent invariants (booleans);
+    // DuckDB reproduces the deterministic row universe and expects
+    // uniform TRUE. A single violated invariant breaks the hash match.
+    "q_lsh_ann" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""SELECT doc_id, TRUE AS est_ok, TRUE AS found_ok
+         |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
+         |ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""SELECT doc_id, TRUE AS self_ok, TRUE AS near_ok, TRUE AS range_ok
+         |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
+         |ORDER BY doc_id""".stripMargin,
     "q_knn_join" ->
       s"""SELECT query_id, corpus_id, sim, rk FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
