@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate aggregation functions — the reference's HLL / quantile
+  * sketch family re-expressed with Spark's native sketch aggregates:
+  *
+  *  - distinctCountHLL (`DistinctCountHLLAggregationFunction.java:34-35`,
+  *    log2m=8 ⇒ rsd ≈ 6.5%) → `approx_count_distinct(col, 0.065)`;
+  *  - percentileEst / percentileTDigest (q-digest in
+  *    `customobject/QuantileDigest.java`, t-digest in
+  *    `PercentileTDigestAggregationFunction.java:21,37`) →
+  *    `approx_percentile` (Spark's KLL-class sketch; documented
+  *    divergence: same accuracy contract, different sketch family);
+  *  - fastHLL (pre-aggregated serialized HLL column merged at query
+  *    time, `plan/maker/BrokerRequestPreProcessor.java:50-78`,
+  *    `MetricFieldSpec` derived metric) → a materialized
+  *    `hll_sketch_agg` sketch column unioned with `hll_union_agg` —
+  *    the mergeable-sketch path: partial sketches build map-side per
+  *    fine-grained group, and only fixed-size sketch bytes cross the
+  *    shuffle, never raw values. At 100 TB this is the difference
+  *    between shuffling every distinct key and shuffling ~4 KB per
+  *    group.
+  *
+  * Oracle strategy: sketches are deterministic (same input ⇒ same
+  * estimate) but engine-specific, so each query emits the EXACT value
+  * (computable by both engines) plus booleans asserting the estimate
+  * lands within the documented error bound — reproducible, and a
+  * violated bound breaks the driver's hash match.
+  */
+object ApproxQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** distinctCountHLL vs exact: rsd 0.065 (reference log2m=8), bound
+    * 3× the rsd. */
+  def qHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("dc_exact"),
+        approx_count_distinct($"l_partkey", 0.065).as("dc_hll"))
+      .select($"l_returnflag", $"dc_exact",
+        (abs($"dc_hll" - $"dc_exact") <= $"dc_exact" * 0.2).as("hll_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** distinctCountHLLMV: HLL over multi-value (array) columns —
+    * explode then sketch, the reference's MV aggregation semantics. */
+  def qHllMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", explode($"embedding").as("e"))
+      .groupBy($"label")
+      .agg(
+        countDistinct($"e").as("dc_exact"),
+        approx_count_distinct($"e", 0.065).as("dc_hll"))
+      .select($"label", $"dc_exact",
+        (abs($"dc_hll" - $"dc_exact") <= $"dc_exact" * 0.2).as("hll_ok"))
+      .orderBy($"label")
+  }
+
+  /** percentileEst / percentileTDigest vs exact percentile: rank error
+    * ≤ n/10000 at accuracy 10000 ⇒ value bound 2% relative. */
+  def qPercentileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 3).as("p95_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_p50a"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("_p95a"))
+      .select($"l_returnflag", $"p50_exact", $"p95_exact",
+        (abs($"_p50a" - $"p50_exact") <= $"p50_exact" * 0.02).as("p50_ok"),
+        (abs($"_p95a" - $"p95_exact") <= $"p95_exact" * 0.02).as("p95_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** fastHLL: build the derived sketch column at fine granularity
+    * (l_returnflag × l_suppkey — the "segment" analog), then answer
+    * the coarse query by UNIONING sketches, never re-touching rows.
+    * `n_parts` (distinct suppkeys = sketches merged) is exactly
+    * computable by both engines and pins the merge fan-in. */
+  def qFastHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketches = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("dc_exact"))
+    sketches
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("dc_merged"))
+      .join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_parts", $"dc_exact",
+        (abs($"dc_merged" - $"dc_exact") <= $"dc_exact" * 0.1).as("merge_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll" -> qHll,
+    "q_hll_mv" -> qHllMv,
+    "q_percentile_approx" -> qPercentileApprox,
+    "q_fasthll" -> qFastHll)
+
+  val oracles: Map[String, String] = Map(
+    "q_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_exact, TRUE AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_mv" ->
+      """SELECT label, count(DISTINCT e) AS dc_exact, TRUE AS hll_ok
+        |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_percentile_approx" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.95), 3) AS p95_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fasthll" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
+        |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

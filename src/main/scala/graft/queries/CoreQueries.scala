@@ -193,6 +193,30 @@ object CoreQueries {
       .orderBy($"hour_epoch", $"event_type")
   }
 
+  /** The full dateTimeConvert/timeConvert format-spec surface
+    * ([[graft.functions.DateTimeOps]]): epoch→epoch 15-minute
+    * bucketing, epoch→SIMPLE_DATE_FORMAT, SDF→epoch round-trip, and
+    * plain timeConvert unit conversion — each a pure Column transform
+    * mirrored exactly by the DuckDB oracle (`rt_hours` must equal
+    * `tc_hours` by construction; the oracle derives both
+    * independently). */
+  def qDateTimeConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.DateTimeOps
+    t(s, dir, "events")
+      .select($"event_id", unix_millis($"ts").as("ms"))
+      .select($"event_id",
+        DateTimeOps.dateTimeConvert($"ms", "1:MILLISECONDS:EPOCH",
+          "15:MINUTES:EPOCH", "15:MINUTES").as("ep15"),
+        DateTimeOps.dateTimeConvert($"ms", "1:MILLISECONDS:EPOCH",
+          "1:HOURS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH", "1:HOURS").as("sdf_hour"),
+        DateTimeOps.timeConvert($"ms", "MILLISECONDS", "HOURS").as("tc_hours"))
+      .withColumn("rt_hours", DateTimeOps.dateTimeConvert($"sdf_hour",
+        "1:HOURS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH", "1:HOURS:EPOCH", "1:HOURS"))
+      .orderBy($"event_id")
+      .limit(2000)
+  }
+
   /** Capability superset: joins (the reference has none —
     * "Query cannot span across multiple tables", README.md:27). Star
     * join with small dims broadcast — at 100 TB the fact side never
@@ -256,6 +280,7 @@ object CoreQueries {
     "q_percentile" -> qPercentile,
     "q_arithmetic" -> qArithmetic,
     "q_time_bucket" -> qTimeBucket,
+    "q_datetime_convert" -> qDateTimeConvert,
     "q_join_star" -> qJoinStar,
     "q_window_rank" -> qWindowRank,
     "q_union_time_slices" -> qUnionTimeSlices)
@@ -323,6 +348,15 @@ object CoreQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  count(*) AS cnt, round(sum("value"), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+    "q_datetime_convert" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT event_id,
+        |  (ms - ms % 900000) // 900000 AS ep15,
+        |  strftime(make_timestamp((ms - ms % 3600000) * 1000), '%Y-%m-%d %H') AS sdf_hour,
+        |  ms // 3600000 AS tc_hours,
+        |  CAST(epoch(strptime(strftime(make_timestamp((ms - ms % 3600000) * 1000),
+        |    '%Y-%m-%d %H'), '%Y-%m-%d %H')) AS BIGINT) // 3600 AS rt_hours
+        |FROM e ORDER BY event_id LIMIT 2000""".stripMargin,
     "q_join_star" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS revenue,
