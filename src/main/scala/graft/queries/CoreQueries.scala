@@ -266,6 +266,23 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Hybrid-table stitch ([[graft.streaming.HybridTable]]): the
+    * OFFLINE side covers Jan 1-19, the REALTIME side overlaps from
+    * Jan 10 onward (backfill-lag overlap, the normal production
+    * state). The boundary (max offline ts) routes each row to exactly
+    * one side, so the stitched aggregate equals the plain full-table
+    * aggregate — which is exactly what the oracle checks. */
+  def qHybridBoundary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val offline = e.filter($"ts" < lit("2024-01-20 00:00:00").cast("timestamp"))
+    val realtime = e.filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp"))
+    graft.streaming.HybridTable.view(offline, realtime, "ts")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count" -> qCount,
     "q_agg_basic" -> qAggBasic,
@@ -283,7 +300,8 @@ object CoreQueries {
     "q_datetime_convert" -> qDateTimeConvert,
     "q_join_star" -> qJoinStar,
     "q_window_rank" -> qWindowRank,
-    "q_union_time_slices" -> qUnionTimeSlices)
+    "q_union_time_slices" -> qUnionTimeSlices,
+    "q_hybrid_boundary" -> qHybridBoundary)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -378,5 +396,8 @@ object CoreQueries {
         |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-06-01 00:00:00'
         |  UNION ALL
         |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-06-01 00:00:00')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_hybrid_boundary" ->
+      """SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
