@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ApproxQueries.queries
+      graft.queries.ApproxQueries.queries ++
+      graft.queries.PqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ApproxQueries.oracles
+      graft.queries.ApproxQueries.oracles ++
+      graft.queries.PqlQueries.oracles
 }

@@ -1,0 +1,451 @@
+package graft.pql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DateTimeOps
+import graft.sources.Tables
+
+/** PQL front-end: the reference's query language
+  * (`pinot-common/.../pql/parsers/Pql2Compiler.java:78-110`, grammar
+  * `PQL2.g4:21-115`, examples `docs/pql_examples.rst`) compiled to
+  * DataFrame plans.
+  *
+  * Supported subset (the whole documented PQL surface):
+  *  - `SELECT *|exprs|aggs FROM table`
+  *  - `WHERE` with `= <> != < <= > >=`, `BETWEEN`, `[NOT] IN`,
+  *    `REGEXP_LIKE(col, 're')`, parenthesised `AND`/`OR` trees
+  *  - `GROUP BY exprs TOP n` (+ `HAVING` over aggregation functions)
+  *  - `ORDER BY col [ASC|DESC], ... LIMIT [offset,] size` (selection)
+  *  - aggregations COUNT/MIN/MAX/SUM/AVG/MINMAXRANGE/DISTINCTCOUNT/
+  *    DISTINCTCOUNTHLL/PERCENTILE\d+/PERCENTILEEST\d+ (+ `*` for COUNT)
+  *  - transform functions ADD/SUB/MULT/DIV, TIMECONVERT,
+  *    DATETIMECONVERT (`TransformFunctionFactory.java:43-50`)
+  *
+  * Semantics notes (documented divergences, all deterministic):
+  *  - PQL has no aliases; output columns are named
+  *    `<fn>_<sanitized-args>` (`count_star`, `sum_l_quantity`), and
+  *    grouping keys always appear in the result (pql_examples.rst:
+  *    "Grouping keys always appear in query results");
+  *  - `GROUP BY ... TOP n` orders groups by the FIRST aggregation
+  *    descending (group keys ascending as tiebreak — the reference
+  *    trims per-aggregation and documents tie instability; we are
+  *    deterministic), default TOP 10;
+  *  - selection without LIMIT defaults to LIMIT 10 (the reference's
+  *    selection default);
+  *  - `ORDER BY` is selection-only, as in PQL ("ORDER BY only works
+  *    for selection queries").
+  */
+object Pql {
+
+  // ---- AST -------------------------------------------------------------
+
+  sealed trait Expr
+  final case class Ident(name: String) extends Expr
+  final case class NumLit(v: BigDecimal) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class Func(name: String, args: Seq[Expr]) extends Expr
+  case object Star extends Expr
+
+  sealed trait Pred
+  final case class Cmp(e: Expr, op: String, v: Expr) extends Pred
+  final case class Between(e: Expr, lo: Expr, hi: Expr) extends Pred
+  final case class In(e: Expr, vals: Seq[Expr], negated: Boolean) extends Pred
+  final case class RegexpLike(e: Expr, pattern: String) extends Pred
+  final case class AndP(ps: Seq[Pred]) extends Pred
+  final case class OrP(ps: Seq[Pred]) extends Pred
+
+  final case class Query(
+      select: Seq[Expr],
+      table: String,
+      where: Option[Pred],
+      groupBy: Seq[Expr],
+      top: Option[Int],
+      having: Option[Pred],
+      orderBy: Seq[(String, Boolean)], // (column, ascending)
+      limit: Option[(Int, Int)])       // (offset, size)
+
+  // ---- lexer -----------------------------------------------------------
+
+  private final case class Tok(kind: String, s: String) {
+    def is(k: String, v: String): Boolean = kind == k && s.equalsIgnoreCase(v)
+  }
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (q.charAt(i) == '\'') {
+            if (i + 1 < n && q.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb.append(q.charAt(i)); i += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(s"unterminated string at offset $i")
+        out += Tok("STR", sb.toString)
+      }
+      else if (c.isDigit || (c == '.' && i + 1 < n && q.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+        out += Tok("NUM", q.substring(start, i))
+      }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+        out += Tok("IDENT", q.substring(start, i))
+      }
+      else if (c == '<' && i + 1 < n && (q.charAt(i + 1) == '=' || q.charAt(i + 1) == '>')) {
+        out += Tok("SYM", q.substring(i, i + 2)); i += 2
+      }
+      else if (c == '>' && i + 1 < n && q.charAt(i + 1) == '=') { out += Tok("SYM", ">="); i += 2 }
+      else if (c == '!' && i + 1 < n && q.charAt(i + 1) == '=') { out += Tok("SYM", "!="); i += 2 }
+      else if ("(),*=<>-+".indexOf(c) >= 0) { out += Tok("SYM", c.toString); i += 1 }
+      else throw new IllegalArgumentException(s"unexpected character '$c' at offset $i")
+    }
+    out.result()
+  }
+
+  // ---- parser (recursive descent over the token vector) ----------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = {
+      val t = peek.getOrElse(throw new IllegalArgumentException("unexpected end of query"))
+      pos += 1; t
+    }
+    private def expectKw(kw: String): Unit = {
+      val t = next()
+      if (!t.is("IDENT", kw)) throw new IllegalArgumentException(s"expected $kw, got '${t.s}'")
+    }
+    private def expectSym(s: String): Unit = {
+      val t = next()
+      if (!(t.kind == "SYM" && t.s == s)) throw new IllegalArgumentException(s"expected '$s', got '${t.s}'")
+    }
+    private def atKw(kw: String): Boolean = peek.exists(_.is("IDENT", kw))
+    private def atSym(s: String): Boolean = peek.exists(t => t.kind == "SYM" && t.s == s)
+
+    def query(): Query = {
+      expectKw("SELECT")
+      val sel = exprList()
+      expectKw("FROM")
+      val table = next() match {
+        case Tok("IDENT", t) => t
+        case t => throw new IllegalArgumentException(s"expected table name, got '${t.s}'")
+      }
+      var where: Option[Pred] = None
+      var groupBy: Seq[Expr] = Nil
+      var top: Option[Int] = None
+      var having: Option[Pred] = None
+      var orderBy: Seq[(String, Boolean)] = Nil
+      var limit: Option[(Int, Int)] = None
+      while (peek.isDefined) {
+        if (atKw("WHERE")) { next(); where = Some(orPred()) }
+        else if (atKw("GROUP")) {
+          next(); expectKw("BY"); groupBy = exprList()
+        }
+        else if (atKw("TOP")) { next(); top = Some(int()) }
+        else if (atKw("HAVING")) { next(); having = Some(orPred()) }
+        else if (atKw("ORDER")) {
+          next(); expectKw("BY")
+          val items = Vector.newBuilder[(String, Boolean)]
+          var more = true
+          while (more) {
+            val name = next() match {
+              case Tok("IDENT", s) => s
+              case t => throw new IllegalArgumentException(s"expected order column, got '${t.s}'")
+            }
+            var asc = true
+            if (atKw("ASC")) next()
+            else if (atKw("DESC")) { next(); asc = false }
+            items += ((name, asc))
+            if (atSym(",")) next() else more = false
+          }
+          orderBy = items.result()
+        }
+        else if (atKw("LIMIT")) {
+          next()
+          val a = int()
+          if (atSym(",")) { next(); limit = Some((a, int())) }
+          else limit = Some((0, a))
+        }
+        else throw new IllegalArgumentException(s"unexpected token '${peek.get.s}'")
+      }
+      Query(sel, table, where, groupBy, top, having, orderBy, limit)
+    }
+
+    private def int(): Int = next() match {
+      case Tok("NUM", s) if !s.contains('.') => s.toInt
+      case t => throw new IllegalArgumentException(s"expected integer, got '${t.s}'")
+    }
+
+    private def exprList(): Seq[Expr] = {
+      val items = Vector.newBuilder[Expr]
+      var more = true
+      while (more) {
+        items += expr()
+        if (atSym(",")) next() else more = false
+      }
+      items.result()
+    }
+
+    def expr(): Expr = next() match {
+      case Tok("SYM", "*") => Star
+      case Tok("NUM", s) => NumLit(BigDecimal(s))
+      case Tok("STR", s) => StrLit(s)
+      case Tok("SYM", "-") => next() match {
+        case Tok("NUM", s) => NumLit(BigDecimal(s).unary_-)
+        case t => throw new IllegalArgumentException(s"expected number after '-', got '${t.s}'")
+      }
+      case Tok("IDENT", name) if atSym("(") =>
+        next() // (
+        if (atSym("*")) { next(); expectSym(")"); Func(name.toLowerCase, Seq(Star)) }
+        else {
+          val args = Vector.newBuilder[Expr]
+          if (!atSym(")")) {
+            var more = true
+            while (more) {
+              args += expr()
+              if (atSym(",")) next() else more = false
+            }
+          }
+          expectSym(")")
+          Func(name.toLowerCase, args.result())
+        }
+      case Tok("IDENT", name) => Ident(name)
+      case t => throw new IllegalArgumentException(s"unexpected token '${t.s}' in expression")
+    }
+
+    // standard precedence: OR < AND < comparison; parens recurse
+    def orPred(): Pred = {
+      val ps = Vector.newBuilder[Pred]
+      ps += andPred()
+      while (atKw("OR")) { next(); ps += andPred() }
+      val v = ps.result()
+      if (v.length == 1) v.head else OrP(v)
+    }
+
+    private def andPred(): Pred = {
+      val ps = Vector.newBuilder[Pred]
+      ps += unaryPred()
+      while (atKw("AND")) { next(); ps += unaryPred() }
+      val v = ps.result()
+      if (v.length == 1) v.head else AndP(v)
+    }
+
+    private def unaryPred(): Pred = {
+      if (atSym("(")) { next(); val p = orPred(); expectSym(")"); return p }
+      if (atKw("REGEXP_LIKE")) {
+        next(); expectSym("(")
+        val e = expr()
+        expectSym(",")
+        val pat = next() match {
+          case Tok("STR", s) => s
+          case t => throw new IllegalArgumentException(s"expected pattern string, got '${t.s}'")
+        }
+        expectSym(")")
+        return RegexpLike(e, pat)
+      }
+      val e = expr()
+      if (atKw("BETWEEN")) {
+        next(); val lo = expr(); expectKw("AND"); val hi = expr()
+        Between(e, lo, hi)
+      } else if (atKw("NOT")) {
+        next(); expectKw("IN"); In(e, inList(), negated = true)
+      } else if (atKw("IN")) {
+        next(); In(e, inList(), negated = false)
+      } else {
+        val op = next() match {
+          case Tok("SYM", s @ ("=" | "<>" | "!=" | "<" | "<=" | ">" | ">=")) => s
+          case t => throw new IllegalArgumentException(s"expected comparison operator, got '${t.s}'")
+        }
+        Cmp(e, op, expr())
+      }
+    }
+
+    private def inList(): Seq[Expr] = {
+      expectSym("(")
+      val items = Vector.newBuilder[Expr]
+      var more = true
+      while (more) {
+        items += expr()
+        if (atSym(",")) next() else more = false
+      }
+      expectSym(")")
+      items.result()
+    }
+  }
+
+  def parse(query: String): Query = new P(lex(query)).query()
+
+  // ---- translation to DataFrame ----------------------------------------
+
+  private val AggNames = Set("count", "min", "max", "sum", "avg",
+    "minmaxrange", "distinctcount", "distinctcounthll")
+  private val PercentileRe = "^(percentile|percentileest|percentiletdigest)(\\d{1,2})$".r
+
+  private def isAgg(e: Expr): Boolean = e match {
+    case Func(n, _) => AggNames.contains(n) || PercentileRe.findFirstIn(n).isDefined
+    case _ => false
+  }
+
+  /** Output-column name: PQL has no aliases, so mirror the reference's
+    * `<function>_<column>` result naming (BrokerResponse column keys). */
+  private def nameOf(e: Expr): String = e match {
+    case Ident(n) => n
+    case Star => "star"
+    case NumLit(v) => v.toString.replace('.', '_').replace("-", "neg")
+    case StrLit(v) => v.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    case Func(n, args) => (n +: args.map(nameOf)).mkString("_")
+  }
+
+  /** Non-aggregate scalar expression → Column. */
+  private def scalar(e: Expr): Column = e match {
+    case Ident(n) => col(n)
+    case NumLit(v) => if (v.isWhole) lit(v.toLongExact) else lit(v.toDouble)
+    case StrLit(v) => lit(v)
+    case Star => throw new IllegalArgumentException("* is only valid in COUNT(*) or SELECT *")
+    case Func(name, args) => (name, args) match {
+      case ("add", Seq(a, b)) => scalar(a) + scalar(b)
+      case ("sub", Seq(a, b)) => scalar(a) - scalar(b)
+      case ("mult", Seq(a, b)) => scalar(a) * scalar(b)
+      case ("div", Seq(a, b)) => scalar(a) / scalar(b)
+      case ("timeconvert", Seq(c, StrLit(from), StrLit(to))) =>
+        DateTimeOps.timeConvert(scalar(c), from, to)
+      case ("datetimeconvert", Seq(c, StrLit(in), StrLit(out), StrLit(gran))) =>
+        DateTimeOps.dateTimeConvert(scalar(c), in, out, gran)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported transform function '$name'/${args.length}")
+    }
+  }
+
+  /** Aggregation function → Column (unnamed). */
+  private def aggColumn(e: Expr): Column = e match {
+    case Func("count", Seq(Star)) => count(lit(1))
+    case Func("count", Seq(a)) => count(scalar(a))
+    case Func("min", Seq(a)) => min(scalar(a))
+    case Func("max", Seq(a)) => max(scalar(a))
+    case Func("sum", Seq(a)) => sum(scalar(a))
+    case Func("avg", Seq(a)) => avg(scalar(a))
+    case Func("minmaxrange", Seq(a)) => max(scalar(a)) - min(scalar(a))
+    case Func("distinctcount", Seq(a)) => countDistinct(scalar(a))
+    case Func("distinctcounthll", Seq(a)) => approx_count_distinct(scalar(a), 0.065)
+    case Func(PercentileRe(kind, pct), Seq(a)) =>
+      val q = pct.toInt / 100.0
+      if (kind == "percentile") percentile(scalar(a), lit(q))
+      else percentile_approx(scalar(a), lit(q), lit(10000))
+    case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
+  }
+
+  private def predicate(p: Pred): Column = p match {
+    case Cmp(e, "=", v) => scalar(e) === scalar(v)
+    case Cmp(e, "<>" | "!=", v) => scalar(e) =!= scalar(v)
+    case Cmp(e, "<", v) => scalar(e) < scalar(v)
+    case Cmp(e, "<=", v) => scalar(e) <= scalar(v)
+    case Cmp(e, ">", v) => scalar(e) > scalar(v)
+    case Cmp(e, ">=", v) => scalar(e) >= scalar(v)
+    case Cmp(_, op, _) => throw new IllegalArgumentException(s"bad operator $op")
+    case Between(e, lo, hi) => scalar(e).between(scalar(lo), scalar(hi))
+    case In(e, vals, false) => scalar(e).isin(vals.map {
+      case NumLit(v) => if (v.isWhole) v.toLongExact else v.toDouble: Any
+      case StrLit(s) => s: Any
+      case other => throw new IllegalArgumentException(s"IN list must be literals, got $other")
+    }: _*)
+    case In(e, vals, true) => !predicate(In(e, vals, negated = false))
+    case RegexpLike(e, pat) => scalar(e).rlike(pat)
+    case AndP(ps) => ps.map(predicate).reduce(_ && _)
+    case OrP(ps) => ps.map(predicate).reduce(_ || _)
+  }
+
+  /** HAVING predicate over aggregation functions: resolve each agg
+    * expression to its result column (by PQL name), relying on the
+    * caller to have computed it (hidden if not selected). */
+  private def havingPredicate(p: Pred, aggNames: Map[String, String]): Column = {
+    def resolve(e: Expr): Column =
+      if (isAgg(e)) col(aggNames(nameOf(e))) else scalar(e)
+    p match {
+      case Cmp(e, "=", v) => resolve(e) === scalar(v)
+      case Cmp(e, "<>" | "!=", v) => resolve(e) =!= scalar(v)
+      case Cmp(e, "<", v) => resolve(e) < scalar(v)
+      case Cmp(e, "<=", v) => resolve(e) <= scalar(v)
+      case Cmp(e, ">", v) => resolve(e) > scalar(v)
+      case Cmp(e, ">=", v) => resolve(e) >= scalar(v)
+      case Cmp(_, op, _) => throw new IllegalArgumentException(s"bad operator $op")
+      case Between(e, lo, hi) => resolve(e).between(scalar(lo), scalar(hi))
+      case AndP(ps) => ps.map(havingPredicate(_, aggNames)).reduce(_ && _)
+      case OrP(ps) => ps.map(havingPredicate(_, aggNames)).reduce(_ || _)
+      case other => throw new IllegalArgumentException(s"unsupported HAVING predicate: $other")
+    }
+  }
+
+  private def collectAggs(p: Pred): Seq[Expr] = p match {
+    case Cmp(e, _, _) if isAgg(e) => Seq(e)
+    case Between(e, _, _) if isAgg(e) => Seq(e)
+    case AndP(ps) => ps.flatMap(collectAggs)
+    case OrP(ps) => ps.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  /** Compile a parsed query against a table resolver. */
+  def toDataFrame(q: Query, resolve: String => DataFrame): DataFrame = {
+    val base = resolve(q.table)
+    val filtered = q.where.map(w => base.filter(predicate(w))).getOrElse(base)
+    val selAggs = q.select.filter(isAgg)
+
+    if (selAggs.nonEmpty || q.groupBy.nonEmpty) {
+      // ---- aggregation mode ----
+      require(q.orderBy.isEmpty,
+        "ORDER BY only works for selection queries; use GROUP BY ... TOP n (pql_examples.rst)")
+      val nonAgg = q.select.filterNot(isAgg).filterNot(_ == Star)
+      require(nonAgg.forall(e => q.groupBy.map(nameOf).contains(nameOf(e))),
+        s"non-aggregate select columns must appear in GROUP BY: ${nonAgg.map(nameOf)}")
+      val groupCols = q.groupBy.map(e => scalar(e).as(nameOf(e)))
+      val havingAggs = q.having.map(collectAggs).getOrElse(Nil)
+        .filterNot(e => selAggs.map(nameOf).contains(nameOf(e)))
+      val hiddenNames = havingAggs.map(e => nameOf(e) -> s"_h_${nameOf(e)}").toMap
+      val aggCols = selAggs.map(e => aggColumn(e).as(nameOf(e))) ++
+        havingAggs.map(e => aggColumn(e).as(hiddenNames(nameOf(e))))
+      require(aggCols.nonEmpty, "aggregation query needs at least one aggregation function")
+      val agged =
+        if (q.groupBy.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+        else filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      val allAggNames = selAggs.map(e => nameOf(e) -> nameOf(e)).toMap ++ hiddenNames
+      val havinged = q.having
+        .map(h => agged.filter(havingPredicate(h, allAggNames)))
+        .getOrElse(agged)
+        .drop(hiddenNames.values.toSeq: _*)
+      if (q.groupBy.isEmpty) havinged
+      else {
+        // TOP n: groups by first aggregation desc, keys asc as tiebreak
+        val sortCols = col(nameOf(selAggs.head)).desc +:
+          q.groupBy.map(e => col(nameOf(e)).asc)
+        havinged.orderBy(sortCols: _*).limit(q.top.getOrElse(10))
+      }
+    } else {
+      // ---- selection mode ----
+      require(q.having.isEmpty, "HAVING requires GROUP BY")
+      require(q.top.isEmpty, "TOP requires GROUP BY")
+      val projected =
+        if (q.select == Seq(Star)) filtered
+        else filtered.select(q.select.map(e => scalar(e).as(nameOf(e))): _*)
+      val ordered =
+        if (q.orderBy.isEmpty) projected
+        else projected.orderBy(q.orderBy.map { case (c, asc) =>
+          if (asc) col(c).asc else col(c).desc
+        }: _*)
+      val (offset, size) = q.limit.getOrElse((0, 10))
+      val off = if (offset > 0) ordered.offset(offset) else ordered
+      off.limit(size)
+    }
+  }
+
+  /** Parse + compile against the parquet table registry. */
+  def run(spark: SparkSession, dir: String, query: String): DataFrame =
+    toDataFrame(parse(query), name => Tables.load(spark, dir, name))
+}

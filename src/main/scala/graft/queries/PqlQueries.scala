@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pql.Pql
+
+/** The PQL front-end exercised over every documented query shape
+  * (`docs/pql_examples.rst`, grammar `PQL2.g4:21-115`) with DuckDB
+  * oracles. Each entry is a PQL STRING compiled by [[graft.pql.Pql]] —
+  * proving the parser + translator path end-to-end, not hand-built
+  * DataFrames.
+  *
+  * Oracle-parity notes: PQL result columns are named
+  * `<fn>_<args>` (`count_star`, `sum_l_quantity`), grouping keys
+  * appear in results, `GROUP BY ... TOP n` orders by the first
+  * aggregation desc with group keys as tiebreak. Numeric aggregations
+  * stick to integral-valued columns (quantities, keys) so unrounded
+  * double sums are bit-identical across engines.
+  */
+object PqlQueries {
+
+  private val pql: Map[String, String] = Map(
+    "q_pql_count" ->
+      "SELECT COUNT(*) FROM lineitem",
+    "q_pql_agg" ->
+      "SELECT COUNT(*), MAX(l_quantity), SUM(l_quantity) FROM lineitem",
+    "q_pql_groupby" ->
+      """SELECT MIN(l_quantity), MAX(l_quantity), SUM(l_quantity), AVG(l_quantity)
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus TOP 50""".stripMargin,
+    "q_pql_filter" ->
+      """SELECT COUNT(*) FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 1 AND 20
+        |OR (l_suppkey < 42 AND l_linestatus IN ('F', 'O') AND l_linenumber NOT IN (42, 69))""".stripMargin,
+    "q_pql_select" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 15 ORDER BY n_nationkey LIMIT 50""".stripMargin,
+    "q_pql_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1000 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20, 30""".stripMargin,
+    "q_pql_regexp" ->
+      """SELECT COUNT(*) FROM part
+        |WHERE REGEXP_LIKE(p_type, '^PROMO') GROUP BY p_brand TOP 10""".stripMargin,
+    "q_pql_range_dc" ->
+      """SELECT MINMAXRANGE(l_quantity), DISTINCTCOUNT(l_suppkey)
+        |FROM lineitem GROUP BY l_returnflag TOP 10""".stripMargin,
+    "q_pql_udf_group" ->
+      "SELECT COUNT(*) FROM orders GROUP BY div(o_custkey, 100) TOP 20",
+    "q_pql_timeconvert" ->
+      "SELECT COUNT(*) FROM orders GROUP BY timeconvert(o_orderkey, 'SECONDS', 'MINUTES') TOP 15",
+    "q_pql_having" ->
+      "SELECT COUNT(*) FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100 TOP 10",
+    "q_pql_arith" ->
+      """SELECT l_orderkey, l_linenumber, add(l_quantity, l_linenumber) FROM lineitem
+        |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    pql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => Pql.run(s, dir, q))
+    }
+
+  val oracles: Map[String, String] = Map(
+    "q_pql_count" ->
+      "SELECT count(*) AS count_star FROM lineitem",
+    "q_pql_agg" ->
+      """SELECT count(*) AS count_star, max(l_quantity) AS max_l_quantity,
+        |  sum(l_quantity) AS sum_l_quantity FROM lineitem""".stripMargin,
+    "q_pql_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+        |  sum(l_quantity) AS sum_l_quantity, avg(l_quantity) AS avg_l_quantity
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY min_l_quantity DESC, l_returnflag, l_linestatus LIMIT 50""".stripMargin,
+    "q_pql_filter" ->
+      """SELECT count(*) AS count_star FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 1 AND 20
+        |OR (l_suppkey < 42 AND l_linestatus IN ('F', 'O') AND l_linenumber NOT IN (42, 69))""".stripMargin,
+    "q_pql_select" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 15 ORDER BY n_nationkey LIMIT 50""".stripMargin,
+    "q_pql_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1000 ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 30 OFFSET 20""".stripMargin,
+    "q_pql_regexp" ->
+      """SELECT p_brand, count(*) AS count_star FROM part
+        |WHERE regexp_matches(p_type, '^PROMO')
+        |GROUP BY p_brand ORDER BY count_star DESC, p_brand LIMIT 10""".stripMargin,
+    "q_pql_range_dc" ->
+      """SELECT l_returnflag,
+        |  max(l_quantity) - min(l_quantity) AS minmaxrange_l_quantity,
+        |  count(DISTINCT l_suppkey) AS distinctcount_l_suppkey
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY minmaxrange_l_quantity DESC, l_returnflag LIMIT 10""".stripMargin,
+    "q_pql_udf_group" ->
+      """SELECT CAST(o_custkey AS DOUBLE) / 100 AS div_o_custkey_100,
+        |  count(*) AS count_star
+        |FROM orders GROUP BY 1 ORDER BY count_star DESC, div_o_custkey_100 LIMIT 20""".stripMargin,
+    "q_pql_timeconvert" ->
+      """SELECT o_orderkey // 60 AS timeconvert_o_orderkey_seconds_minutes,
+        |  count(*) AS count_star
+        |FROM orders GROUP BY 1
+        |ORDER BY count_star DESC, timeconvert_o_orderkey_seconds_minutes LIMIT 15""".stripMargin,
+    "q_pql_having" ->
+      """SELECT o_orderpriority, count(*) AS count_star FROM orders
+        |GROUP BY o_orderpriority HAVING count(*) > 100
+        |ORDER BY count_star DESC, o_orderpriority LIMIT 10""".stripMargin,
+    "q_pql_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity + l_linenumber AS add_l_quantity_l_linenumber
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pql.Pql
+
+class PqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(q: String) = Pql.run(spark, sfDir, q)
+
+  test("parser: AST for the documented grammar shapes") {
+    val q = Pql.parse(
+      "SELECT COUNT(*), SUM(bar) FROM t WHERE foo = 'x' AND bar BETWEEN 1 AND 20 " +
+        "OR (baz < 42 AND quux IN ('a', 'b') AND q2 NOT IN (42, 69)) " +
+        "GROUP BY dim TOP 7 HAVING COUNT(*) > 3")
+    assert(q.table === "t")
+    assert(q.select === Seq(Pql.Func("count", Seq(Pql.Star)),
+      Pql.Func("sum", Seq(Pql.Ident("bar")))))
+    assert(q.groupBy === Seq(Pql.Ident("dim")))
+    assert(q.top === Some(7))
+    assert(q.having.isDefined)
+    // OR at top level: (foo='x' AND between) OR (parenthesised AND-chain)
+    q.where.get match {
+      case Pql.OrP(Seq(Pql.AndP(_), Pql.AndP(ps))) => assert(ps.length === 3)
+      case other => fail(s"unexpected predicate tree: $other")
+    }
+  }
+
+  test("parser rejects malformed queries with clear errors") {
+    intercept[IllegalArgumentException](Pql.parse("SELECT FROM t"))
+    intercept[IllegalArgumentException](Pql.parse("SELECT a FROM t WHERE a ~ 3"))
+    intercept[IllegalArgumentException](Pql.parse("SELECT a FROM t LIMIT x"))
+    intercept[IllegalArgumentException](Pql.parse("SELECT a FROM"))
+    // ORDER BY on aggregation is a PQL error (use TOP)
+    intercept[IllegalArgumentException](
+      run("SELECT COUNT(*) FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"))
+  }
+
+  test("SELECT * and default selection LIMIT 10") {
+    val out = run("SELECT * FROM lineitem")
+    assert(out.count() === 10)
+    assert(out.columns.length ===
+      graft.sources.Tables.load(spark, sfDir, "lineitem").columns.length)
+  }
+
+  test("aggregation with no GROUP BY returns one row with PQL names") {
+    val out = run("SELECT COUNT(*), MINMAXRANGE(l_quantity) FROM lineitem")
+    assert(out.columns.toSeq === Seq("count_star", "minmaxrange_l_quantity"))
+    assert(out.count() === 1)
+  }
+
+  test("PERCENTILE50 matches the DataFrame percentile") {
+    val got = run("SELECT PERCENTILE50(l_quantity) FROM lineitem")
+      .as[Double].head()
+    val want = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .agg(percentile($"l_quantity", lit(0.5))).as[Double].head()
+    assert(got === want)
+  }
+
+  test("GROUP BY TOP orders by first aggregation desc, keys as tiebreak") {
+    val rows = run("SELECT COUNT(*) FROM lineitem GROUP BY l_linenumber TOP 3")
+      .select("count_star").as[Long].collect().toSeq
+    assert(rows === rows.sorted.reverse, s"not descending: $rows")
+    assert(rows.length === 3)
+  }
+
+  test("HAVING with an aggregation not in the select list") {
+    val out = run(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag HAVING MAX(l_quantity) >= 1 TOP 10")
+    assert(out.columns.toSeq === Seq("l_returnflag", "count_star"))
+    assert(out.count() > 0)
+  }
+}
