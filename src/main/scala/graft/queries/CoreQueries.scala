@@ -283,6 +283,38 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Batch ingest path end-to-end ([[graft.sources.Ingest]]): nation →
+    * CSV files → schema-validated FAILFAST read → transformer chain
+    * (sanitation, derived expression column, type coercion) → sorted
+    * parquet segment → aggregate over the re-read segment. The oracle
+    * aggregates the original table directly, so any corruption in the
+    * reader, the chain, or the segment round-trip breaks the match. */
+  def qCsvIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ingest
+    val nation = t(s, dir, "nation")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val csvDir = s"$base/csv"
+    val segDir = s"$base/segment"
+    nation.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val outSchema = org.apache.spark.sql.types.StructType(nation.schema.fields :+
+      org.apache.spark.sql.types.StructField("region_bucket",
+        org.apache.spark.sql.types.LongType))
+    val chain = Ingest.CompoundTransform(Seq(
+      Ingest.SanitationTransform(Seq("n_name")),
+      Ingest.ExpressionTransform(Seq("region_bucket" -> (col("n_regionkey") % 2))),
+      Ingest.DataTypeTransform(outSchema)))
+    Ingest.writeSegment(Ingest.readCsv(s, csvDir, nation.schema), chain, segDir,
+      sortBy = Seq("n_nationkey"))
+    s.read.parquet(segDir)
+      .groupBy($"region_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct($"n_regionkey").as("dc_region"),
+        min($"n_name").as("min_name"))
+      .orderBy($"region_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count" -> qCount,
     "q_agg_basic" -> qAggBasic,
@@ -301,7 +333,8 @@ object CoreQueries {
     "q_join_star" -> qJoinStar,
     "q_window_rank" -> qWindowRank,
     "q_union_time_slices" -> qUnionTimeSlices,
-    "q_hybrid_boundary" -> qHybridBoundary)
+    "q_hybrid_boundary" -> qHybridBoundary,
+    "q_csv_ingest" -> qCsvIngest)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -399,5 +432,9 @@ object CoreQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_hybrid_boundary" ->
       """SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_csv_ingest" ->
+      """SELECT n_regionkey % 2 AS region_bucket, count(*) AS cnt,
+        |  count(DISTINCT n_regionkey) AS dc_region, min(n_name) AS min_name
+        |FROM nation GROUP BY 1 ORDER BY region_bucket""".stripMargin)
 }

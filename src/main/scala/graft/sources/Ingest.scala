@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.DateTimeOps
+
+/** Batch ingest: file readers + the record-transformer chain + the
+  * segment sink — the reference's batch ingestion pipeline
+  * (`pinot-core/.../data/readers/{CSVRecordReader,JSONRecordReader,
+  * AvroRecordReader}.java` feeding
+  * `data/recordtransformer/{ExpressionTransformer,DataTypeTransformer,
+  * TimeTransformer,SanitationTransformer,CompoundTransformer}.java`,
+  * then `segment/creator/impl/SegmentIndexCreationDriverImpl.java`).
+  *
+  * Spark-native shape: readers are `spark.read` with an EXPLICIT
+  * schema and FAILFAST mode (the reference validates every row against
+  * the table schema at ingest — silently-permissive inference would
+  * be a behavior change); transformers are declarative `Column`
+  * rewrites composed left-to-right, so the whole ingest chain is one
+  * codegen'd projection over the scan — per-row, distributed, no
+  * driver involvement, which is what makes it hold at 100 TB.
+  *
+  * Avro note: the reference also reads Avro; `spark.read.format
+  * ("avro")` is the drop-in once the spark-avro jar ships with the
+  * deployment (not present in this build's jar set, so it is not
+  * wired here).
+  */
+object Ingest {
+
+  /** A record transformer: one declarative rewrite stage
+    * (recordtransformer/RecordTransformer.java's per-row contract,
+    * expressed over whole columns). */
+  sealed trait RecordTransformer {
+    def apply(df: DataFrame): DataFrame
+  }
+
+  /** Derived columns from expressions over existing ones
+    * (ExpressionTransformer.java + the FunctionRegistry UDF hook —
+    * here any Column expression, which subsumes the reflection
+    * registry). */
+  final case class ExpressionTransform(exprs: Seq[(String, Column)])
+      extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame =
+      exprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
+  }
+
+  /** Coerce to the declared schema: project exactly its fields, cast
+    * each to the declared type (DataTypeTransformer.java). Fails at
+    * analysis if a declared field is missing — schema drift surfaces
+    * at ingest, not at query time. */
+  final case class DataTypeTransform(schema: StructType) extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame =
+      df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Incoming→outgoing time-unit conversion of the time column
+    * (TimeTransformer.java + TimeGranularitySpec). */
+  final case class TimeTransform(column: String, fromUnit: String, toUnit: String)
+      extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, DateTimeOps.timeConvert(col(column), fromUnit, toUnit))
+  }
+
+  /** String sanitation (SanitationTransformer.java): strip control
+    * characters, trim, cap at maxLength (FieldSpec.java:75-77). */
+  final case class SanitationTransform(columns: Seq[String], maxLength: Int = 512)
+      extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame =
+      columns.foldLeft(df) { (d, c) =>
+        d.withColumn(c,
+          substring(trim(regexp_replace(col(c), "[\\p{Cntrl}]", "")), 1, maxLength))
+      }
+  }
+
+  /** defaultNullValue substitution (FieldSpec.java:52-64 — the
+    * reference has no physical nulls; every field declares a default
+    * filled at ingest). */
+  final case class NullDefaultTransform(defaults: Map[String, Any])
+      extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame = df.na.fill(defaults)
+  }
+
+  /** Left-to-right composition (CompoundTransformer.java). */
+  final case class CompoundTransform(chain: Seq[RecordTransformer])
+      extends RecordTransformer {
+    def apply(df: DataFrame): DataFrame = chain.foldLeft(df)((d, t) => t(d))
+  }
+
+  /** CSV → rows (CSVRecordReader.java + CSVRecordReaderConfig.java:
+    * configurable header/delimiter, schema-validated). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines → rows (JSONRecordReader.java). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** Transform + write the immutable segment
+    * (SegmentIndexCreationDriverImpl: rows → columnar segment; here
+    * parquet, whose dictionary/stats/bloom machinery replaces the
+    * hand-built indexes). `sortBy` mirrors the sorted-column segment
+    * option (SegmentGeneratorConfig sorted column): sorting within
+    * partitions gives parquet row-group min/max stats their pruning
+    * power on that column. */
+  def writeSegment(df: DataFrame, transformer: RecordTransformer,
+      segmentDir: String, sortBy: Seq[String] = Nil): Unit = {
+    val transformed = transformer(df)
+    val sorted =
+      if (sortBy.isEmpty) transformed
+      else transformed.sortWithinPartitions(sortBy.map(col): _*)
+    sorted.write.mode("overwrite").parquet(segmentDir)
+  }
+}

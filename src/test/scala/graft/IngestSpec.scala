@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Ingest
+import graft.sources.Ingest._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("ts_sec", LongType)))
+
+  test("CSV round-trip through the transformer chain to a segment") {
+    val csvDir = tmp("graft-csv")
+    Seq((1L, "  alice ", "3.5", 7200L), (2L, "bob", "1.25", 10800L))
+      .toDF("id", "name", "score", "ts_sec")
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+
+    val segDir = tmp("graft-csv-seg")
+    val chain = CompoundTransform(Seq(
+      SanitationTransform(Seq("name")),
+      ExpressionTransform(Seq("score_pct" -> (col("score") * 100))),
+      TimeTransform("ts_sec", "SECONDS", "HOURS"),
+      DataTypeTransform(StructType(schema.fields :+
+        StructField("score_pct", DoubleType)))))
+    Ingest.writeSegment(
+      Ingest.readCsv(spark, csvDir, schema), chain, segDir, sortBy = Seq("id"))
+
+    val out = spark.read.parquet(segDir).orderBy("id")
+      .as[(Long, String, Double, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alice", 3.5, 2L, 350.0),
+      (2L, "bob", 1.25, 3L, 125.0)))
+  }
+
+  test("JSON-lines reader with null-default substitution") {
+    val dir = tmp("graft-json")
+    Files.writeString(java.nio.file.Paths.get(dir, "rows.json"),
+      """{"id": 1, "name": "x", "score": 2.0, "ts_sec": 60}
+        |{"id": 2, "name": null, "score": null, "ts_sec": 120}
+        |""".stripMargin)
+    val df = Ingest.readJsonLines(spark, dir, schema)
+    val filled = NullDefaultTransform(Map("name" -> "null", "score" -> 0.0))(df)
+    val rows = filled.orderBy("id")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    // reference defaultNullValue: "null" for string dims, 0 for metrics
+    assert(rows === Seq((1L, "x", 2.0, 60L), (2L, "null", 0.0, 120L)))
+  }
+
+  test("FAILFAST surfaces malformed rows at ingest") {
+    val dir = tmp("graft-bad")
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.csv"),
+      "id,name,score,ts_sec\n1,ok,2.0,60\nnot_a_long,x,y,z\n")
+    intercept[Exception] {
+      Ingest.readCsv(spark, dir, schema).collect()
+    }
+  }
+
+  test("DataTypeTransform fails on missing declared fields") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    intercept[Exception] {
+      DataTypeTransform(schema)(df).collect()
+    }
+  }
+}
