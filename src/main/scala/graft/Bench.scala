@@ -30,10 +30,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Force full evaluation of every output column. */
+    /** Force full evaluation of every output column: xor-fold a row
+      * hash over all columns (xor cannot overflow under ANSI mode,
+      * unlike sum). */
     def run(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -146,6 +146,54 @@ object exprs {
     override def prettyName: String = "lsh_buckets"
   }
 
+  /** One-pass text quality metrics struct (HashOps.textStats). */
+  case class TextStats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("mean_token_len", DoubleType, nullable = false),
+      StructField("stopword_ratio", DoubleType, nullable = false),
+      StructField("punct_ratio", DoubleType, nullable = false),
+      StructField("digit_ratio", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      HashOps.textStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.textStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): TextStats =
+      copy(child = newChild)
+    override def prettyName: String = "text_stats"
+  }
+
+  /** Composite quality score (HashOps.qualityScore). */
+  case class QualityScore(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.qualityScore(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.qualityScore($c)")
+    override protected def withNewChildInternal(newChild: Expression): QualityScore =
+      copy(child = newChild)
+    override def prettyName: String = "quality_score"
+  }
+
+  /** Stopword/char-profile language ID (HashOps.langId). */
+  case class LangId(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.langId(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.langId($c)")
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+    override def prettyName: String = "lang_id"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -189,4 +237,13 @@ object GraftFunctions {
 
   def sigAgreement(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.SigAgreement(expr(a), expr(b)))
+
+  def textStats(text: Column): Column =
+    GraftSqlBridge.column(exprs.TextStats(expr(text)))
+
+  def qualityScore(text: Column): Column =
+    GraftSqlBridge.column(exprs.QualityScore(expr(text)))
+
+  def langId(text: Column): Column =
+    GraftSqlBridge.column(exprs.LangId(expr(text)))
 }

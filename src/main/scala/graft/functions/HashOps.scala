@@ -2,7 +2,9 @@ package graft.functions
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -124,6 +126,163 @@ object HashOps {
       i += 1
     }
     out
+  }
+
+  /** Case-PRESERVING ASCII-\s tokens — kernel equivalent of the raw
+    * `TextAnalysis.tokens(text)` Column path (which does NOT
+    * lowercase; [[tokenize]] is the lowercased normalized variant). */
+  def tokenizeRaw(text: UTF8String): Array[String] = {
+    val s = text.toString
+    val out = mutable.ArrayBuilder.make[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isAsciiSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isAsciiSpace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** Language profiles for the stopword/char heuristics — the single
+    * source of truth ([[graft.operators.TextAnalysis]] re-exports). */
+  final val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  /** Languages scored by char-substring occurrence instead of tokens. */
+  final val charProfileLangs: Set[String] = Set("zh")
+
+  private val profileSets: Array[(String, java.util.HashSet[String])] =
+    stopwordProfiles.filterNot(p => charProfileLangs(p._1)).map { case (lang, words) =>
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      lang -> set
+    }.toArray
+  private val charProfiles: Array[(String, Array[String])] =
+    stopwordProfiles.filter(p => charProfileLangs(p._1))
+      .map { case (l, cs) => l -> cs.toArray }.toArray
+  private val enSet: java.util.HashSet[String] = profileSets.head._2
+
+  /** round(x, 4) with Spark's Round semantics (HALF_UP decimal). */
+  @inline private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private def countOccurrences(s: String, sub: String): Int = {
+    var count = 0
+    var idx = s.indexOf(sub)
+    while (idx >= 0) { count += 1; idx = s.indexOf(sub, idx + sub.length) }
+    count
+  }
+
+  /** One-pass quality metrics — kernel twin of the declarative
+    * `TextAnalysis` formulation (`length`, raw `\s+` tokens, en
+    * stopword multiset ratio, `[.,;:!?]` / `[0-9]` char classes, all
+    * ratios `round(_, 4)`); parity asserted in TextKernelParitySpec.
+    * Returns (n_chars, n_tokens, mean_token_len, stopword_ratio,
+    * punct_ratio, digit_ratio). The declarative tree re-tokenized the
+    * text once per metric through interpreted higher-order functions —
+    * this is one tokenization and one char sweep per row, inside
+    * whole-stage codegen. */
+  def textStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val nChars = text.numChars()
+    val toks = tokenizeRaw(text)
+    val nToks = toks.length
+    var tokLenSum = 0.0
+    var stopHits = 0
+    var t = 0
+    while (t < nToks) {
+      val tok = toks(t)
+      tokLenSum += tok.length
+      if (enSet.contains(tok)) stopHits += 1
+      t += 1
+    }
+    var punct = 0
+    var digits = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') punct += 1
+      if (c >= '0' && c <= '9') digits += 1
+      i += 1
+    }
+    val mtl = if (nToks > 0) round4(tokLenSum / nToks) else 0.0
+    val sw = if (nToks > 0) round4(stopHits.toDouble / nToks) else 0.0
+    val pr = if (nChars > 0) round4(punct.toDouble / nChars) else 0.0
+    val dr = if (nChars > 0) round4(digits.toDouble / nChars) else 0.0
+    new GenericInternalRow(Array[Any](nChars, nToks, mtl, sw, pr, dr))
+  }
+
+  /** Composite quality score — identical arithmetic to the declarative
+    * `TextAnalysis.qualityScore` over the ROUNDED metrics. */
+  def qualityScore(text: UTF8String): Double = {
+    val m = textStats(text)
+    val nToks = m.getInt(1)
+    val mtl = m.getDouble(2)
+    val pr = m.getDouble(4)
+    val dr = m.getDouble(5)
+    val lenScore = math.min(nToks.toDouble / 20.0, 1.0)
+    val tokScore = if (mtl >= 2.5 && mtl <= 9.0) 1.0 else 0.3
+    val punctScore = if (pr < 0.2) 1.0 else 0.2
+    val digitScore = if (dr < 0.3) 1.0 else 0.2
+    round4(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.15 + digitScore * 0.15)
+  }
+
+  /** Language ID — kernel twin of the declarative argmax (profile
+    * order breaks ties, "und" when no profile scores > 0). Token
+    * profiles use raw tokens; char profiles use substring occurrence
+    * ratios, exactly as the Column formulation. */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val nChars = text.numChars()
+    val toks = tokenizeRaw(text)
+    val nToks = toks.length
+    val langs = new Array[String](profileSets.length + charProfiles.length)
+    val scores = new Array[Double](langs.length)
+    var idx = 0
+    var p = 0
+    while (p < profileSets.length) {
+      val (lang, set) = profileSets(p)
+      var hits = 0
+      var t = 0
+      while (t < nToks) {
+        if (set.contains(toks(t))) hits += 1
+        t += 1
+      }
+      langs(idx) = lang
+      scores(idx) = if (nToks > 0) hits.toDouble / nToks else 0.0
+      idx += 1; p += 1
+    }
+    var c = 0
+    while (c < charProfiles.length) {
+      val (lang, chars) = charProfiles(c)
+      var hits = 0.0
+      var j = 0
+      while (j < chars.length) {
+        hits += countOccurrences(s, chars(j)).toDouble / chars(j).length
+        j += 1
+      }
+      langs(idx) = lang
+      scores(idx) = if (nChars > 0) hits / nChars else 0.0
+      idx += 1; c += 1
+    }
+    // declarative order: en, de, fr, es (token profiles) then zh —
+    // matches stopwordProfiles order because zh is last there
+    var best = 0.0
+    var i = 0
+    while (i < scores.length) { if (scores(i) > best) best = scores(i); i += 1 }
+    i = 0
+    while (i < scores.length) {
+      if (scores(i) > 0 && scores(i) == best) return UTF8String.fromString(langs(i))
+      i += 1
+    }
+    UTF8String.fromString("und")
   }
 
   /** Vector kernels reject malformed embeddings loudly instead of

@@ -38,14 +38,11 @@ object TextAnalysis {
   }
 
   /** Per-language stopword profiles for the n-gram/stopword language
-    * heuristic. Small enough to inline as literals (at scale these are
-    * effectively broadcast constants inside the codegen'd expression). */
-  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
-    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+    * heuristic (single source of truth in
+    * [[graft.functions.HashOps.stopwordProfiles]], shared with the
+    * codegen'd kernels). */
+  val stopwordProfiles: Seq[(String, Seq[String])] =
+    graft.functions.HashOps.stopwordProfiles
 
   /** Stopword-hit ratio for one language profile: |tokens ∩ profile| /
     * |tokens| (multiset numerator — repeated stopwords count). */
@@ -83,8 +80,16 @@ object TextAnalysis {
 
   /** Language ID: argmax over per-language profile scores, ties broken
     * by profile order, "und" (undetermined) when no profile scores > 0.
-    * Deterministic and SQL-expressible, so it can be oracle-checked. */
-  def langId(text: Column): Column = {
+    * Runs as the single-pass codegen'd kernel
+    * ([[graft.functions.HashOps.langId]]); [[langIdDeclarative]] is the
+    * SQL-expressible twin the DuckDB oracle mirrors, and kernel↔Column
+    * parity is asserted in TextKernelParitySpec. */
+  def langId(text: Column): Column = graft.functions.GraftFunctions.langId(text)
+
+  /** Declarative formulation of [[langId]] (per-profile when-chains
+    * over interpreted higher-order functions — ~10× slower, kept as
+    * the parity/oracle reference). */
+  def langIdDeclarative(text: Column): Column = {
     val scores = stopwordProfiles.map { case (lang, prof) =>
       lang -> langScore(text, lang, prof)
     }
@@ -96,8 +101,15 @@ object TextAnalysis {
 
   /** Quality metrics struct: char/token counts, mean token length,
     * stopword ratio (en), punctuation and digit ratios — the standard
-    * cheap filters a pretraining pipeline runs before dedup. */
-  def qualityMetrics(text: Column): Column = {
+    * cheap filters a pretraining pipeline runs before dedup. Single
+    * tokenization + char sweep per row in the codegen'd kernel
+    * ([[graft.functions.HashOps.textStats]]); the declarative twin
+    * below re-tokenized once per metric. */
+  def qualityMetrics(text: Column): Column = graft.functions.GraftFunctions.textStats(text)
+
+  /** Declarative formulation of [[qualityMetrics]] (parity/oracle
+    * reference). */
+  def qualityMetricsDeclarative(text: Column): Column = {
     val toks = tokens(text)
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
@@ -119,9 +131,14 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: penalizes too-short docs,
     * degenerate token lengths, and punct/digit floods. Weights are
     * heuristic; the shape (bounded, monotone per feature) is what a
-    * quality filter needs. */
-  def qualityScore(text: Column): Column = {
-    val m = qualityMetrics(text)
+    * quality filter needs. Kernel-evaluated
+    * ([[graft.functions.HashOps.qualityScore]]). */
+  def qualityScore(text: Column): Column = graft.functions.GraftFunctions.qualityScore(text)
+
+  /** Declarative formulation of [[qualityScore]] (parity/oracle
+    * reference). */
+  def qualityScoreDeclarative(text: Column): Column = {
+    val m = qualityMetricsDeclarative(text)
     val lenScore = least(m.getField("n_tokens").cast("double") / lit(20.0), lit(1.0))
     val tokLen = m.getField("mean_token_len")
     val tokScore = when(tokLen.between(2.5, 9.0), 1.0).otherwise(0.3)

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Star-tree analog: a materialized pre-aggregation answering group-by
+  * queries without touching the fact table.
+  *
+  * The reference builds a per-segment tree over a configured dimension
+  * order whose star (`*`) nodes hold metrics aggregated over the
+  * splitting dimension
+  * (`pinot-core/.../startree/v2/StarTreeV2.java`,
+  * `startree/v2/builder/BaseSingleTreeBuilder.java`), letting any
+  * group-by on a subset of the tree dimensions read pre-aggregated
+  * rows. The Spark-native equivalent of that query power is a CUBE
+  * materialization: one shuffle computes every dimension subset's
+  * rollup, `grouping_id()` marks which dimensions are starred, and
+  * query routing selects the one slice whose starred set matches the
+  * query — the same "answer from the tree, skip the fact scan" effect.
+  *
+  * Scale notes:
+  *  - build cost: ONE pass + one shuffle over the fact table (cube's
+  *    partial aggregation combines map-side); output size is bounded
+  *    by Σ over subsets of the product of their cardinalities — like
+  *    the reference, choose FEW, LOW-CARDINALITY dimensions (the
+  *    reference bounds tree size with maxLeafRecords the same way);
+  *  - only DECOMPOSABLE aggregates may be materialized (sum/count/
+  *    min/max — avg derives from sum+count at query time); percentile
+  *    or distinct-count would be wrong under rollup merging, exactly
+  *    why the reference restricts star-tree metrics to mergeable fns;
+  *  - query cost: a filter on `_gid` + a scan of one rollup slice —
+  *    at 100 TB the rollup is orders of magnitude smaller than the
+  *    fact table and prunes by parquet stats on `_gid` when persisted.
+  */
+object StarTree {
+
+  /** Materialized rollup over `dims` with sum/count/min/max metrics.
+    * Persist `rollup` (e.g. `write.parquet`) to reuse across queries —
+    * the segment-build step of the reference's tree. */
+  final case class Index(dims: Seq[String], metrics: Seq[String], rollup: DataFrame) {
+
+    private def gidFor(groupBy: Seq[String]): Long =
+      dims.zipWithIndex.map { case (d, i) =>
+        if (groupBy.contains(d)) 0L else 1L << (dims.length - 1 - i)
+      }.sum
+
+    /** Can this index answer a group-by on `groupBy`? */
+    def covers(groupBy: Seq[String]): Boolean = groupBy.forall(dims.contains)
+
+    /** The pre-aggregated slice for a group-by on `groupBy` ⊆ dims:
+      * rows whose grouping id stars exactly the other dimensions. */
+    def slice(groupBy: Seq[String]): DataFrame = {
+      require(covers(groupBy),
+        s"star-tree over $dims cannot answer group-by $groupBy")
+      val metricCols = metrics.flatMap(m => Seq(
+        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"))) :+ col("star_count")
+      rollup.filter(col("_gid") === gidFor(groupBy))
+        .select(groupBy.map(col) ++ metricCols: _*)
+    }
+  }
+
+  /** Build the index: one cube aggregation over the fact table. */
+  def build(fact: DataFrame, dims: Seq[String], metrics: Seq[String]): Index = {
+    val aggCols: Seq[Column] =
+      metrics.flatMap(m => Seq(
+        sum(col(m)).as(s"sum_$m"),
+        min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m"))) :+ count(lit(1)).as("star_count")
+    // grouping_id() is only valid inside the cube aggregation itself
+    val rollup = fact
+      .cube(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail :+ grouping_id().as("_gid"): _*)
+    Index(dims, metrics, rollup)
+  }
+
+  /** Route a group-by aggregate: answer from the index when it covers
+    * the query, else fall back to the fact table — the reference's
+    * star-tree routing rule (use the tree iff dims and aggregation
+    * functions are tree-compatible). Returns (plan, fromIndex). */
+  def route(index: Index, fact: DataFrame, groupBy: Seq[String],
+      sumMetric: String): (DataFrame, Boolean) =
+    if (index.covers(groupBy) && index.metrics.contains(sumMetric)) {
+      // the slice already holds exactly one pre-aggregated row per
+      // group — no further aggregation, no shuffle, no fact scan
+      (index.slice(groupBy).select(
+        groupBy.map(col) :+ col(s"sum_$sumMetric") :+ col("star_count").as("cnt"): _*),
+        true)
+    } else {
+      (fact.groupBy(groupBy.map(col): _*)
+        .agg(sum(col(sumMetric)).as(s"sum_$sumMetric"),
+          count(lit(1)).as("cnt")), false)
+    }
+}

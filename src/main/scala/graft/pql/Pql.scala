@@ -115,6 +115,9 @@ object Pql {
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
+    def assertConsumed(): Unit =
+      if (pos < toks.length)
+        throw new IllegalArgumentException(s"trailing tokens from '${toks(pos).s}'")
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def next(): Tok = {
       val t = peek.getOrElse(throw new IllegalArgumentException("unexpected end of query"))
@@ -448,4 +451,16 @@ object Pql {
   /** Parse + compile against the parquet table registry. */
   def run(spark: SparkSession, dir: String, query: String): DataFrame =
     toDataFrame(parse(query), name => Tables.load(spark, dir, name))
+
+  /** Compile a standalone scalar expression string to a Column — the
+    * ingest-config expression hook (the reference evaluates config
+    * strings per row via `FunctionExpressionEvaluator.java` backed by
+    * the reflection registry `FunctionRegistry.java:30-55`; here the
+    * same grammar compiles once to a codegen'd Column). */
+  def compileExpression(expression: String): Column = {
+    val p = new P(lex(expression))
+    val e = p.expr()
+    p.assertConsumed()
+    scalar(e)
+  }
 }

@@ -315,6 +315,48 @@ object CoreQueries {
       .orderBy($"region_bucket")
   }
 
+  /** Star-tree routing ([[graft.plans.StarTree]]): the group-by is
+    * answered from the materialized rollup (route() asserts the tree
+    * was used — no fact scan), and must still equal the oracle's
+    * direct aggregate over the fact table. */
+  def qStartree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.StarTree
+    val fact = t(s, dir, "lineitem")
+    val idx = StarTree.build(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+    val (answer, fromTree) = StarTree.route(idx, fact, Seq("l_returnflag"), "l_quantity")
+    require(fromTree, "star-tree must cover this group-by")
+    answer
+      .select($"l_returnflag", round($"sum_l_quantity", 3).as("sum_qty"), $"cnt")
+      .orderBy($"l_returnflag")
+  }
+
+  /** IS NULL / IS NOT NULL predicates (SURVEY §2.2 superset row):
+    * nulls manufactured by a left join against a thinned dimension. */
+  def qNullPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thin = t(s, dir, "customer")
+      .filter($"c_custkey" % 3 === 0).select($"c_custkey", $"c_name")
+    t(s, dir, "orders")
+      .join(broadcast(thin), $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"o_orderpriority")
+      .agg(count(when($"c_name".isNull, 1)).as("null_cnt"),
+        count(when($"c_name".isNotNull, 1)).as("notnull_cnt"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Aggregates over an empty selection (the LIMIT 0 / no-match class,
+    * SelectionOnlyOperator's empty result path): COUNT is 0, SUM/MAX
+    * are NULL — both engines must agree on the null semantics. */
+  def qEmptyAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" < -1)
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity").as("sum_qty"),
+        max($"l_returnflag").as("max_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count" -> qCount,
     "q_agg_basic" -> qAggBasic,
@@ -334,7 +376,10 @@ object CoreQueries {
     "q_window_rank" -> qWindowRank,
     "q_union_time_slices" -> qUnionTimeSlices,
     "q_hybrid_boundary" -> qHybridBoundary,
-    "q_csv_ingest" -> qCsvIngest)
+    "q_csv_ingest" -> qCsvIngest,
+    "q_startree" -> qStartree,
+    "q_null_predicates" -> qNullPredicates,
+    "q_empty_agg" -> qEmptyAgg)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -436,5 +481,20 @@ object CoreQueries {
     "q_csv_ingest" ->
       """SELECT n_regionkey % 2 AS region_bucket, count(*) AS cnt,
         |  count(DISTINCT n_regionkey) AS dc_region, min(n_name) AS min_name
-        |FROM nation GROUP BY 1 ORDER BY region_bucket""".stripMargin)
+        |FROM nation GROUP BY 1 ORDER BY region_bucket""".stripMargin,
+    "q_startree" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_null_predicates" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN c_name IS NULL THEN 1 END) AS null_cnt,
+        |  count(CASE WHEN c_name IS NOT NULL THEN 1 END) AS notnull_cnt
+        |FROM orders LEFT JOIN
+        |  (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |  ON o_custkey = c.c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_empty_agg" ->
+      """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  max(l_returnflag) AS max_flag
+        |FROM lineitem WHERE l_quantity < -1""".stripMargin)
 }

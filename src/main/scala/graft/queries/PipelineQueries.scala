@@ -45,6 +45,41 @@ object PipelineQueries {
       .orderBy($"label")
   }
 
+  /** minMaxRangeMV + distinctCountMV (the remaining MV aggregation
+    * variants): explode semantics over the array column. */
+  def qMvRangeDc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", explode($"embedding").as("e"))
+      .groupBy($"label")
+      .agg(
+        round(max($"e".cast("double")) - min($"e".cast("double")), 4).as("range_e"),
+        countDistinct($"e").as("dc_e"))
+      .orderBy($"label")
+  }
+
+  /** Multimodal column plumbing ([[graft.operators.Multimodal]]):
+    * text bytes stand in for media blobs; `byte_len` is byte-exact
+    * cross-engine metadata, the stub features/frames prove the
+    * binary-column pipeline shape with hash-dependent invariants. */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    t(s, dir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id",
+        Multimodal.asMedia(encode($"text", "UTF-8"), lit("text/plain")).as("media"))
+      .select($"doc_id",
+        $"media.byte_len".as("byte_len"),
+        Multimodal.stubFeatures($"media.content", 8).as("f"),
+        Multimodal.frameSample($"media.content", 4).as("frames"))
+      .select($"doc_id", $"byte_len",
+        (size($"f") === 8).as("dims_ok"),
+        forall($"f", x => x >= 0 && x < 1).as("range_ok"),
+        (size($"frames") === 4).as("frames_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** valueIn (ValueInTransformFunction.java:51): filter an MV column's
     * elements to a literal set, then group on the surviving values. */
   def qMvValueIn(s: SparkSession, dir: String): DataFrame = {
@@ -256,6 +291,8 @@ object PipelineQueries {
     "q_mv_count" -> qMvCount,
     "q_mv_agg" -> qMvAgg,
     "q_mv_valuein" -> qMvValueIn,
+    "q_mv_range_dc" -> qMvRangeDc,
+    "q_media_features" -> qMediaFeatures,
     "q_text_stats" -> qTextStats,
     "q_token_stats" -> qTokenStats,
     "q_lang_id" -> qLangId,
@@ -389,6 +426,16 @@ object PipelineQueries {
          |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
          |FROM embeddings e, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_mv_range_dc" ->
+      """SELECT label,
+        |  round(max(CAST(e AS DOUBLE)) - min(CAST(e AS DOUBLE)), 4) AS range_e,
+        |  count(DISTINCT e) AS dc_e
+        |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  TRUE AS dims_ok, TRUE AS range_ok, TRUE AS frames_ok
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // Self-oracles: Spark proves hash-dependent invariants (booleans);
     // DuckDB reproduces the deterministic row universe and expects
     // uniform TRUE. A single violated invariant breaks the hash match.

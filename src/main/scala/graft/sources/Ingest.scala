@@ -45,6 +45,18 @@ object Ingest {
       exprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) }
   }
 
+  object ExpressionTransform {
+    /** From ingest-config strings, compiled through the PQL expression
+      * grammar — the reference's `FunctionExpressionEvaluator.java`
+      * evaluating registry-resolved functions per row
+      * (`FunctionRegistry.java:30-55`); here the string compiles ONCE
+      * to a codegen'd Column. */
+    def fromConfig(exprs: Seq[(String, String)]): ExpressionTransform =
+      ExpressionTransform(exprs.map { case (name, e) =>
+        name -> graft.pql.Pql.compileExpression(e)
+      })
+  }
+
   /** Coerce to the declared schema: project exactly its fields, cast
     * each to the declared type (DataTypeTransformer.java). Fails at
     * analysis if a declared field is missing — schema drift surfaces

@@ -65,6 +65,17 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("config-string expressions compile through the PQL grammar") {
+    val df = Seq((2L, 3L)).toDF("a", "b")
+    val t = ExpressionTransform.fromConfig(Seq(
+      "total" -> "add(a, mult(b, 10))",
+      "b_minutes" -> "timeconvert(b, 'SECONDS', 'MINUTES')"))
+    val out = t(df).select("total", "b_minutes").as[(Long, Long)].head()
+    assert(out === ((32L, 0L)))
+    intercept[IllegalArgumentException](
+      ExpressionTransform.fromConfig(Seq("x" -> "add(a, b) extra")))
+  }
+
   test("DataTypeTransform fails on missing declared fields") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[Exception] {
