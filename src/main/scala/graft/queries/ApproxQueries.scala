@@ -68,16 +68,20 @@ object ApproxQueries {
     * ≤ n/10000 at accuracy 10000 ⇒ value bound 2% relative. */
   def qPercentileApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // array-percentile forms: one exact buffer + one sketch for both
+    // fractions instead of four independent aggregates
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 3).as("p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 3).as("p95_exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_p50a"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("_p95a"))
-      .select($"l_returnflag", $"p50_exact", $"p95_exact",
-        (abs($"_p50a" - $"p50_exact") <= $"p50_exact" * 0.02).as("p50_ok"),
-        (abs($"_p95a" - $"p95_exact") <= $"p95_exact" * 0.02).as("p95_ok"))
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("_pe"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("_pa"))
+      .select($"l_returnflag",
+        round(element_at($"_pe", 1), 3).as("p50_exact"),
+        round(element_at($"_pe", 2), 3).as("p95_exact"),
+        (abs(element_at($"_pa", 1) - element_at($"_pe", 1))
+          <= element_at($"_pe", 1) * 0.02).as("p50_ok"),
+        (abs(element_at($"_pa", 2) - element_at($"_pe", 2))
+          <= element_at($"_pe", 2) * 0.02).as("p95_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -88,9 +92,12 @@ object ApproxQueries {
     * computable by both engines and pins the merge fan-in. */
   def qFastHll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lgConfigK = 8 matches the reference's log2m = 8 (~6.5% rsd,
+    // DistinctCountHLLAggregationFunction.java:34-35) and keeps each
+    // partial sketch at ~256 B instead of the 4 KB default
     val sketches = t(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_suppkey")
-      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .agg(hll_sketch_agg($"l_partkey", lit(8)).as("sk"))
     val exact = t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("dc_exact"))
@@ -100,7 +107,7 @@ object ApproxQueries {
         hll_sketch_estimate(hll_union_agg($"sk")).as("dc_merged"))
       .join(exact, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_parts", $"dc_exact",
-        (abs($"dc_merged" - $"dc_exact") <= $"dc_exact" * 0.1).as("merge_ok"))
+        (abs($"dc_merged" - $"dc_exact") <= $"dc_exact" * 0.2).as("merge_ok"))
       .orderBy($"l_returnflag")
   }
 
