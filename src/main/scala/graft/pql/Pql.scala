@@ -2,6 +2,7 @@ package graft.pql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
 import graft.functions.DateTimeOps
 import graft.sources.Tables
 
@@ -346,24 +347,40 @@ object Pql {
     case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
   }
 
-  private def predicate(p: Pred): Column = p match {
-    case Cmp(e, "=", v) => scalar(e) === scalar(v)
-    case Cmp(e, "<>" | "!=", v) => scalar(e) =!= scalar(v)
-    case Cmp(e, "<", v) => scalar(e) < scalar(v)
-    case Cmp(e, "<=", v) => scalar(e) <= scalar(v)
-    case Cmp(e, ">", v) => scalar(e) > scalar(v)
-    case Cmp(e, ">=", v) => scalar(e) >= scalar(v)
+  /** Apply a scalar predicate builder to `e`, with the reference's
+    * multi-value semantics when `e` is an ArrayType column: an MV
+    * predicate matches a row if ANY element satisfies it (Pinot
+    * evaluates MV predicates against every value of the entry —
+    * the MV paths in `operator/filter/predicate`). NOT IN follows the
+    * same any-element rule (some element outside the list). */
+  private def mvAware(schema: StructType, e: Expr)(build: Column => Column): Column =
+    e match {
+      case Ident(n) if schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType]) =>
+        exists(col(n), build)
+      case _ => build(scalar(e))
+    }
+
+  private def predicate(p: Pred, schema: StructType): Column = p match {
+    case Cmp(e, "=", v) => mvAware(schema, e)(_ === scalar(v))
+    case Cmp(e, "<>" | "!=", v) => mvAware(schema, e)(_ =!= scalar(v))
+    case Cmp(e, "<", v) => mvAware(schema, e)(_ < scalar(v))
+    case Cmp(e, "<=", v) => mvAware(schema, e)(_ <= scalar(v))
+    case Cmp(e, ">", v) => mvAware(schema, e)(_ > scalar(v))
+    case Cmp(e, ">=", v) => mvAware(schema, e)(_ >= scalar(v))
     case Cmp(_, op, _) => throw new IllegalArgumentException(s"bad operator $op")
-    case Between(e, lo, hi) => scalar(e).between(scalar(lo), scalar(hi))
-    case In(e, vals, false) => scalar(e).isin(vals.map {
-      case NumLit(v) => if (v.isWhole) v.toLongExact else v.toDouble: Any
-      case StrLit(s) => s: Any
-      case other => throw new IllegalArgumentException(s"IN list must be literals, got $other")
-    }: _*)
-    case In(e, vals, true) => !predicate(In(e, vals, negated = false))
-    case RegexpLike(e, pat) => scalar(e).rlike(pat)
-    case AndP(ps) => ps.map(predicate).reduce(_ && _)
-    case OrP(ps) => ps.map(predicate).reduce(_ || _)
+    case Between(e, lo, hi) => mvAware(schema, e)(_.between(scalar(lo), scalar(hi)))
+    case In(e, vals, negated) =>
+      val lits = vals.map {
+        case NumLit(v) => if (v.isWhole) v.toLongExact else v.toDouble: Any
+        case StrLit(s) => s: Any
+        case other => throw new IllegalArgumentException(s"IN list must be literals, got $other")
+      }
+      if (negated) mvAware(schema, e)(x => !x.isin(lits: _*))
+      else mvAware(schema, e)(_.isin(lits: _*))
+    case RegexpLike(e, pat) => mvAware(schema, e)(_.rlike(pat))
+    case AndP(ps) => ps.map(predicate(_, schema)).reduce(_ && _)
+    case OrP(ps) => ps.map(predicate(_, schema)).reduce(_ || _)
   }
 
   /** HAVING predicate over aggregation functions: resolve each agg
@@ -398,7 +415,7 @@ object Pql {
   /** Compile a parsed query against a table resolver. */
   def toDataFrame(q: Query, resolve: String => DataFrame): DataFrame = {
     val base = resolve(q.table)
-    val filtered = q.where.map(w => base.filter(predicate(w))).getOrElse(base)
+    val filtered = q.where.map(w => base.filter(predicate(w, base.schema))).getOrElse(base)
     val selAggs = q.select.filter(isAgg)
 
     if (selAggs.nonEmpty || q.groupBy.nonEmpty) {
