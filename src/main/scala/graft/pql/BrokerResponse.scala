@@ -1,0 +1,67 @@
+package graft.pql
+
+import org.apache.spark.sql.DataFrame
+
+/** Query-result sink: renders a translated PQL result in the
+  * reference's broker response JSON shape
+  * (`pinot-common/.../response/broker/BrokerResponseNative.java` +
+  * `SelectionResults` / `AggregationResult` / `GroupByResult`):
+  *
+  *  - selection → `{"selectionResults": {"columns": [...],
+  *    "results": [[...], ...]}}`
+  *  - plain aggregation → `{"aggregationResults": [{"function": f,
+  *    "value": "..."}]}`
+  *  - group-by → one `aggregationResults` entry per function with
+  *    `groupByColumns` and `groupByResult: [{"group": [keys],
+  *    "value": "..."}]`
+  *
+  * Values serialize as strings, as the reference does. This is a
+  * RESPONSE-sized collect (bounded by LIMIT/TOP, like the broker's
+  * own materialization) — never a data-sized one.
+  */
+object BrokerResponse {
+
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def cell(v: Any): String = js(String.valueOf(v))
+
+  /** Render the result of `Pql.toDataFrame(q, ...)` for query `q`. */
+  def render(q: Pql.Query, df: DataFrame): String = {
+    val rows = df.collect()
+    val cols = df.columns
+
+    if (!Pql.isAggregationQuery(q)) {
+      val results = rows.map(r =>
+        cols.indices.map(i => cell(r.get(i))).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""{"selectionResults": {"columns": ${cols.map(js).mkString("[", ",", "]")}, "results": $results}, "numDocsScanned": ${rows.length}}"""
+    } else if (q.groupBy.isEmpty) {
+      val r = rows.head
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        s"""{"function": ${js(c)}, "value": ${cell(r.get(i))}}"""
+      }.mkString("[", ",", "]")
+      s"""{"aggregationResults": $aggs}"""
+    } else {
+      val keyIdx = q.groupBy.indices
+      val nKeys = q.groupBy.length
+      val gbCols = cols.take(nKeys).map(js).mkString("[", ",", "]")
+      val aggs = cols.drop(nKeys).zipWithIndex.map { case (c, j) =>
+        val groups = rows.map { r =>
+          val ks = keyIdx.map(i => cell(r.get(i))).mkString("[", ",", "]")
+          s"""{"group": $ks, "value": ${cell(r.get(nKeys + j))}}"""
+        }.mkString("[", ",", "]")
+        s"""{"function": ${js(c)}, "groupByColumns": $gbCols, "groupByResult": $groups}"""
+      }.mkString("[", ",", "]")
+      s"""{"aggregationResults": $aggs}"""
+    }
+  }
+
+}

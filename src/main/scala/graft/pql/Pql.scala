@@ -288,6 +288,12 @@ object Pql {
 
   def parse(query: String): Query = new P(lex(query)).query()
 
+  /** Aggregation query (aggregationResults response shape) vs
+    * selection query (selectionResults shape) — the broker's routing
+    * distinction (`BrokerResponseNative`). */
+  def isAggregationQuery(q: Query): Boolean =
+    q.groupBy.nonEmpty || q.select.exists(isAgg)
+
   // ---- translation to DataFrame ----------------------------------------
 
   private val AggNames = Set("count", "min", "max", "sum", "avg",
@@ -425,6 +431,13 @@ object Pql {
       val nonAgg = q.select.filterNot(isAgg).filterNot(_ == Star)
       require(nonAgg.forall(e => q.groupBy.map(nameOf).contains(nameOf(e))),
         s"non-aggregate select columns must appear in GROUP BY: ${nonAgg.map(nameOf)}")
+      // Pinot MV group-by: one group entry per array element (multiple
+      // MV keys → cartesian of elements per row) — explode each MV key
+      val mvKeys = q.groupBy.collect {
+        case Ident(n) if filtered.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType]) => n
+      }
+      val grouped = mvKeys.foldLeft(filtered)((d, n) => d.withColumn(n, explode(col(n))))
       val groupCols = q.groupBy.map(e => scalar(e).as(nameOf(e)))
       val havingAggs = q.having.map(collectAggs).getOrElse(Nil)
         .filterNot(e => selAggs.map(nameOf).contains(nameOf(e)))
@@ -434,7 +447,7 @@ object Pql {
       require(aggCols.nonEmpty, "aggregation query needs at least one aggregation function")
       val agged =
         if (q.groupBy.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-        else filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        else grouped.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       val allAggNames = selAggs.map(e => nameOf(e) -> nameOf(e)).toMap ++ hiddenNames
       val havinged = q.having
         .map(h => agged.filter(havingPredicate(h, allAggNames)))

@@ -64,6 +64,43 @@ class PqlSpec extends SparkSpec {
     assert(rows.length === 3)
   }
 
+  test("MV group-by explodes array keys (one group entry per element)") {
+    val df = Seq(
+      (Seq("a", "b"), 1.0), (Seq("a"), 2.0), (Seq("b", "c"), 3.0)
+    ).toDF("tags", "v")
+    val out = Pql.toDataFrame(
+        Pql.parse("SELECT SUM(v) FROM t GROUP BY tags TOP 10"), _ => df)
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("a" -> 3.0, "b" -> 4.0, "c" -> 3.0))
+    // MV predicate: any element matches
+    val cnt = Pql.toDataFrame(
+        Pql.parse("SELECT COUNT(*) FROM t WHERE tags = 'b'"), _ => df)
+      .as[Long].head()
+    assert(cnt === 2L)
+  }
+
+  test("broker response renders the three reference result shapes") {
+    import graft.pql.BrokerResponse
+    def render(q: String): String = {
+      val parsed = Pql.parse(q)
+      BrokerResponse.render(parsed, Pql.run(spark, sfDir, q))
+    }
+    val sel = render("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey LIMIT 5")
+    assert(sel.contains(""""selectionResults""""))
+    assert(sel.contains(""""columns": ["n_nationkey","n_name"]"""))
+    val agg = render("SELECT COUNT(*), MAX(l_quantity) FROM lineitem")
+    assert(agg.contains(""""aggregationResults""""))
+    assert(agg.contains(""""function": "count_star""""))
+    val gby = render("SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag TOP 5")
+    assert(gby.contains(""""groupByColumns": ["l_returnflag"]"""))
+    assert(gby.contains(""""group": ["""))
+    // every render must be valid JSON — parse it back via Spark
+    Seq(sel, agg, gby).foreach { j =>
+      val parsed = spark.read.json(Seq(j).toDS)
+      assert(!parsed.columns.contains("_corrupt_record"), j.take(200))
+    }
+  }
+
   test("HAVING with an aggregation not in the select list") {
     val out = run(
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag HAVING MAX(l_quantity) >= 1 TOP 10")
