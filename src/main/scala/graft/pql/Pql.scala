@@ -330,8 +330,11 @@ object Pql {
         DateTimeOps.timeConvert(scalar(c), from, to)
       case ("datetimeconvert", Seq(c, StrLit(in), StrLit(out), StrLit(gran))) =>
         DateTimeOps.dateTimeConvert(scalar(c), in, out, gran)
-      case _ => throw new IllegalArgumentException(
-        s"unsupported transform function '$name'/${args.length}")
+      case _ => PqlFunctions.lookup(name, args.length) match {
+        case Some(impl) => impl(args.map(scalar))
+        case None => throw new IllegalArgumentException(
+          s"unsupported transform function '$name'/${args.length}")
+      }
     }
   }
 

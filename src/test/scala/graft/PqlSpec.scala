@@ -101,6 +101,16 @@ class PqlSpec extends SparkSpec {
     }
   }
 
+  test("custom functions resolve from the registry by name + arity") {
+    import graft.pql.PqlFunctions
+    PqlFunctions.register("strlen", 1)(args => length(args.head))
+    val out = run("SELECT COUNT(*) FROM nation GROUP BY strlen(n_name) TOP 30")
+    assert(out.columns.toSeq === Seq("strlen_n_name", "count_star"))
+    assert(out.count() > 1)
+    // unknown function still fails loudly
+    intercept[IllegalArgumentException](run("SELECT nope(n_name) FROM nation LIMIT 1"))
+  }
+
   test("HAVING with an aggregation not in the select list") {
     val out = run(
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag HAVING MAX(l_quantity) >= 1 TOP 10")
