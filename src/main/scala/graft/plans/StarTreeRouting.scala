@@ -1,0 +1,116 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Automatic star-tree routing as a Catalyst optimizer rule — the
+  * query-side half of [[StarTree]].
+  *
+  * The reference rewrites eligible queries to read the star-tree
+  * instead of raw docs inside its plan maker
+  * (`BrokerRequestPreProcessor.java:50-78` rewrites fastHLL;
+  * star-tree selection in `plan/StarTreeIndexOperator`); the Spark
+  * analogue is a `Rule[LogicalPlan]` injected through
+  * `SparkSessionExtensions`: an `Aggregate` whose grouping keys are a
+  * subset of a registered index's dimensions and whose aggregates are
+  * all tree-mergeable (SUM/MIN/MAX over indexed metrics, COUNT(*))
+  * over the indexed fact relation is replaced by a scan of the
+  * pre-aggregated rollup slice — same results, no fact scan.
+  *
+  * Safety: the rewrite only fires when EVERY aggregate expression maps
+  * onto a materialized column and the grouping is non-empty (a global
+  * aggregate over an empty fact table yields one row, which a cube
+  * cannot reproduce); anything else leaves the plan untouched.
+  * Output attribute ids are preserved via aliases, so parent operators
+  * resolve unchanged.
+  */
+object StarTreeRegistry {
+  final case class Entry(pathPrefix: String, index: StarTree.Index)
+
+  private val entries = new TrieMap[String, Entry]
+
+  /** Register a built index for the fact table rooted at `path`
+    * (matched against the scan's root path at rewrite time). */
+  def register(path: String, index: StarTree.Index): Unit =
+    entries.put(path, Entry(path, index))
+
+  def clear(): Unit = entries.clear()
+
+  def lookup(rootPath: String): Option[Entry] =
+    entries.values.find(e => rootPath.contains(e.pathPrefix))
+}
+
+case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def factEntry(plan: LogicalPlan): Option[StarTreeRegistry.Entry] = plan match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption
+        .flatMap(p => StarTreeRegistry.lookup(p.toString))
+    case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      factEntry(child)
+    case _ => None
+  }
+
+  /** rollup column name for one aggregate, if tree-mergeable. */
+  private def rollupColumn(e: Expression, metrics: Seq[String]): Option[String] = e match {
+    case AggregateExpression(Sum(ar: AttributeReference, _), Complete, false, None, _)
+        if metrics.contains(ar.name) => Some(s"sum_${ar.name}")
+    case AggregateExpression(Min(ar: AttributeReference), Complete, false, None, _)
+        if metrics.contains(ar.name) => Some(s"min_${ar.name}")
+    case AggregateExpression(Max(ar: AttributeReference), Complete, false, None, _)
+        if metrics.contains(ar.name) => Some(s"max_${ar.name}")
+    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
+      Some("star_count")
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.nonEmpty =>
+      val rewritten = for {
+        entry <- factEntry(child)
+        dims = entry.index.dims
+        groupAttrs <- Some(groupings).collect {
+          case gs if gs.forall {
+            case ar: AttributeReference => dims.contains(ar.name)
+            case _ => false
+          } => gs.map(_.asInstanceOf[AttributeReference])
+        }
+        // every output: either a grouping attr or a mergeable aggregate
+        mapped <- traverse(aggExprs) {
+          case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
+            Some(ar.name -> ar)
+          case al @ Alias(ae: AggregateExpression, _) =>
+            rollupColumn(ae, entry.index.metrics).map(_ -> al)
+          case _ => None
+        }
+      } yield {
+        val slicePlan = entry.index
+          .slice(groupAttrs.map(_.name))
+          .queryExecution.analyzed
+        val bySliceName = slicePlan.output.map(a => a.name -> a).toMap
+        val projections: Seq[NamedExpression] = mapped.map { case (sliceName, orig) =>
+          val src = bySliceName.getOrElse(sliceName,
+            throw new IllegalStateException(s"rollup column $sliceName missing"))
+          orig match {
+            case ar: AttributeReference =>
+              Alias(src, ar.name)(exprId = ar.exprId)
+            case al: Alias =>
+              Alias(src, al.name)(exprId = al.exprId)
+          }
+        }
+        Project(projections, slicePlan)
+      }
+      rewritten.getOrElse(agg)
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+}

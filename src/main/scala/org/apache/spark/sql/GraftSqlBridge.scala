@@ -14,4 +14,11 @@ object GraftSqlBridge {
     * lets graft expressions declare `inputTypes` (ExpectsInputTypes)
     * for analysis-time type checking. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Register a temp SQL function on an existing session (the
+    * session-state function registry is `private[sql]`). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.plans.{StarTree, StarTreeRegistry}
+import graft.sources.Tables
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override val sfDir = "/root/testdata/sf0.001"
+  private val factPath = s"$sfDir/lineitem.parquet"
+
+  test("SQL functions registered by Graft.enable work from spark.sql") {
+    Graft.enable(spark)
+    val r = spark.sql(
+      """SELECT simhash64('hello world') AS sh,
+        |  round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cos,
+        |  l2_distance(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l2,
+        |  lang_id('the cat sat on the mat and it is happy') AS lang,
+        |  minhash_sig('a b c d e', 16, 2) AS sig""".stripMargin)
+      .head()
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getString(3) === "en")
+    assert(r.getSeq[Long](4).length === 16)
+    // static params must be literals
+    intercept[Exception](
+      spark.sql("SELECT minhash_sig('x', l_linenumber, 2) FROM parquet.`" +
+        factPath + "`").collect())
+  }
+
+  test("star-tree routing rule answers covered aggregates from the rollup, not the fact scan") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    // materialize the rollup like a real deployment (StarTree scaladoc)
+    val rollupDir = Files.createTempDirectory("graft-rollup").toFile.getAbsolutePath
+    StarTree.build(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+      spark.read.parquet(rollupDir))
+
+    def query() = fact.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("c"), max($"l_quantity").as("m"))
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+
+    StarTreeRegistry.clear()
+    val direct = query().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(scanPaths(query()).exists(_.contains("lineitem.parquet")),
+      "sanity: unrouted scans fact")
+
+    try {
+      StarTreeRegistry.register(factPath, idx)
+      val routed = query()
+      val paths = scanPaths(routed)
+      assert(!paths.exists(_.contains("lineitem.parquet")), s"fact still scanned: $paths")
+      assert(paths.exists(_.contains("graft-rollup")), s"rollup not in plan: $paths")
+      assert(routed.orderBy("l_returnflag").collect().map(_.toSeq).toSeq === direct)
+
+      // not covered: grouping outside the tree dims → fact scan stays
+      val uncovered = fact.groupBy($"l_suppkey").agg(sum($"l_quantity"))
+      assert(scanPaths(uncovered).exists(_.contains("lineitem.parquet")))
+      // not covered: non-mergeable aggregate (avg) → fact scan stays
+      val avgQ = fact.groupBy($"l_returnflag").agg(avg($"l_quantity"))
+      assert(scanPaths(avgQ).exists(_.contains("lineitem.parquet")))
+    } finally StarTreeRegistry.clear()
+  }
+}
