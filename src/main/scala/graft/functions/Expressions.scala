@@ -146,6 +146,22 @@ object exprs {
     override def prettyName: String = "lsh_buckets"
   }
 
+  /** Winnowing rolling-hash fingerprint → sorted array<bigint>
+    * (HashOps.winnow). */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.winnow(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.winnow($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+      copy(child = newChild)
+    override def prettyName: String = "winnow_fingerprint"
+  }
+
   /** One-pass text quality metrics struct (HashOps.textStats). */
   case class TextStats(child: Expression)
       extends UnaryExpression with ImplicitCastInputTypes {
@@ -240,6 +256,9 @@ object GraftFunctions {
 
   def textStats(text: Column): Column =
     GraftSqlBridge.column(exprs.TextStats(expr(text)))
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(exprs.WinnowFingerprint(expr(text), k, w))
 
   def qualityScore(text: Column): Column =
     GraftSqlBridge.column(exprs.QualityScore(expr(text)))

@@ -423,6 +423,49 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing document fingerprint (the rolling-hash fingerprinting
+    * scheme of Schleimer/Wilkerson/Aiken's MOSS): hash every k-char
+    * gram of the normalized text (lowercased, whitespace collapsed to
+    * single spaces), slide a window of w consecutive gram hashes and
+    * select each window's minimum (rightmost on ties — robust
+    * winnowing), return the sorted distinct selections. Guarantees:
+    * identical docs → identical fingerprints; any shared substring of
+    * length ≥ k+w-1 contributes a shared selection, so overlap ratio
+    * estimates shared content. ~n/w samples per doc. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val s = String.join(" ", tokenize(text): _*)
+    val nGrams = s.length - k + 1
+    if (nGrams <= 0) {
+      return new GenericArrayData(Array(hashStr(UTF8String.fromString(s), Seed1)))
+    }
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = hashStr(UTF8String.fromString(s.substring(i, i + k)), Seed1)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(nGrams - w + 1, 1)
+    var start = 0
+    while (start < windows) {
+      val end = math.min(start + w, nGrams)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Fraction of equal components between two equal-length MinHash
     * signatures — the MinHash Jaccard estimate. */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {

@@ -113,6 +113,34 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: OR-amplified multi-table
+    * LSH self-join generates candidates (cost ∝ bucket collisions, not
+    * |corpus|²), exact cosine verifies ≥ `simThreshold`. The embedding
+    * analogue of [[nearDupPairs]] — candidate generation by hash
+    * collision, verification exact, everything deterministic. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double, numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_vec"),
+      posexplode(GraftFunctions.lshBuckets(col(vecCol), numPlanes, numTables))
+        .as(Seq("_table", "_bucket")))
+    val a = bucketed.toDF("id_a", "vec_a", "_table", "_bucket")
+    val b = bucketed.toDF("id_b", "vec_b", "_table", "_bucket")
+    a.join(b, Seq("_table", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(GraftFunctions.cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
+      .distinct()
+      .filter(col("sim") >= simThreshold)
+  }
+
+  /** Winnowing rolling-hash fingerprint overlap: |A ∩ B| / |A| — the
+    * containment of doc A's sampled k-gram hashes in doc B
+    * ([[TextAnalysis.winnowingFingerprint]]). */
+  def winnowOverlap(fpA: Column, fpB: Column): Column =
+    when(size(fpA) > 0,
+      size(array_intersect(fpA, fpB)).cast("double") / size(fpA).cast("double"))
+      .otherwise(lit(0.0))
+
   /** SimHash-64: sign-aggregated bitwise hash of the token multiset.
     * Near-dup docs differ in few bits (Hamming distance). Single-pass
     * codegen'd kernel ([[graft.functions.exprs.SimHash64]]) — no UDF,

@@ -160,4 +160,14 @@ object TextAnalysis {
   /** 64-bit rolling fingerprint (xxhash64 of the normalized text) —
     * cheaper join key for dedup at scale (8 bytes vs 32-hex chars). */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Winnowing rolling-hash fingerprint (MOSS-style): min-sampled
+    * k-gram hash set of the normalized text → sorted array<bigint>.
+    * Any shared substring of length ≥ k+w-1 contributes a shared
+    * sample, so [[Dedup.winnowOverlap]] over two fingerprints
+    * estimates shared content; ~len/w samples per doc keeps the
+    * fingerprint compact at scale. Codegen'd kernel
+    * ([[graft.functions.HashOps.winnow]]). */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 8): Column =
+    graft.functions.GraftFunctions.winnowFingerprint(text, k, w)
 }

@@ -269,6 +269,71 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Full near-dup pipeline self-oracle (LSH candidates → exact n-gram
+    * Jaccard verify): every perturbed pair with exact Jaccard ≥ 0.7
+    * must come out of [[Dedup.nearDupPairs]] with the SAME verified
+    * Jaccard value the oracle-visible direct computation gives. */
+  def qNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = perturbedDocs(s, dir)
+    val corpus = base.select($"doc_id", $"text")
+      .union(base.select(($"doc_id" + 1000000).as("doc_id"), $"pert".as("text")))
+    val found = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.7,
+        numHashes = 128, bands = 32, shingleSize = 2)
+      .filter($"id_b" === $"id_a" + 1000000)
+      .select($"id_a".as("doc_id"), $"jaccard", lit(true).as("found"))
+    base.select($"doc_id", Dedup.ngramJaccard($"text", $"pert", 2).as("exact"))
+      .join(found, Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"exact" < 0.7 || coalesce($"found", lit(false))).as("found_ok"),
+        ($"exact" < 0.7 ||
+          abs(coalesce($"jaccard", lit(-1.0)) - $"exact") <= 0.0001).as("jac_ok"))
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-cosine near-dup self-oracle: each vector paired with a
+    * deterministic perturbed copy of itself (every 16th component
+    * zeroed → cosine ≈ 0.97); [[Dedup.embeddingNearDups]] over the
+    * doubled corpus must surface every (v, v') pair whose exact cosine
+    * is ≥ 0.9. */
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding")
+    val pert = emb.select(($"vec_id" + 1000000).as("vec_id"),
+      zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+        (x, i) => when(pmod(i, lit(16)) === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val corpus = emb.union(pert)
+    val found = Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+        simThreshold = 0.9, numPlanes = 4, numTables = 8)
+      .filter($"id_b" === $"id_a" + 1000000)
+      .select($"id_a".as("vec_id"), lit(true).as("found"))
+    emb.join(pert.select(($"vec_id" - 1000000).as("vec_id"), $"embedding".as("pvec")),
+        Seq("vec_id"))
+      .select($"vec_id", Similarity.cosine($"embedding", $"pvec").as("sim"))
+      .join(found, Seq("vec_id"), "left")
+      .select($"vec_id",
+        ($"sim" < 0.9 || coalesce($"found", lit(false))).as("found_ok"))
+      .orderBy($"vec_id")
+  }
+
+  /** Winnowing fingerprint self-oracle: self-overlap is exactly 1, the
+    * 2-token-drop near-dup keeps high overlap (shared suffix ≫ k+w-1),
+    * and fingerprints are compact (≤ ~2·len/w samples). */
+  def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    perturbedDocs(s, dir)
+      .select($"doc_id",
+        TextAnalysis.winnowingFingerprint($"text").as("fp_t"),
+        TextAnalysis.winnowingFingerprint($"pert").as("fp_p"),
+        length($"text").as("len"))
+      .select($"doc_id",
+        (Dedup.winnowOverlap($"fp_t", $"fp_t") === 1.0).as("self_ok"),
+        (Dedup.winnowOverlap($"fp_p", $"fp_t") >= 0.5).as("near_ok"),
+        (size($"fp_t") > 0 && size($"fp_t") <= $"len").as("size_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash self-oracle on the perturbed-copy universe: identical
     * text hashes identically (`self_ok`), a 2-token-drop near-dup
     * stays within a generous Hamming radius (`near_ok` — measured max
@@ -304,6 +369,9 @@ object PipelineQueries {
     "q_knn_join" -> qKnnJoin,
     "q_lsh_ann" -> qLshAnn,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_near_dup" -> qNearDup,
+    "q_embed_neardup" -> qEmbedNearDup,
+    "q_winnow" -> qWinnow,
     "q_simhash" -> qSimhash)
 
   // Shared SQL fragments for the oracles.
@@ -448,6 +516,17 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       s"""SELECT doc_id, TRUE AS self_ok, TRUE AS near_ok, TRUE AS range_ok
+         |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
+         |ORDER BY doc_id""".stripMargin,
+    "q_near_dup" ->
+      s"""SELECT doc_id, TRUE AS found_ok, TRUE AS jac_ok
+         |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
+         |ORDER BY doc_id""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT vec_id, TRUE AS found_ok FROM embeddings
+        |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "q_winnow" ->
+      s"""SELECT doc_id, TRUE AS self_ok, TRUE AS near_ok, TRUE AS size_ok
          |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
          |ORDER BY doc_id""".stripMargin,
     "q_knn_join" ->

@@ -64,6 +64,29 @@ class DedupSpec extends SparkSpec {
     assert(r._2 === 0.0)
   }
 
+  test("winnowing fingerprints: identical→full overlap, shared suffix→partial, disjoint→none") {
+    val suffix = base.split(" ").drop(2).mkString(" ")
+    val unrelated = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"
+    val df = Seq((1L, base), (2L, suffix), (3L, unrelated)).toDF("id", "text")
+      .select($"id", TextAnalysis.winnowingFingerprint($"text").as("fp"))
+    val fp = df.as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      a.intersect(b).length.toDouble / a.length
+    assert(overlap(fp(1L), fp(1L)) === 1.0)
+    assert(overlap(fp(2L), fp(1L)) > 0.7, "shared suffix should overlap heavily")
+    assert(overlap(fp(3L), fp(1L)) === 0.0)
+    assert(fp(1L) === fp(1L).sorted, "sorted output")
+  }
+
+  test("embeddingNearDups finds an exact-duplicate vector pair, skips orthogonal") {
+    val v = (1 to 64).map(_.toFloat / 10)
+    val orth = Seq.fill(32)(Seq(1f, 0f)).flatten // orthogonal-ish pattern
+    val df = Seq((1L, v), (2L, v), (3L, orth)).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(df, "id", "vec", simThreshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("fingerprints are normalization-invariant") {
     val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
     val r = df.select(
