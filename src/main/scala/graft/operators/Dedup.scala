@@ -141,6 +141,61 @@ object Dedup {
       size(array_intersect(fpA, fpB)).cast("double") / size(fpA).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every node takes the minimum label among
+    * itself and its neighbors until fixpoint (≤ graph diameter
+    * iterations, each one shuffle — the standard distributed CC that
+    * needs no graph library). Near-dup graphs are almost entirely
+    * tiny cliques/chains, so this converges in 1-2 rounds in
+    * practice; `maxIter` bounds adversarial chains. Returns
+    * (id, component) with component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "_nl"),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("_nl")).as("_nmin"))
+        .withColumnRenamed("src", "id")
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
+        .filter(col("component") =!= col("_old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup DEDUP: pair generation ([[nearDupPairs]]) →
+    * clustering ([[connectedComponents]]) → keep the min-id survivor
+    * per cluster (docs in no cluster survive untouched). The complete
+    * "pairs are not a dedup" step a training-data pipeline actually
+    * runs. */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands, shingleSize)
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** SimHash-64: sign-aggregated bitwise hash of the token multiset.
     * Near-dup docs differ in few bits (Hamming distance). Single-pass
     * codegen'd kernel ([[graft.functions.exprs.SimHash64]]) — no UDF,

@@ -291,6 +291,25 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end near-dup DEDUP with a full external oracle: the test
+    * corpus contains genuinely planted near-duplicate documents, and
+    * the DuckDB oracle independently recomputes the exact ground
+    * truth — bigram-Jaccard ≥ 0.7 pairs, connected components via a
+    * recursive CTE, survivors = per-component min ids — so the entire
+    * Spark pipeline (MinHash LSH candidates → exact verify →
+    * min-label clustering → survivor filter) must reproduce the exact
+    * survivor set. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val universe = t(s, dir, "documents")
+      .filter($"doc_id" < 200 && size(TextAnalysis.tokens($"text")) >= 30)
+      .select($"doc_id", $"text")
+    Dedup.nearDupDedup(universe, "doc_id", "text",
+        threshold = 0.7, numHashes = 128, bands = 32, shingleSize = 2)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup self-oracle: each vector paired with a
     * deterministic perturbed copy of itself (every 16th component
     * zeroed → cosine ≈ 0.97); [[Dedup.embeddingNearDups]] over the
@@ -370,6 +389,7 @@ object PipelineQueries {
     "q_lsh_ann" -> qLshAnn,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_near_dup" -> qNearDup,
+    "q_dedup_cluster" -> qDedupCluster,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_winnow" -> qWinnow,
     "q_simhash" -> qSimhash)
@@ -525,6 +545,34 @@ object PipelineQueries {
     "q_embed_neardup" ->
       """SELECT vec_id, TRUE AS found_ok FROM embeddings
         |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    // Exact ground truth for the whole near-dup dedup pipeline:
+    // bigram Jaccard over normalized tokens, transitive clustering by
+    // recursive CTE, survivors = component minima.
+    "q_dedup_cluster" -> {
+      val normToks =
+        """list_filter(string_split_regex(regexp_replace(lower(trim(text)),
+          |      '\s+', ' ', 'g'), '\s+'), x -> len(x) > 0)""".stripMargin
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $normToks AS t
+         |  FROM documents WHERE doc_id < 200
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+         |  FROM toks WHERE len(t) >= 30
+         |), pairs AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id <> b.doc_id
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)), 4) >= 0.7
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT p.src, reach.r FROM pairs p JOIN reach ON p.dst = reach.id
+         |)
+         |SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_winnow" ->
       s"""SELECT doc_id, TRUE AS self_ok, TRUE AS near_ok, TRUE AS size_ok
          |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30

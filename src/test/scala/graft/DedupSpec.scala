@@ -87,6 +87,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("connectedComponents: chains converge to min label, pairs stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupDedup keeps one survivor per near-dup cluster, untouched docs survive") {
+    val nearDup = base.replace("quick", "fast")
+    val nearDup2 = base.replace("lazy", "idle")
+    val unrelated = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution plans"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, nearDup2))
+      .toDF("id", "text")
+    val out = Dedup.nearDupDedup(df, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(1L, 3L), s"cluster {1,2,4} keeps 1; got $out")
+  }
+
   test("fingerprints are normalization-invariant") {
     val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
     val r = df.select(
