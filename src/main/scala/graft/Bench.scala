@@ -64,11 +64,19 @@ object Bench {
         n -> -1.0
       }
     }.filter(_._2 >= 0)
+    // fixed local-mode floor: the cheapest possible single-stage job,
+    // timed the same way — per-query numbers carry roughly this much
+    // non-plan overhead, which amortizes away at real scale
+    val floor = {
+      val t0 = System.nanoTime()
+      spark.range(1).agg(sum(col("id"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -63,7 +63,8 @@ object Pql {
       top: Option[Int],
       having: Option[Pred],
       orderBy: Seq[(String, Boolean)], // (column, ascending)
-      limit: Option[(Int, Int)])       // (offset, size)
+      limit: Option[(Int, Int)],       // (offset, size)
+      distinct: Boolean = false)
 
   // ---- lexer -----------------------------------------------------------
 
@@ -137,6 +138,8 @@ object Pql {
 
     def query(): Query = {
       expectKw("SELECT")
+      val distinct = atKw("DISTINCT")
+      if (distinct) next()
       val sel = exprList()
       expectKw("FROM")
       val table = next() match {
@@ -181,7 +184,7 @@ object Pql {
         }
         else throw new IllegalArgumentException(s"unexpected token '${peek.get.s}'")
       }
-      Query(sel, table, where, groupBy, top, having, orderBy, limit)
+      Query(sel, table, where, groupBy, top, having, orderBy, limit, distinct)
     }
 
     private def int(): Int = next() match {
@@ -431,6 +434,8 @@ object Pql {
       // ---- aggregation mode ----
       require(q.orderBy.isEmpty,
         "ORDER BY only works for selection queries; use GROUP BY ... TOP n (pql_examples.rst)")
+      require(!q.distinct,
+        "SELECT DISTINCT is a selection query; use DISTINCTCOUNT for aggregations")
       val nonAgg = q.select.filterNot(isAgg).filterNot(_ == Star)
       require(nonAgg.forall(e => q.groupBy.map(nameOf).contains(nameOf(e))),
         s"non-aggregate select columns must appear in GROUP BY: ${nonAgg.map(nameOf)}")
@@ -467,9 +472,11 @@ object Pql {
       // ---- selection mode ----
       require(q.having.isEmpty, "HAVING requires GROUP BY")
       require(q.top.isEmpty, "TOP requires GROUP BY")
-      val projected =
+      val projected0 =
         if (q.select == Seq(Star)) filtered
         else filtered.select(q.select.map(e => scalar(e).as(nameOf(e))): _*)
+      // SELECT DISTINCT (the DistinctAggregation path, SURVEY §2.5)
+      val projected = if (q.distinct) projected0.distinct() else projected0
       val ordered =
         if (q.orderBy.isEmpty) projected
         else projected.orderBy(q.orderBy.map { case (c, asc) =>

@@ -50,7 +50,10 @@ object PqlQueries {
       "SELECT COUNT(*) FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100 TOP 10",
     "q_pql_arith" ->
       """SELECT l_orderkey, l_linenumber, add(l_quantity, l_linenumber) FROM lineitem
-        |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+        |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_pql_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     pql.map { case (name, q) =>
@@ -107,5 +110,8 @@ object PqlQueries {
       """SELECT l_orderkey, l_linenumber,
         |  l_quantity + l_linenumber AS add_l_quantity_l_linenumber
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_pql_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin)
 }
