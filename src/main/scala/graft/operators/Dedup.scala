@@ -148,7 +148,12 @@ object Dedup {
     * needs no graph library). Near-dup graphs are almost entirely
     * tiny cliques/chains, so this converges in 1-2 rounds in
     * practice; `maxIter` bounds adversarial chains. Returns
-    * (id, component) with component = min id reachable. */
+    * (id, component) with component = min id reachable.
+    *
+    * The returned frame is persisted (it was materialized by the
+    * convergence checks and is one row per edge-touched node — tiny
+    * relative to the corpus); callers running many dedups in one
+    * session may `unpersist()` it when done. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
