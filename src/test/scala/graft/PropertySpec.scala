@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+import org.apache.spark.sql.functions._
+import graft.functions.{DateTimeOps, TopKBuffer}
+import graft.pql.Pql
+
+/** Property-based checks (ScalaCheck) for the pure kernels: the heap
+  * against a sort-based reference, the winnowing shared-substring
+  * guarantee, datetime flooring laws, and parser robustness under
+  * fuzz. Spark-side behavior is covered by the oracle queries; these
+  * pin the algebraic contracts across random inputs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, minTests: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("TopKBuffer equals sort-take reference for any input and split") {
+    val entries = Gen.listOf(Gen.zip(
+      Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 16) / 16), // tie-prone
+      Gen.chooseNum(-1000L, 1000L)))
+    val prop = Prop.forAll(entries, Gen.chooseNum(1, 12)) { (xs, k) =>
+      val ref = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      val single = new TopKBuffer(k)
+      xs.foreach { case (s, i) => single.insert(s, i) }
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val bufL = new TopKBuffer(k); val bufR = new TopKBuffer(k)
+      l.foreach { case (s, i) => bufL.insert(s, i) }
+      r.foreach { case (s, i) => bufR.insert(s, i) }
+      bufR.foreachEntry((s, i) => bufL.insert(s, i))
+      single.sortedBestFirst.toSeq == ref &&
+        bufL.sortedBestFirst.toSeq == ref
+    }
+    check("topk", prop)
+  }
+
+  test("winnowing: docs sharing a long substring always share a sample") {
+    val word = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val words = (lo: Int) => Gen.choose(lo, lo + 10).flatMap(n => Gen.listOfN(n, word))
+    // shared run of ≥8 words ⇒ normalized shared substring ≥ k+w-1 = 15 chars
+    val prop = Prop.forAll(words(0), words(0), words(8), words(0)) { (pa, sa, shared, sb) =>
+      val a = (pa ++ shared ++ sa).mkString(" ")
+      val b = (sb ++ shared).mkString(" ")
+      val df = Seq((a, b)).toDF("a", "b").select(
+        graft.operators.Dedup.winnowOverlap(
+          graft.operators.TextAnalysis.winnowingFingerprint(col("a")),
+          graft.operators.TextAnalysis.winnowingFingerprint(col("b"))).as("o"))
+      df.as[Double].head() > 0.0
+    }
+    check("winnow-guarantee", prop, minTests = 30) // each case runs a Spark job
+  }
+
+  test("timeConvert and granularity bucketing obey flooring laws (batched)") {
+    val rng = new scala.util.Random(11)
+    val samples = Seq.fill(300)(math.abs(rng.nextLong()) % 4102444800000L) // < year 2100
+    val df = samples.toDF("ms").select($"ms",
+      DateTimeOps.timeConvert($"ms", "MILLISECONDS", "MINUTES").as("m"),
+      DateTimeOps.dateTimeConvert($"ms", "1:MILLISECONDS:EPOCH",
+        "1:MILLISECONDS:EPOCH", "15:MINUTES").as("b15"))
+    df.as[(Long, Long, Long)].collect().foreach { case (ms, m, b15) =>
+      assert(m === ms / 60000L, s"minute floor broken for $ms")
+      assert(b15 % 900000L === 0L && b15 <= ms && ms - b15 < 900000L,
+        s"15-min bucket broken for $ms -> $b15")
+    }
+  }
+
+  test("PQL parser never throws anything but IllegalArgumentException under fuzz") {
+    val junk = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '(', ')', ',', '\'', '*', '=', '<', '>', '.'),
+      1 -> Gen.asciiPrintableChar)).map(_.mkString)
+    val keywords = Gen.oneOf("SELECT", "FROM", "WHERE", "GROUP BY", "TOP",
+      "LIMIT", "ORDER BY", "IN", "NOT", "BETWEEN", "'a'", "42", "*", "(", ")")
+    val stitched = Gen.listOf(keywords).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.oneOf(junk, stitched)) { q =>
+      try { Pql.parse(q); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+    check("pql-fuzz", prop, minTests = 500)
+  }
+}
