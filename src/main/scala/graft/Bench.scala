@@ -72,11 +72,33 @@ object Bench {
       spark.range(1).agg(sum(col("id"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+
+    // BASELINE B5: realtime ingest throughput — the events table
+    // through the streaming source → checkpointed segment sink
+    // (consume→seal→commit), end to end
+    val ingestJson = try {
+      import java.nio.file.{Files, Paths}
+      val src = s"$sfDir/events.parquet"
+      val schema = spark.read.parquet(src).schema
+      // the file stream source needs a DIRECTORY of arriving files
+      val inbox = Files.createTempDirectory("bench-inbox").toString
+      Files.copy(Paths.get(src), Paths.get(inbox, "events.parquet"))
+      val seg = Files.createTempDirectory("bench-seg").toString
+      val ckp = Files.createTempDirectory("bench-ckp").toString
+      val t0 = System.nanoTime()
+      graft.streaming.RealtimeIngest.start(
+        spark.readStream.schema(schema).parquet(inbox), seg, ckp).awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(seg).count()
+      s""","streaming_ingest":{"rows":$rows,"sec":$secs,"rows_per_sec":${rows / secs}}"""
+    } catch { case e: Throwable =>
+      System.err.println("[bench] streaming ingest FAILED"); e.printStackTrace(); ""
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor$ingestJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
