@@ -76,6 +76,32 @@ class IngestSpec extends SparkSpec {
       ExpressionTransform.fromConfig(Seq("x" -> "add(a, b) extra")))
   }
 
+  test("derived sketch columns at ingest (MetricFieldSpec derived-column pattern)") {
+    // the reference pre-computes serialized HLL columns at ingest
+    // (MetricFieldSpec derived metrics); the same chain here derives
+    // MinHash signatures + simhash once at ingest, so dedup queries
+    // read the segment without re-tokenizing any text
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content here")).toDF("id", "text")
+    val seg = tmp("graft-sketch-seg")
+    Ingest.writeSegment(docs, ExpressionTransform(Seq(
+      "minhash_sig" -> Dedup.minhashSignature(col("text"), 32, 2),
+      "simhash" -> Dedup.simhash64(col("text")),
+      "fp64" -> TextAnalysis.fingerprint64(col("text")))), seg)
+    val back = spark.read.parquet(seg)
+    // dedup directly from the stored signatures — no text re-hash
+    val est = back.filter($"id" === 1).select($"minhash_sig").as[Seq[Long]].head()
+    val est2 = back.filter($"id" === 2).select($"minhash_sig").as[Seq[Long]].head()
+    assert(est === est2, "identical text must yield identical stored signatures")
+    val dupPairs = back.as("a").join(back.as("b"),
+        $"a.fp64" === $"b.fp64" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSeq
+    assert(dupPairs === Seq((1L, 2L)))
+  }
+
   test("DataTypeTransform fails on missing declared fields") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[Exception] {
