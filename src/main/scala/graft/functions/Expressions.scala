@@ -146,6 +146,44 @@ object exprs {
     override def prettyName: String = "lsh_buckets"
   }
 
+  /** IVF coarse-quantizer assignment: nearest centroid id by L2. The
+    * codebook is a constructor argument, so it serializes with the
+    * plan to every executor (broadcast semantics with zero driver
+    * bookkeeping) and lands in generated code via a reference object. */
+  case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(centroids.nonEmpty, "empty codebook")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.nearestCell(input.asInstanceOf[ArrayData], centroids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.nearestCell($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCell =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_cell"
+  }
+
+  /** IVF probe list: the `nprobe` nearest cells, ascending distance. */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(centroids.nonEmpty, "empty codebook")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.nearestCells(input.asInstanceOf[ArrayData], centroids, nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.nearestCells($c, $ref, $nprobe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+    override def prettyName: String = "nearest_cells"
+  }
+
   /** Winnowing rolling-hash fingerprint → sorted array<bigint>
     * (HashOps.winnow). */
   case class WinnowFingerprint(child: Expression, k: Int, w: Int)
@@ -259,6 +297,12 @@ object GraftFunctions {
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(exprs.WinnowFingerprint(expr(text), k, w))
+
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(exprs.NearestCell(expr(vec), centroids))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftSqlBridge.column(exprs.NearestCells(expr(vec), centroids, nprobe))
 
   def qualityScore(text: Column): Column =
     GraftSqlBridge.column(exprs.QualityScore(expr(text)))

@@ -384,6 +384,54 @@ object HashOps {
     bucket
   }
 
+  /** Nearest-centroid cell id by L2 over a baked-in coarse codebook —
+    * the IVF assignment kernel. Centroids ride inside the expression
+    * (plan serialization = broadcast), one flat loop per row. */
+  def nearestCell(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val n = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      val lim = math.min(n, cent.length)
+      while (i < lim) {
+        val diff = vec.getDouble(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells in ascending distance order (ties →
+    * lower cell id) — the IVF probe list for a query vector. */
+  def nearestCells(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    var c = 0
+    val n = vec.numElements()
+    while (c < k) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      val lim = math.min(n, cent.length)
+      while (i < lim) {
+        val diff = vec.getDouble(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val order = (0 until k).sortBy(i => (dists(i), i)).take(math.min(nprobe, k))
+    new GenericArrayData(order.map(_.asInstanceOf[Any]).toArray)
+  }
+
   /** OR-amplified multi-table LSH: `numTables` independent bucket ids,
     * table t's planes seeded by chaining t into the plane seed
     * (table 0 reproduces [[lshBucket]] exactly). A neighbor is a

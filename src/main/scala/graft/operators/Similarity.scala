@@ -107,6 +107,71 @@ object Similarity {
     GraftFunctions.lshBucket(vec, numPlanes)
   }
 
+  /** IVF coarse quantizer: k centroids, trained by a deterministic
+    * k-means (seeded init + fixed Lloyd rounds). Centroid state is
+    * k×dim doubles on the driver — model-parameter scale, shipped to
+    * executors inside the assignment expression like any literal. */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Train the IVF codebook. Determinism: init = the `k` corpus
+    * vectors with the smallest seeded xxhash64(id) (order-independent
+    * of partitioning), then exactly `iters` Lloyd rounds with per-dim
+    * means rounded to 6 dp so floating summation order cannot perturb
+    * the codebook across retries. Each round = one scan + one shuffle
+    * of (cell, dim) partial sums. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): IvfModel = {
+    require(k > 0, s"k must be positive, got $k")
+    val vecD = col(vecCol).cast("array<double>")
+    var cents: Array[Array[Double]] = corpus
+      .select(vecD.as("_v"), xxhash64(col(idCol)).as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "empty training corpus")
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(GraftFunctions.nearestCell(vecD, cents).as("_cell"),
+          posexplode(vecD).as(Seq("_dim", "_x")))
+        .groupBy(col("_cell"), col("_dim"))
+        .agg(round(avg(col("_x")), 6).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next // cells that lost all members keep their centroid
+    }
+    IvfModel(cents)
+  }
+
+  /** IVF ANN: corpus rows assigned to their nearest cell ONCE (store
+    * the cell column with the segment to amortize across queries);
+    * each query probes its `nprobe` nearest cells, so exact scoring
+    * touches ~nprobe/k of the corpus. The inverted-file analogue of
+    * [[lshBucketedKnn]] — better cell balance on clustered data,
+    * tunable recall via nprobe. `excludeSelf` as in [[knnJoin]]. */
+  def ivfKnn(queries: DataFrame, qIdCol: String, corpus: DataFrame,
+      cIdCol: String, vecCol: String, k: Int, model: IvfModel,
+      nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val c = corpus.select(col(cIdCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      GraftFunctions.nearestCell(vecD, model.centroids).as("cell"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(GraftFunctions.nearestCells(vecD, model.centroids, nprobe)).as("cell"))
+    val joined = c.join(broadcast(q), Seq("cell"))
+    val filtered =
+      if (excludeSelf) joined.filter(col("corpus_id") =!= col("query_id"))
+      else joined
+    // a (query, corpus) pair appears once: probe cells are distinct
+    // and each corpus row lives in exactly one cell — no dedup needed
+    val scored = filtered.select(col("query_id"), col("corpus_id"),
+      round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** ANN: exact cosine within OR-amplified LSH buckets. Queries and
     * corpus are both hashed into `numTables` independent plane sets
     * (deterministic seeds); a corpus row is a candidate for a query if

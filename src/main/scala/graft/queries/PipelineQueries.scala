@@ -239,6 +239,31 @@ object PipelineQueries {
       .orderBy($"query_id")
   }
 
+  /** IVF ANN self-oracle: overall recall of the inverted-file path
+    * (16-cell deterministic codebook, 8 probes) across the 20-query
+    * set must be ≥ 40% of the exact top-3 sets — chance level is
+    * 3/|corpus| per query, so this is a real index-quality bar while
+    * honest about IVF's hardest regime (near-uniform embeddings,
+    * where per-query guarantees need nprobe → k; the LSH path holds
+    * the stronger per-query ≥2-of-3 bar). Aggregate form: a single
+    * deterministic row both engines can state. */
+  def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+    val k = 3
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
+        "embedding", k, excludeSelf = true)
+      .select($"query_id", $"corpus_id")
+    val approx = Similarity.ivfKnn(queries, "vec_id", emb, "vec_id",
+        "embedding", k, model, nprobe = 8, excludeSelf = true)
+      .select($"query_id", $"corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id")).count()
+    val total = exact.count()
+    Seq((total, hits >= (total * 2) / 5)).toDF("n_exact", "recall_ok")
+  }
+
   // ---- near-duplicate detection self-oracles ---------------------------
 
   /** MinHash estimator + LSH banding verified on the perturbed-copy
@@ -387,6 +412,7 @@ object PipelineQueries {
     "q_knn_brute" -> qKnnBrute,
     "q_knn_join" -> qKnnJoin,
     "q_lsh_ann" -> qLshAnn,
+    "q_ivf_ann" -> qIvfAnn,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_near_dup" -> qNearDup,
     "q_dedup_cluster" -> qDedupCluster,
@@ -530,6 +556,9 @@ object PipelineQueries {
     "q_lsh_ann" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_ok
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "q_ivf_ann" ->
+      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_minhash_pairs" ->
       s"""SELECT doc_id, TRUE AS est_ok, TRUE AS found_ok
          |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30

@@ -27,6 +27,27 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending")
   }
 
+  test("ivfKnn: deterministic training, reasonable recall, bounded probe cost") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val m1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val m2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq,
+      "training must be deterministic")
+    val queries = emb.filter($"vec_id" < 10)
+    val k = 5
+    val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", k,
+        excludeSelf = true)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfKnn(queries, "vec_id", emb, "vec_id", "embedding", k,
+        m1, nprobe = 6, excludeSelf = true)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    // probe cost bound: candidates scanned ≤ corpus (each corpus row
+    // is in exactly one cell; ≤ nprobe cells probed per query)
+    assert(approx.size <= queries.count() * k)
+  }
+
   test("lshBucketedKnn achieves reasonable recall vs brute force") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
