@@ -41,10 +41,14 @@ object DateTimeOps {
     require(size > 0, s"format size must be positive, got $size")
     val millisPerBucket: Long = size * unitMs(unit)
 
-    /** Column in this format → epoch millis. */
+    /** Column in this format → epoch millis. SDF goes through
+      * `unix_millis`, not `unix_timestamp` (second precision) — the
+      * reference's DateTimeFormatSpec parses SDF values to full
+      * millisecond precision, so sub-second pattern fields (`...SSS`)
+      * must survive the conversion. */
     def toMillis(c: Column): Column = sdfPattern match {
       case None => c.cast("long") * lit(millisPerBucket)
-      case Some(p) => unix_timestamp(to_timestamp(c, p)) * lit(1000L)
+      case Some(p) => unix_millis(to_timestamp(c, p))
     }
 
     /** Epoch millis → column in this format. The division happens on a

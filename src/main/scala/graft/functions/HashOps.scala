@@ -394,10 +394,14 @@ object HashOps {
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      // fail loudly on a malformed embedding, consistent with
+      // cosine/dot/l2's checkVectors — silent truncation here would
+      // hand back a silently wrong IVF cell assignment
+      require(n == cent.length,
+        s"nearest_cell: vector dim $n != codebook dim ${cent.length}")
       var d = 0.0
       var i = 0
-      val lim = math.min(n, cent.length)
-      while (i < lim) {
+      while (i < n) {
         val diff = vec.getDouble(i) - cent(i)
         d += diff * diff
         i += 1
@@ -417,10 +421,11 @@ object HashOps {
     val n = vec.numElements()
     while (c < k) {
       val cent = centroids(c)
+      require(n == cent.length,
+        s"nearest_cells: vector dim $n != codebook dim ${cent.length}")
       var d = 0.0
       var i = 0
-      val lim = math.min(n, cent.length)
-      while (i < lim) {
+      while (i < n) {
         val diff = vec.getDouble(i) - cent(i)
         d += diff * diff
         i += 1

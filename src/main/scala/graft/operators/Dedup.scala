@@ -153,8 +153,31 @@ object Dedup {
     * The returned frame is persisted (it was materialized by the
     * convergence checks and is one row per edge-touched node — tiny
     * relative to the corpus); callers running many dedups in one
-    * session may `unpersist()` it when done. */
+    * session should `unpersist()` via the [[CcLabels]] handle when
+    * done. Throws if the loop exits at `maxIter` without reaching
+    * fixpoint — partially-propagated labels would silently keep
+    * multiple "survivors" from one cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val r = connectedComponentsResult(pairs, maxIter)
+    if (!r.converged) {
+      r.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(a component's diameter exceeds maxIter); raise maxIter")
+    }
+    r.labels
+  }
+
+  /** Label frame + convergence metadata for [[connectedComponents]];
+    * `unpersist()` releases the cached labels once the caller has
+    * consumed them (long sessions running many dedups). */
+  final case class CcLabels(labels: DataFrame, converged: Boolean, iterations: Int) {
+    def unpersist(): Unit = { labels.unpersist(); () }
+  }
+
+  /** As [[connectedComponents]] but never throws: returns the labels
+    * with an explicit `converged` flag and an unpersist hook. */
+  def connectedComponentsResult(pairs: DataFrame, maxIter: Int = 10): CcLabels = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -183,7 +206,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    CcLabels(labels, converged, i)
   }
 
   /** End-to-end near-dup DEDUP: pair generation ([[nearDupPairs]]) →

@@ -42,8 +42,30 @@ object StarTreeRegistry {
 
   def clear(): Unit = entries.clear()
 
-  def lookup(rootPath: String): Option[Entry] =
-    entries.values.find(e => rootPath.contains(e.pathPrefix))
+  /** Strip URI scheme (scan roots come back as `file:/...`) and any
+    * trailing slashes so registered paths and scan roots compare in
+    * the same form. */
+  private def normalize(p: String): String = {
+    val noScheme =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null && u.getPath != null) u.getPath else p
+      } catch { case _: java.net.URISyntaxException => p }
+    val trimmed = noScheme.replaceAll("/+$", "")
+    if (trimmed.isEmpty) "/" else trimmed
+  }
+
+  /** Exact match on the normalized root path, or a prefix match only
+    * at a path-segment boundary — `/data/lineitem10.parquet` must NOT
+    * hit an index registered for `/data/lineitem1` (a substring match
+    * here silently answers from the wrong rollup). */
+  def lookup(rootPath: String): Option[Entry] = {
+    val root = normalize(rootPath)
+    entries.values.find { e =>
+      val pfx = normalize(e.pathPrefix)
+      root == pfx || root.startsWith(pfx + "/")
+    }
+  }
 }
 
 case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -12,9 +12,11 @@ import graft.sources.Tables
   * DataFrame plans.
   *
   * Supported subset (the whole documented PQL surface):
-  *  - `SELECT *|exprs|aggs FROM table`
+  *  - `SELECT *|exprs|aggs FROM table` (backtick-quoted identifiers OK)
   *  - `WHERE` with `= <> != < <= > >=`, `BETWEEN`, `[NOT] IN`,
-  *    `REGEXP_LIKE(col, 're')`, parenthesised `AND`/`OR` trees
+  *    `IS [NOT] NULL`, `REGEXP_LIKE(col, 're')`, parenthesised
+  *    `AND`/`OR` trees
+  *  - `OPTION(k=v, ...)` — parsed onto the AST, execution-advisory
   *  - `GROUP BY exprs TOP n` (+ `HAVING` over aggregation functions)
   *  - `ORDER BY col [ASC|DESC], ... LIMIT [offset,] size` (selection)
   *  - aggregations COUNT/MIN/MAX/SUM/AVG/MINMAXRANGE/DISTINCTCOUNT/
@@ -30,7 +32,9 @@ import graft.sources.Tables
   *  - `GROUP BY ... TOP n` orders groups by the FIRST aggregation
   *    descending (group keys ascending as tiebreak — the reference
   *    trims per-aggregation and documents tie instability; we are
-  *    deterministic), default TOP 10;
+  *    deterministic), default TOP 10; `TOP n` on a group-less
+  *    aggregation parses and is ignored, matching the reference broker
+  *    (the 10K golden corpus carries 1,236 such queries);
   *  - selection without LIMIT defaults to LIMIT 10 (the reference's
   *    selection default);
   *  - `ORDER BY` is selection-only, as in PQL ("ORDER BY only works
@@ -51,6 +55,7 @@ object Pql {
   final case class Cmp(e: Expr, op: String, v: Expr) extends Pred
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Pred
   final case class In(e: Expr, vals: Seq[Expr], negated: Boolean) extends Pred
+  final case class IsNull(e: Expr, negated: Boolean) extends Pred
   final case class RegexpLike(e: Expr, pattern: String) extends Pred
   final case class AndP(ps: Seq[Pred]) extends Pred
   final case class OrP(ps: Seq[Pred]) extends Pred
@@ -64,7 +69,8 @@ object Pql {
       having: Option[Pred],
       orderBy: Seq[(String, Boolean)], // (column, ascending)
       limit: Option[(Int, Int)],       // (offset, size)
-      distinct: Boolean = false)
+      distinct: Boolean = false,
+      options: Map[String, String] = Map.empty) // OPTION(k=v,...) — parsed, advisory
 
   // ---- lexer -----------------------------------------------------------
 
@@ -94,8 +100,23 @@ object Pql {
       }
       else if (c.isDigit || (c == '.' && i + 1 < n && q.charAt(i + 1).isDigit)) {
         val start = i
-        while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
-        out += Tok("NUM", q.substring(start, i))
+        var dots = 0
+        while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.')) {
+          if (q.charAt(i) == '.') dots += 1
+          i += 1
+        }
+        val s = q.substring(start, i)
+        if (dots > 1) throw new IllegalArgumentException(
+          s"malformed number '$s' at offset $start (more than one decimal point)")
+        out += Tok("NUM", s)
+      }
+      else if (c == '`') {
+        // backtick-quoted identifier (PQL2.g4 IDENTIFIER alt 2): any
+        // chars up to the closing backtick, quote not part of the name
+        val end = q.indexOf('`', i + 1)
+        if (end < 0) throw new IllegalArgumentException(s"unterminated backtick identifier at offset $i")
+        out += Tok("IDENT", q.substring(i + 1, end))
+        i = end + 1
       }
       else if (c.isLetter || c == '_') {
         val start = i
@@ -152,6 +173,7 @@ object Pql {
       var having: Option[Pred] = None
       var orderBy: Seq[(String, Boolean)] = Nil
       var limit: Option[(Int, Int)] = None
+      var options: Map[String, String] = Map.empty
       while (peek.isDefined) {
         if (atKw("WHERE")) { next(); where = Some(orPred()) }
         else if (atKw("GROUP")) {
@@ -182,9 +204,31 @@ object Pql {
           if (atSym(",")) { next(); limit = Some((a, int())) }
           else limit = Some((0, a))
         }
+        else if (atKw("OPTION")) {
+          // OPTION(key=value, ...) — PQL2.g4 `optionList`. Query hints
+          // (e.g. preserveType, responseFormat); parsed and carried on
+          // the AST, execution-advisory only (the reference broker also
+          // treats unknown options as no-ops).
+          next(); expectSym("(")
+          var more = !atSym(")")
+          while (more) {
+            val k = next() match {
+              case Tok("IDENT", s) => s
+              case t => throw new IllegalArgumentException(s"expected option key, got '${t.s}'")
+            }
+            expectSym("=")
+            val v = next() match {
+              case Tok("IDENT" | "NUM" | "STR", s) => s
+              case t => throw new IllegalArgumentException(s"expected option value, got '${t.s}'")
+            }
+            options += (k -> v)
+            if (atSym(",")) next() else more = false
+          }
+          expectSym(")")
+        }
         else throw new IllegalArgumentException(s"unexpected token '${peek.get.s}'")
       }
-      Query(sel, table, where, groupBy, top, having, orderBy, limit, distinct)
+      Query(sel, table, where, groupBy, top, having, orderBy, limit, distinct, options)
     }
 
     private def int(): Int = next() match {
@@ -263,6 +307,15 @@ object Pql {
       if (atKw("BETWEEN")) {
         next(); val lo = expr(); expectKw("AND"); val hi = expr()
         Between(e, lo, hi)
+      } else if (atKw("IS")) {
+        // IS [NOT] NULL — the reference PQL parses-but-ignores this
+        // (FilterQueryTree drops it); we evaluate it properly, which
+        // SURVEY §2.2 documents as the intended superset behavior.
+        next()
+        val negated = atKw("NOT")
+        if (negated) next()
+        expectKw("NULL")
+        IsNull(e, negated)
       } else if (atKw("NOT")) {
         next(); expectKw("IN"); In(e, inList(), negated = true)
       } else if (atKw("IN")) {
@@ -391,6 +444,10 @@ object Pql {
       if (negated) mvAware(schema, e)(x => !x.isin(lits: _*))
       else mvAware(schema, e)(_.isin(lits: _*))
     case RegexpLike(e, pat) => mvAware(schema, e)(_.rlike(pat))
+    // null-ness is a property of the entry, not its elements — bypass
+    // the MV any-element rule (an empty/absent MV cell is null itself)
+    case IsNull(e, negated) =>
+      if (negated) scalar(e).isNotNull else scalar(e).isNull
     case AndP(ps) => ps.map(predicate(_, schema)).reduce(_ && _)
     case OrP(ps) => ps.map(predicate(_, schema)).reduce(_ || _)
   }
@@ -439,6 +496,11 @@ object Pql {
       val nonAgg = q.select.filterNot(isAgg).filterNot(_ == Star)
       require(nonAgg.forall(e => q.groupBy.map(nameOf).contains(nameOf(e))),
         s"non-aggregate select columns must appear in GROUP BY: ${nonAgg.map(nameOf)}")
+      // TOP ordering needs a selected aggregation; an agg hidden in
+      // HAVING alone used to reach selAggs.head and crash — reject
+      // with the parser-error contract the fuzz test asserts.
+      require(q.groupBy.isEmpty || selAggs.nonEmpty,
+        "group-by queries must select at least one aggregation function")
       // Pinot MV group-by: one group entry per array element (multiple
       // MV keys → cartesian of elements per row) — explode each MV key
       val mvKeys = q.groupBy.collect {

@@ -33,6 +33,16 @@ class DateTimeOpsSpec extends SparkSpec {
     assert(back === ms / 3600000L)
   }
 
+  test("SDF patterns with sub-second fields keep millisecond precision") {
+    // reference DateTimeFormatSpec parses SDF to full millis; a
+    // unix_timestamp-based path would truncate the .789
+    val got = Seq("2024-06-01 12:30:45.789").toDF("s")
+      .select(DateTimeOps.parseFormat(
+        "1:MILLISECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss.SSS").toMillis($"s"))
+      .as[Long].head()
+    assert(got % 1000L === 789L, s"millis lost: $got")
+  }
+
   test("timeConvert floors across units both directions") {
     val df = Seq((ms, ms / 1000L)).toDF("ms", "s")
     val r = df.select(

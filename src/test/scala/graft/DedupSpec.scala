@@ -89,8 +89,37 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: chains converge to min label, pairs stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val result = Dedup.connectedComponentsResult(pairs)
+    val comps = result.labels.as[(Long, Long)].collect().toMap
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(result.converged)
+    result.unpersist() // long-session hygiene hook
+  }
+
+  test("connectedComponents throws instead of returning partial labels at maxIter") {
+    // chain of diameter 6 cannot converge in 1 round
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 1))
+    val partial = Dedup.connectedComponentsResult(chain, maxIter = 1)
+    assert(!partial.converged && partial.iterations === 1)
+    partial.unpersist()
+    // enough rounds → clean convergence, same API
+    assert(Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+      .values.toSet === Set(1L))
+  }
+
+  test("CcLabels.unpersist releases the cached labels (multi-dedup session)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val handles = (0 until 2).map { i =>
+      Dedup.connectedComponentsResult(
+        Seq((i * 10L + 1, i * 10L + 2)).toDF("id_a", "id_b"))
+    }
+    handles.foreach(_.labels.count())
+    assert(sc.getPersistentRDDs.size > before, "labels should be cached while live")
+    handles.foreach(_.unpersist())
+    assert(sc.getPersistentRDDs.size === before, "unpersist must release every handle")
   }
 
   test("nearDupDedup keeps one survivor per near-dup cluster, untouched docs survive") {

@@ -72,4 +72,42 @@ class ExtensionsSpec extends SparkSpec {
       assert(scanPaths(avgQ).exists(_.contains("lineitem.parquet")))
     } finally StarTreeRegistry.clear()
   }
+
+  test("registry matches only at path-segment boundaries — no substring cross-routing") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    val rollupDir = Files.createTempDirectory("graft-rollup2").toFile.getAbsolutePath
+    StarTree.build(fact, Seq("l_returnflag"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("l_returnflag"), Seq("l_quantity"),
+      spark.read.parquet(rollupDir))
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansFact() = fact.groupBy($"l_returnflag").agg(sum($"l_quantity"))
+      .queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten.exists(_.contains("lineitem.parquet"))
+
+    StarTreeRegistry.clear()
+    try {
+      // a registered PREFIX of the table name (the old substring bug:
+      // /…/lineitem would capture /…/lineitem.parquet) must NOT route
+      StarTreeRegistry.register(factPath.stripSuffix(".parquet"), idx)
+      assert(scansFact(), "index for /…/lineitem must not capture /…/lineitem.parquet")
+      // an index for a sibling table must not route either
+      StarTreeRegistry.clear()
+      StarTreeRegistry.register(s"$sfDir/orders.parquet", idx)
+      assert(scansFact(), "index for a sibling table must not capture the fact scan")
+      // the exact path (no scheme) still routes — scan root is file:/…
+      StarTreeRegistry.clear()
+      StarTreeRegistry.register(factPath, idx)
+      assert(!scansFact(), "exact-path registration must still route")
+      // …and an index rooted at a parent directory routes too
+      // (segment-boundary prefix)
+      StarTreeRegistry.clear()
+      StarTreeRegistry.register(sfDir, idx)
+      assert(!scansFact(), "segment-boundary parent prefix must route")
+    } finally StarTreeRegistry.clear()
+  }
 }

@@ -34,6 +34,31 @@ class PqlSpec extends SparkSpec {
     // ORDER BY on aggregation is a PQL error (use TOP)
     intercept[IllegalArgumentException](
       run("SELECT COUNT(*) FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"))
+    // malformed number: one clear lexer error, not a late crash
+    val numErr = intercept[IllegalArgumentException](
+      Pql.parse("SELECT a FROM t WHERE a = 1.2.3"))
+    assert(numErr.getMessage.contains("malformed number"))
+    // group-by whose only aggregation hides in HAVING: clear reject,
+    // not NoSuchElementException from the TOP ordering
+    val havErr = intercept[IllegalArgumentException](
+      run("SELECT n_regionkey FROM nation GROUP BY n_regionkey HAVING COUNT(*) > 3"))
+    assert(havErr.getMessage.contains("at least one aggregation"))
+  }
+
+  test("IS [NOT] NULL, OPTION(...), and backtick identifiers parse and evaluate") {
+    val q = Pql.parse("SELECT `n_name` FROM nation WHERE n_comment IS NOT NULL " +
+      "LIMIT 30 OPTION(preserveType=true, timeoutMs=100)")
+    assert(q.select === Seq(Pql.Ident("n_name")))
+    assert(q.where === Some(Pql.IsNull(Pql.Ident("n_comment"), negated = true)))
+    assert(q.options === Map("preserveType" -> "true", "timeoutMs" -> "100"))
+    // engine path: IS NULL evaluates (not parse-and-ignore)
+    val total = run("SELECT COUNT(*) FROM nation").as[Long].head()
+    val notNull = run("SELECT COUNT(*) FROM nation WHERE n_name IS NOT NULL LIMIT 100")
+      .as[Long].head()
+    val isNull = run("SELECT COUNT(*) FROM nation WHERE n_name IS NULL LIMIT 100")
+      .as[Long].head()
+    assert(notNull + isNull === total)
+    assert(notNull === total, "testdata nation.n_name has no nulls")
   }
 
   test("SELECT * and default selection LIMIT 10") {
