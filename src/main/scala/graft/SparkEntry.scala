@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ApproxQueries.queries ++
-      graft.queries.PqlQueries.queries
+      graft.queries.PqlQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ApproxQueries.oracles ++
-      graft.queries.PqlQueries.oracles
+      graft.queries.PqlQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

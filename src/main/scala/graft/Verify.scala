@@ -18,6 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The golden-corpus oracle runs the reference's own hsqls in
+    // DuckDB over the exact synthesized table the PQL side queried —
+    // dump it where the {OUT} placeholder will point.
+    // under _data/ so result-dir scanners skip it (underscore = the
+    // hadoop hidden-path convention)
+    try graft.pql.CorpusHarness.fixture(spark).flat
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_data/corpus_flat_parquet")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] corpus flat dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -37,8 +47,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {OUT} in an oracle statement → this run's absolute output dir
+    // (lets corpus oracles read the parquet dumped above from DuckDB)
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

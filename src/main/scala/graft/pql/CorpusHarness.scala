@@ -1,0 +1,305 @@
+package graft.pql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.ArrayType
+
+/** Result-level execution of the 10K golden corpus: each line's PQL
+  * runs through the graft front-end ([[Pql.toDataFrame]]) and each
+  * paired hsql runs through Spark SQL over the H2-style flattened
+  * view — two independent parse/compile paths over the same
+  * synthesized data — then the results are compared with the
+  * reference harness's own semantics
+  * (`ClusterIntegrationTestUtils.java:506-806`):
+  *
+  *  - aggregation-only: one hsql per aggregation function; each value
+  *    fuzzy-compared; a NULL H2 value means nothing matched, so the
+  *    PQL side must be null (or 0 for COUNT) — lines 540-573;
+  *  - group-by: one hsql per aggregation returning (keys..., value);
+  *    every PQL group (after TOP trimming) must exist in the H2 group
+  *    map with a fuzzy-equal value — containment, because TOP trims
+  *    the engine side — lines 576-664;
+  *  - selection: every PQL row must appear in the H2 row set
+  *    (containment: the hsql carries LIMIT 10000, the PQL its own
+  *    smaller LIMIT); multi-value cells compare as null-padded-to-5,
+  *    sorted element lists, mirroring the `__MV0..4` flattening —
+  *    lines 672-800;
+  *  - exhaustion guard: if the H2 side hits 10,000 rows the reference
+  *    skips the comparison (lines 597,631,759) — kept for fidelity,
+  *    though at our synthesized row count it never triggers, so every
+  *    comparison is real.
+  *
+  * Divergence from the reference: fuzzy tolerance. The reference uses
+  * `DoubleMath.fuzzyEquals(a, b, 1.0)` (line 565) because Pinot and H2
+  * aggregate in different numeric engines; here both paths run on
+  * Spark over identical data, so we hold a far tighter relative 1e-9 —
+  * a real compilation bug cannot hide inside a ±1.0 window.
+  *
+  * Harness code, driver-side by design: every collect is bounded by
+  * the reference's own MAX_NUM_ROWS_TO_COMPARE = 10,000.
+  */
+object CorpusHarness {
+
+  private val MaxRowsToCompare = 10000
+
+  /** Synthesized corpus fixture: the MV table (for PQL), its H2-style
+    * flat twin (for hsqls, registered as temp view `mytable`), and the
+    * parsed corpus. */
+  final case class Fixture(lines: Vector[OnTimeCorpus.Line], mv: DataFrame, flat: DataFrame)
+
+  @volatile private var cached: (SparkSession, Int, Fixture) = null
+
+  /** Build (or reuse) the fixture: parse the corpus, mine literal
+    * pools, synthesize `numRows` deterministic rows, cache both views.
+    * Keyed on (session, numRows) so Verify and tests share one build. */
+  def fixture(spark: SparkSession, numRows: Int = 8000): Fixture = {
+    val c = cached
+    if (c != null && (c._1 eq spark) && c._2 == numRows) return c._3
+    synchronized {
+      val c2 = cached
+      if (c2 != null && (c2._1 eq spark) && c2._2 == numRows) return c2._3
+      val lines = OnTimeCorpus.loadCorpus()
+      val schema = PinotSchema.load(spark, OnTimeCorpus.SchemaPath)
+      val pools = OnTimeCorpus.minePools(lines)
+      val mv = OnTimeCorpus.synthesize(spark, schema, pools, numRows).cache()
+      val flat = OnTimeCorpus.flatten(mv).cache()
+      flat.createOrReplaceTempView("mytable")
+      flat.count() // materialize both caches once
+      val f = Fixture(lines, mv, flat)
+      cached = (spark, numRows, f)
+      f
+    }
+  }
+
+  // ---- canonical values -------------------------------------------------
+
+  /** Scalar cell → canonical string (H2-side getString analog). */
+  private def canon(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString // reference lowercases H2's TRUE/FALSE
+    case other => String.valueOf(other)
+  }
+
+  /** Multi-value cell → canonical: pad to 5 with "null", sort — the
+    * reference's element-order-insensitive MV compare (lines 719-725,
+    * 772-785). */
+  private def canonMv(elems: Seq[Any]): String = {
+    val padded = elems.map(canon) ++ Seq.fill(math.max(0, 5 - elems.size))("null")
+    padded.sorted.mkString("[", ",", "]")
+  }
+
+  private def toDouble(v: Any): Option[Double] = v match {
+    case null => None
+    case n: Number => Some(n.doubleValue())
+    case s: String => try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  private def fuzzyEq(a: Double, b: Double): Boolean =
+    a == b || math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  // ---- per-line comparison ---------------------------------------------
+
+  final case class Outcome(id: Int, matched: Boolean, mode: String, reason: String)
+
+  def compareLine(spark: SparkSession, fx: Fixture, line: OnTimeCorpus.Line): Outcome = {
+    try {
+      val q = Pql.parse(line.pql)
+      val pqlDf = Pql.toDataFrame(q, _ => fx.mv)
+      val selAggs = q.select.filter(Pql.isAggExpr)
+      if (selAggs.nonEmpty && q.groupBy.isEmpty) compareAggOnly(spark, line, q, pqlDf, selAggs)
+      else if (q.groupBy.nonEmpty) compareGroupBy(spark, line, q, pqlDf, selAggs)
+      else compareSelection(spark, fx, line, q, pqlDf)
+    } catch {
+      case e: Exception =>
+        Outcome(line.id, matched = false, "error", s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+  }
+
+  private def compareAggOnly(spark: SparkSession, line: OnTimeCorpus.Line,
+      q: Pql.Query, pqlDf: DataFrame, selAggs: Seq[Pql.Expr]): Outcome = {
+    require(line.hsqls.length == selAggs.length,
+      s"hsql count ${line.hsqls.length} != aggregation count ${selAggs.length}")
+    val row = pqlDf.head()
+    var i = 0
+    while (i < selAggs.length) {
+      val h2 = spark.sql(line.hsqls(i)).head()
+      val expected = toDouble(h2.get(0))
+      val actual = toDouble(row.get(i))
+      val isCount = selAggs(i) match {
+        case Pql.Func(n, _) => n == "count"
+        case _ => false
+      }
+      (expected, actual) match {
+        case (None, None) => () // both empty-input nulls
+        case (None, Some(a)) =>
+          // H2 null ⟺ zero docs selected (ref lines 549-559); COUNT
+          // over zero docs is 0 on the engine side, not null
+          if (!(isCount && a == 0.0))
+            return Outcome(line.id, matched = false, "agg",
+              s"agg $i: H2 empty but engine returned $a")
+        case (Some(e), Some(a)) =>
+          if (!fuzzyEq(a, e))
+            return Outcome(line.id, matched = false, "agg",
+              s"agg $i: expected $e got $a")
+        case (Some(e), None) =>
+          return Outcome(line.id, matched = false, "agg",
+            s"agg $i: expected $e got null")
+      }
+      i += 1
+    }
+    Outcome(line.id, matched = true, "agg", "")
+  }
+
+  private def compareGroupBy(spark: SparkSession, line: OnTimeCorpus.Line,
+      q: Pql.Query, pqlDf: DataFrame, selAggs: Seq[Pql.Expr]): Outcome = {
+    require(line.hsqls.length == selAggs.length,
+      s"hsql count ${line.hsqls.length} != aggregation count ${selAggs.length}")
+    val nKeys = q.groupBy.length
+    val pqlRows = pqlDf.collect()
+    var i = 0
+    while (i < selAggs.length) {
+      val h2Rows = spark.sql(line.hsqls(i)).collect()
+      if (h2Rows.length >= MaxRowsToCompare)
+        return Outcome(line.id, matched = true, "groupby", "skipped: H2 not exhausted")
+      val expected: Map[String, Any] = h2Rows.map { r =>
+        (0 until nKeys).map(k => canon(r.get(k))).mkString("\u0001") -> r.get(nKeys)
+      }.toMap
+      if (expected.isEmpty) {
+        if (pqlRows.nonEmpty)
+          return Outcome(line.id, matched = false, "groupby",
+            s"agg $i: H2 returned no groups but engine returned ${pqlRows.length}")
+      } else {
+        // containment: TOP trims the engine side (ref lines 631-660)
+        for (r <- pqlRows) {
+          val key = (0 until nKeys).map(k => canon(r.get(k))).mkString("\u0001")
+          expected.get(key) match {
+            case None =>
+              return Outcome(line.id, matched = false, "groupby",
+                s"agg $i: group [$key] returned by engine but absent in H2")
+            case Some(h2v) =>
+              val e = toDouble(h2v)
+              val a = toDouble(r.get(nKeys + i))
+              if (e.isDefined != a.isDefined || e.exists(ev => !fuzzyEq(a.get, ev)))
+                return Outcome(line.id, matched = false, "groupby",
+                  s"agg $i group [$key]: expected $h2v got ${r.get(nKeys + i)}")
+          }
+        }
+      }
+      i += 1
+    }
+    Outcome(line.id, matched = true, "groupby", "")
+  }
+
+  private def compareSelection(spark: SparkSession, fx: Fixture,
+      line: OnTimeCorpus.Line, q: Pql.Query, pqlDf: DataFrame): Outcome = {
+    val mvCols = fx.mv.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] => f.name.toLowerCase
+    }.toSet
+    val isMv = q.select.map {
+      case Pql.Ident(n) => mvCols.contains(n.toLowerCase)
+      case _ => false
+    }
+    val h2Rows = spark.sql(line.hsqls.head).collect()
+    if (h2Rows.length >= MaxRowsToCompare)
+      return Outcome(line.id, matched = true, "selection", "skipped: H2 not exhausted")
+
+    // H2 rows: each MV select item occupies five __MVi columns
+    def h2Canon(r: Row): String = {
+      var c = 0
+      isMv.map { mv =>
+        if (mv) { val s = canonMv((0 until 5).map(j => r.get(c + j)).filter(_ != null)); c += 5; s }
+        else { val s = canon(r.get(c)); c += 1; s }
+      }.mkString("\u0001")
+    }
+    def pqlCanon(r: Row): String =
+      isMv.zipWithIndex.map { case (mv, c) =>
+        if (mv) canonMv(r.getSeq[Any](c)) else canon(r.get(c))
+      }.mkString("\u0001")
+
+    val expected = h2Rows.map(h2Canon).toSet
+    val pqlRows = pqlDf.collect()
+    if (expected.isEmpty) {
+      if (pqlRows.nonEmpty)
+        return Outcome(line.id, matched = false, "selection",
+          s"H2 returned no rows but engine returned ${pqlRows.length}")
+      return Outcome(line.id, matched = true, "selection", "")
+    }
+    for (r <- pqlRows) {
+      val v = pqlCanon(r)
+      if (!expected.contains(v))
+        return Outcome(line.id, matched = false, "selection",
+          s"row returned by engine but absent in H2: ${v.replace('\u0001', '|').take(200)}")
+    }
+    Outcome(line.id, matched = true, "selection", "")
+  }
+
+  // ---- entry points -----------------------------------------------------
+
+  /** Run a set of corpus lines, returning (line_id, mode, matched,
+    * reason) — the `q_corpus_sample` surface. */
+  def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000): DataFrame = {
+    val fx = fixture(spark, numRows)
+    val byId = fx.lines.map(l => l.id -> l).toMap
+    val outcomes = ids.map(id => compareLine(spark, fx, byId(id)))
+    import spark.implicits._
+    outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
+      .toDF("line_id", "mode", "matched", "reason")
+  }
+
+  /** Deterministic sample: every `step`-th line id. */
+  def sampleIds(step: Int): Seq[Int] = 0 until 10000 by step
+
+  /** The first `k` aggregation-only corpus lines (deterministic scalar
+    * results → exact DuckDB oracle material). Spark-free: `oracleSql`
+    * is a static contract, so this reads and parses the corpus only. */
+  def aggOnlyLines(k: Int): Vector[OnTimeCorpus.Line] =
+    OnTimeCorpus.loadCorpus().filter { l =>
+      val q = try Some(Pql.parse(l.pql)) catch { case _: IllegalArgumentException => None }
+      q.exists(p => p.groupBy.isEmpty && p.select.forall(Pql.isAggExpr) && p.select.nonEmpty)
+    }.take(k)
+
+  /** PQL-side frame for the DuckDB-checked slice: one row per
+    * (line_id, agg_idx) with the aggregation value rounded to 6
+    * places — the oracle runs the paired hsqls in DuckDB over the
+    * parquet dump of the same synthesized table. */
+  def duckSlice(spark: SparkSession, k: Int, numRows: Int = 8000): DataFrame = {
+    val fx = fixture(spark, numRows)
+    val lines = aggOnlyLines(k)
+    import spark.implicits._
+    val slice: Seq[(Int, Int, java.lang.Double)] = lines.flatMap { l =>
+      val q = Pql.parse(l.pql)
+      val row = Pql.toDataFrame(q, _ => fx.mv).head()
+      q.select.indices.map { i =>
+        val v: java.lang.Double = toDouble(row.get(i))
+          .map(d => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .map(Double.box).orNull
+        (l.id, i, v)
+      }
+    }
+    slice.toDF("line_id", "agg_idx", "value")
+      .orderBy("line_id", "agg_idx")
+  }
+
+  /** DuckDB oracle SQL for [[duckSlice]]: each hsql rewritten to read
+    * the flat parquet dump (`{OUT}` is substituted by Verify with the
+    * output dir at dump time). */
+  def duckSliceOracle(k: Int): String = {
+    val lines = aggOnlyLines(k)
+    val parts = lines.flatMap { l =>
+      l.hsqls.zipWithIndex.map { case (h, i) =>
+        val scalar = h.replaceAll("(?i)\\bFROM\\s+mytable\\b",
+          "FROM read_parquet('{OUT}/_data/corpus_flat_parquet/*.parquet')")
+        s"SELECT ${l.id} AS line_id, $i AS agg_idx, round(CAST(($scalar) AS DOUBLE), 6) AS value"
+      }
+    }
+    parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY line_id, agg_idx")
+  }
+
+  /** Static self-oracle for `q_corpus_sample`: the sampled ids, all
+    * expected to match — a mismatch on ANY sampled line flips its
+    * `matched` cell and fails the driver's hash compare. */
+  def sampleOracle(step: Int): String = {
+    val values = sampleIds(step).map(i => s"($i)").mkString(",")
+    s"SELECT line_id, TRUE AS matched FROM (VALUES $values) t(line_id) ORDER BY line_id"
+  }
+}

@@ -350,6 +350,11 @@ object Pql {
   def isAggregationQuery(q: Query): Boolean =
     q.groupBy.nonEmpty || q.select.exists(isAgg)
 
+  /** Whether a select-list expression is an aggregation function —
+    * public for harnesses that mirror the broker's per-aggregation
+    * result layout (one hsql per aggregation in the golden corpus). */
+  def isAggExpr(e: Expr): Boolean = isAgg(e)
+
   // ---- translation to DataFrame ----------------------------------------
 
   private val AggNames = Set("count", "min", "max", "sum", "avg",

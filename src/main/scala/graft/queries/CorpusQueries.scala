@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pql.CorpusHarness
+
+/** The golden-corpus gate (BASELINE.md B1): result-level execution of
+  * the reference's 10,000-query integration corpus over synthesized
+  * OnTime-schema data — see [[graft.pql.CorpusHarness]] for the
+  * comparison semantics (`ClusterIntegrationTestUtils.java:506-806`).
+  *
+  * Two surfaces:
+  *  - `q_corpus_sample`: every 40th corpus line (250 lines spanning
+  *    selection / aggregation / group-by / MV shapes) executed
+  *    PQL-vs-hsql; emits (line_id, matched). Self-oracle: the driver's
+  *    DuckDB compare pins every sampled line to matched=TRUE, so one
+  *    regression on any sampled line fails the hash.
+  *  - `q_corpus_duck`: the first 40 aggregation-only lines; the PQL
+  *    values hash-compare against the paired hsqls executed BY DUCKDB
+  *    over a parquet dump of the same synthesized table ({OUT}
+  *    placeholder, substituted by Verify) — a genuinely external
+  *    engine answering the reference's own queries.
+  *
+  * The full 10,000-line sweep runs in `CorpusFullSpec`
+  * (GRAFT_CORPUS_FULL=1 gated — ~20 min).
+  */
+object CorpusQueries {
+
+  val SampleStep = 40
+  val DuckLines = 40
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_sample" -> ((s, _) =>
+      CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep))
+        .select("line_id", "matched")
+        .orderBy("line_id")),
+    "q_corpus_duck" -> ((s, _) => CorpusHarness.duckSlice(s, DuckLines))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_corpus_sample" -> CorpusHarness.sampleOracle(SampleStep),
+    "q_corpus_duck" -> CorpusHarness.duckSliceOracle(DuckLines)
+  )
+}
