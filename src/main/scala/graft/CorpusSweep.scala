@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pql.CorpusHarness
+
+/** Chunked driver for the full golden-corpus sweep: runs corpus lines
+  * [start, end) through [[CorpusHarness.compareLine]] and appends one
+  * `id<TAB>matched<TAB>mode<TAB>reason` line per query to `outFile` —
+  * resumable, so arbitrarily long sweeps compose from bounded
+  * invocations (`CorpusFullSpec` is the single-process variant). */
+object CorpusSweep {
+  def main(args: Array[String]): Unit = {
+    val Array(startS, endS, outFile) = args.take(3)
+    val (start, end) = (startS.toInt, endS.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // thousands of micro-queries over an 8000-row cached fixture:
+      // single-partition shuffles and no AQE — AQE's stage-by-stage
+      // resubmission and multi-partition exchanges drown the scheduler
+      // at this job rate (measured: 12-partition+AQE ran ~100× slower)
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fx = CorpusHarness.fixture(spark)
+    val lines = fx.lines.slice(start, end)
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outFile, true))
+    val t0 = System.nanoTime()
+    try {
+      lines.grouped(500).foreach { chunk =>
+        val os = CorpusHarness.compareAll(spark, fx, chunk,
+          parallelism = cpus.toInt)
+        os.foreach(o => out.println(
+          s"${o.id}\t${o.matched}\t${o.mode}\t${o.reason.replace('\t', ' ').replace('\n', ' ')}"))
+        out.flush()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[sweep] ${chunk.last.id + 1}%5d done, " +
+          f"${os.count(_.matched)}%3d/${os.size} matched in chunk, $secs%.0f s")
+      }
+    } finally out.close()
+    spark.stop()
+  }
+}

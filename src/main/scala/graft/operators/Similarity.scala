@@ -115,50 +115,82 @@ object Similarity {
     def k: Int = centroids.length
   }
 
-  /** Train the IVF codebook. Determinism: init = the `k` corpus
+  /** Train the IVF codebook. Determinism: init = the `k` training
     * vectors with the smallest seeded xxhash64(id) (order-independent
     * of partitioning), then exactly `iters` Lloyd rounds with per-dim
     * means rounded to 6 dp so floating summation order cannot perturb
     * the codebook across retries. Each round = one scan + one shuffle
-    * of (cell, dim) partial sums. */
+    * of (cell, dim) partial sums.
+    *
+    * Scale: `sampleFraction < 1` trains on a seeded-hash row filter —
+    * deterministic (same rows on any partitioning / task retry), and
+    * k-means codebooks converge on a sample (k centroids need k×dim
+    * numbers of signal, not the full corpus). The Lloyd rounds' dim×
+    * posexplode expansion then touches only the cached sample, not
+    * `iters` full-corpus scans — at 100 TB train on ≤0.1% and assign
+    * with [[ivfAssign]] once. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3): IvfModel = {
+      k: Int, iters: Int = 3, sampleFraction: Double = 1.0,
+      seed: Long = 42L): IvfModel = {
     require(k > 0, s"k must be positive, got $k")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val vecD = col(vecCol).cast("array<double>")
-    var cents: Array[Array[Double]] = corpus
-      .select(vecD.as("_v"), xxhash64(col(idCol)).as("_h"))
-      .orderBy(col("_h"), col(idCol))
-      .limit(k)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "empty training corpus")
-    for (_ <- 1 to iters) {
-      val means = corpus
-        .select(GraftFunctions.nearestCell(vecD, cents).as("_cell"),
-          posexplode(vecD).as(Seq("_dim", "_x")))
-        .groupBy(col("_cell"), col("_dim"))
-        .agg(round(avg(col("_x")), 6).as("_m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    val training0 = corpus.select(col(idCol).as("_id"), vecD.as("_v"))
+    val training = (if (sampleFraction < 1.0)
+      training0.filter(
+        pmod(xxhash64(col("_id"), lit(seed)), lit(1000000L))
+          < (sampleFraction * 1000000L).toLong)
+    else training0).cache()
+    try {
+      var cents: Array[Array[Double]] = training
+        .select(col("_v"), xxhash64(col("_id"), lit(seed)).as("_h"))
+        .orderBy(col("_h"), col("_id"))
+        .limit(k)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty, "empty training corpus (sampleFraction too small?)")
+      for (_ <- 1 to iters) {
+        val means = training
+          .select(GraftFunctions.nearestCell(col("_v"), cents).as("_cell"),
+            posexplode(col("_v")).as(Seq("_dim", "_x")))
+          .groupBy(col("_cell"), col("_dim"))
+          .agg(round(avg(col("_x")), 6).as("_m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next // cells that lost all members keep their centroid
       }
-      cents = next // cells that lost all members keep their centroid
-    }
-    IvfModel(cents)
+      IvfModel(cents)
+    } finally { training.unpersist(); () }
   }
 
-  /** IVF ANN: corpus rows assigned to their nearest cell ONCE (store
-    * the cell column with the segment to amortize across queries);
-    * each query probes its `nprobe` nearest cells, so exact scoring
-    * touches ~nprobe/k of the corpus. The inverted-file analogue of
-    * [[lshBucketedKnn]] — better cell balance on clustered data,
-    * tunable recall via nprobe. `excludeSelf` as in [[knnJoin]]. */
+  /** Materialize each corpus row's IVF cell — the "store the cell
+    * column with the segment" step: write the result once, then every
+    * [[ivfKnn]] call passes `cellCol` and skips the per-query
+    * re-assignment scan (the reference keeps the forward index of its
+    * cluster assignment with the segment for the same reason). */
+  def ivfAssign(corpus: DataFrame, vecCol: String, model: IvfModel,
+      cellCol: String = "ivf_cell"): DataFrame =
+    corpus.withColumn(cellCol,
+      GraftFunctions.nearestCell(col(vecCol).cast("array<double>"), model.centroids))
+
+  /** IVF ANN: corpus rows assigned to their nearest cell ONCE (pass
+    * `cellCol` for a corpus pre-assigned via [[ivfAssign]] — amortized
+    * across queries); each query probes its `nprobe` nearest cells, so
+    * exact scoring touches ~nprobe/k of the corpus. The inverted-file
+    * analogue of [[lshBucketedKnn]] — better cell balance on clustered
+    * data, tunable recall via nprobe. `excludeSelf` as in [[knnJoin]]. */
   def ivfKnn(queries: DataFrame, qIdCol: String, corpus: DataFrame,
       cIdCol: String, vecCol: String, k: Int, model: IvfModel,
-      nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+      nprobe: Int = 4, excludeSelf: Boolean = false,
+      cellCol: Option[String] = None): DataFrame = {
     val vecD = col(vecCol).cast("array<double>")
+    val cCell = cellCol.map(col(_).cast("int"))
+      .getOrElse(GraftFunctions.nearestCell(vecD, model.centroids))
     val c = corpus.select(col(cIdCol).as("corpus_id"), col(vecCol).as("c_vec"),
-      GraftFunctions.nearestCell(vecD, model.centroids).as("cell"))
+      cCell.as("cell"))
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("q_vec"),
       explode(GraftFunctions.nearestCells(vecD, model.centroids, nprobe)).as("cell"))
     val joined = c.join(broadcast(q), Seq("cell"))

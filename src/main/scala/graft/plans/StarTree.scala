@@ -48,12 +48,17 @@ object StarTree {
     def covers(groupBy: Seq[String]): Boolean = groupBy.forall(dims.contains)
 
     /** The pre-aggregated slice for a group-by on `groupBy` ⊆ dims:
-      * rows whose grouping id stars exactly the other dimensions. */
+      * rows whose grouping id stars exactly the other dimensions.
+      * `cnt_<m>` is the per-metric non-null count — AVG derives as
+      * sum/cnt at query time (the reference's AvgPair value aggregator
+      * stores (sum, count) in the tree for the same reason);
+      * `star_count` alone would be wrong for nullable metrics. */
     def slice(groupBy: Seq[String]): DataFrame = {
       require(covers(groupBy),
         s"star-tree over $dims cannot answer group-by $groupBy")
       val metricCols = metrics.flatMap(m => Seq(
-        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"))) :+ col("star_count")
+        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"), col(s"cnt_$m"))) :+
+        col("star_count")
       rollup.filter(col("_gid") === gidFor(groupBy))
         .select(groupBy.map(col) ++ metricCols: _*)
     }
@@ -65,7 +70,8 @@ object StarTree {
       metrics.flatMap(m => Seq(
         sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
-        max(col(m)).as(s"max_$m"))) :+ count(lit(1)).as("star_count")
+        max(col(m)).as(s"max_$m"),
+        count(col(m)).as(s"cnt_$m"))) :+ count(lit(1)).as("star_count")
     // grouping_id() is only valid inside the cube aggregation itself
     val rollup = fact
       .cube(dims.map(col): _*)

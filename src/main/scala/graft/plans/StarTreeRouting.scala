@@ -3,8 +3,9 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -79,16 +80,32 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** rollup column name for one aggregate, if tree-mergeable. */
-  private def rollupColumn(e: Expression, metrics: Seq[String]): Option[String] = e match {
+  /** Slice expression answering one aggregate, if tree-mergeable and
+    * the slice materializes the needed columns (None → no rewrite, so
+    * an index built before a column existed degrades to the fact scan
+    * instead of crashing). AVG derives as sum/cnt — the reference's
+    * AvgPair `ValueAggregator` (`data/aggregator/
+    * ValueAggregatorFactory.java`) stores the same pair in the tree. */
+  private def rollupExpr(e: Expression, metrics: Seq[String],
+      bySlice: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Option[Expression] = e match {
     case AggregateExpression(Sum(ar: AttributeReference, _), Complete, false, None, _)
-        if metrics.contains(ar.name) => Some(s"sum_${ar.name}")
+        if metrics.contains(ar.name) => bySlice.get(s"sum_${ar.name}")
     case AggregateExpression(Min(ar: AttributeReference), Complete, false, None, _)
-        if metrics.contains(ar.name) => Some(s"min_${ar.name}")
+        if metrics.contains(ar.name) => bySlice.get(s"min_${ar.name}")
     case AggregateExpression(Max(ar: AttributeReference), Complete, false, None, _)
-        if metrics.contains(ar.name) => Some(s"max_${ar.name}")
+        if metrics.contains(ar.name) => bySlice.get(s"max_${ar.name}")
+    case AggregateExpression(Average(ar: AttributeReference, _), Complete, false, None, _)
+        if metrics.contains(ar.name) && !ar.dataType.isInstanceOf[DecimalType] =>
+      // sum/cnt in double — Average's own result type for non-decimal
+      // inputs; cnt = 0 gives a null sum, hence null avg, matching the
+      // empty-group semantics. LEGACY divide: never ANSI-error here.
+      for {
+        s <- bySlice.get(s"sum_${ar.name}")
+        c <- bySlice.get(s"cnt_${ar.name}")
+      } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType), EvalMode.LEGACY)
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
-      Some("star_count")
+      bySlice.get("star_count")
     case _ => None
   }
 
@@ -103,31 +120,20 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } => gs.map(_.asInstanceOf[AttributeReference])
         }
-        // every output: either a grouping attr or a mergeable aggregate
-        mapped <- traverse(aggExprs) {
-          case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
-            Some(ar.name -> ar)
-          case al @ Alias(ae: AggregateExpression, _) =>
-            rollupColumn(ae, entry.index.metrics).map(_ -> al)
-          case _ => None
-        }
-      } yield {
-        val slicePlan = entry.index
+        slicePlan = entry.index
           .slice(groupAttrs.map(_.name))
           .queryExecution.analyzed
-        val bySliceName = slicePlan.output.map(a => a.name -> a).toMap
-        val projections: Seq[NamedExpression] = mapped.map { case (sliceName, orig) =>
-          val src = bySliceName.getOrElse(sliceName,
-            throw new IllegalStateException(s"rollup column $sliceName missing"))
-          orig match {
-            case ar: AttributeReference =>
-              Alias(src, ar.name)(exprId = ar.exprId)
-            case al: Alias =>
-              Alias(src, al.name)(exprId = al.exprId)
-          }
+        bySlice = slicePlan.output.map(a => a.name -> a).toMap
+        // every output: either a grouping attr or a mergeable aggregate
+        projections <- traverse[NamedExpression, NamedExpression](aggExprs) {
+          case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
+            bySlice.get(ar.name).map(src => Alias(src, ar.name)(exprId = ar.exprId))
+          case al @ Alias(ae: AggregateExpression, _) =>
+            rollupExpr(ae, entry.index.metrics, bySlice)
+              .map(expr => Alias(expr, al.name)(exprId = al.exprId))
+          case _ => None
         }
-        Project(projections, slicePlan)
-      }
+      } yield Project(projections, slicePlan)
       rewritten.getOrElse(agg)
   }
 

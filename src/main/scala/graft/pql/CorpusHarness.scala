@@ -235,12 +235,30 @@ object CorpusHarness {
 
   // ---- entry points -----------------------------------------------------
 
+  /** Run corpus lines through [[compareLine]] on a driver-side thread
+    * pool — each line is a handful of tiny jobs over the cached
+    * fixture, so the bottleneck is per-job scheduling latency, not
+    * compute; concurrent submission overlaps it (Spark's scheduler is
+    * built for multi-threaded drivers). Results keep `lines` order. */
+  def compareAll(spark: SparkSession, fx: Fixture,
+      lines: Seq[OnTimeCorpus.Line], parallelism: Int = 8): Seq[Outcome] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = lines.map { l =>
+        pool.submit(new java.util.concurrent.Callable[Outcome] {
+          def call(): Outcome = compareLine(spark, fx, l)
+        })
+      }
+      futures.map(_.get())
+    } finally { pool.shutdown(); () }
+  }
+
   /** Run a set of corpus lines, returning (line_id, mode, matched,
     * reason) — the `q_corpus_sample` surface. */
   def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000): DataFrame = {
     val fx = fixture(spark, numRows)
     val byId = fx.lines.map(l => l.id -> l).toMap
-    val outcomes = ids.map(id => compareLine(spark, fx, byId(id)))
+    val outcomes = compareAll(spark, fx, ids.map(byId))
     import spark.implicits._
     outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
       .toDF("line_id", "mode", "matched", "reason")

@@ -206,7 +206,10 @@ object OnTimeCorpus {
         case (g, dt, false) => draw(g, dt)
       })
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 8),
+    // few, fat partitions: thousands of corpus micro-queries scan this
+    // cached frame, and per-task scheduling overhead dominates at this
+    // row count — 4 tasks/scan is plenty for thousands of rows
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
       StructType(schema.fields.map(_.copy(nullable = true))))
   }
 

@@ -319,6 +319,40 @@ object CoreQueries {
       .orderBy($"region_bucket")
   }
 
+  /** Avro batch ingest (AvroRecordReader.java semantics via
+    * avro-mapred — [[graft.sources.Ingest.readAvro]]): supplier rows
+    * round-trip through an Avro container file, run the transformer
+    * chain, land in a segment, and the aggregate over the segment must
+    * match the oracle computed from the original parquet — proving the
+    * reader's field-by-name conversion end-to-end. The fixture write is
+    * driver-side and key-bounded; the READ is the distributed path
+    * under test. */
+  def qAvroIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{AvroConvert, Ingest}
+    val supplier = t(s, dir, "supplier").filter($"s_suppkey" <= 10000)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(base).mkdirs()
+    val avroFile = new java.io.File(s"$base/supplier.avro")
+    AvroConvert.writeFile(supplier.collect().toSeq, supplier.schema, avroFile)
+    val outSchema = org.apache.spark.sql.types.StructType(supplier.schema.fields :+
+      org.apache.spark.sql.types.StructField("nation_bucket",
+        org.apache.spark.sql.types.IntegerType))
+    val chain = Ingest.CompoundTransform(Seq(
+      Ingest.SanitationTransform(Seq("s_name")),
+      Ingest.ExpressionTransform(Seq("nation_bucket" -> (col("s_nationkey") % 5))),
+      Ingest.DataTypeTransform(outSchema)))
+    val segDir = s"$base/segment"
+    Ingest.writeSegment(Ingest.readAvro(s, avroFile.getAbsolutePath, supplier.schema),
+      chain, segDir, sortBy = Seq("s_suppkey"))
+    s.read.parquet(segDir)
+      .groupBy($"nation_bucket")
+      .agg(count(lit(1)).as("cnt"), min($"s_name").as("min_name"),
+        round(sum($"s_acctbal"), 3).as("sum_bal"))
+      .orderBy($"nation_bucket")
+  }
+
   /** Star-tree routing ([[graft.plans.StarTree]]): the group-by is
     * answered from the materialized rollup (route() asserts the tree
     * was used — no fact scan), and must still equal the oracle's
@@ -381,6 +415,7 @@ object CoreQueries {
     "q_union_time_slices" -> qUnionTimeSlices,
     "q_hybrid_boundary" -> qHybridBoundary,
     "q_csv_ingest" -> qCsvIngest,
+    "q_avro_ingest" -> qAvroIngest,
     "q_startree" -> qStartree,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg)
@@ -486,6 +521,11 @@ object CoreQueries {
       """SELECT n_regionkey % 2 AS region_bucket, count(*) AS cnt,
         |  count(DISTINCT n_regionkey) AS dc_region, min(n_name) AS min_name
         |FROM nation GROUP BY 1 ORDER BY region_bucket""".stripMargin,
+    "q_avro_ingest" ->
+      """SELECT CAST(s_nationkey % 5 AS INTEGER) AS nation_bucket, count(*) AS cnt,
+        |  min(s_name) AS min_name, round(sum(s_acctbal), 3) AS sum_bal
+        |FROM supplier WHERE s_suppkey <= 10000
+        |GROUP BY 1 ORDER BY nation_bucket""".stripMargin,
     "q_startree" ->
       """SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

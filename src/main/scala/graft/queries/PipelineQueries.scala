@@ -147,11 +147,16 @@ object PipelineQueries {
     * engines) + distinct-fingerprint counts per lang. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fingerprint projected ONCE before the aggregate: the md5 kernel
+    // runs per row, not per aggregate reference (the agg-embedded form
+    // hashed every document twice and pushed full text through the
+    // distinct-agg Expand; this pushes only (lang, 32-char fp))
     t(s, dir, "documents")
+      .select($"lang", TextAnalysis.fingerprintMd5($"text").as("_fp"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("cnt"),
-        countDistinct(TextAnalysis.fingerprintMd5($"text")).as("distinct_fp"),
-        min(TextAnalysis.fingerprintMd5($"text")).as("min_fp"))
+        countDistinct($"_fp").as("distinct_fp"),
+        min($"_fp").as("min_fp"))
       .orderBy($"lang")
   }
 
@@ -168,9 +173,12 @@ object PipelineQueries {
     * bucket events by the JSON payload's k field. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // from_json with a one-field schema instead of get_json_object:
+    // Jackson parses either way, but the narrow schema skips JsonPath
+    // compilation/evaluation and materializes only `k`
     t(s, dir, "events")
-      .select(floor(get_json_object($"props", "$.k").cast("int") / lit(10))
-        .as("k_bucket"), $"value")
+      .select(floor(from_json($"props", "k INT", Map.empty[String, String])
+        .getField("k") / lit(10)).as("k_bucket"), $"value")
       .groupBy($"k_bucket")
       .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"))
       .orderBy($"k_bucket")
@@ -252,12 +260,17 @@ object PipelineQueries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 20)
     val k = 3
-    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
+    // the 100 TB shape: codebook from a 10% seeded sample, cell column
+    // materialized once with the segment, probe joins against it
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16,
+      iters = 2, sampleFraction = 0.1)
+    val assigned = Similarity.ivfAssign(emb, "embedding", model)
     val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
         "embedding", k, excludeSelf = true)
       .select($"query_id", $"corpus_id")
-    val approx = Similarity.ivfKnn(queries, "vec_id", emb, "vec_id",
-        "embedding", k, model, nprobe = 8, excludeSelf = true)
+    val approx = Similarity.ivfKnn(queries, "vec_id", assigned, "vec_id",
+        "embedding", k, model, nprobe = 8, excludeSelf = true,
+        cellCol = Some("ivf_cell"))
       .select($"query_id", $"corpus_id")
     val hits = exact.join(approx, Seq("query_id", "corpus_id")).count()
     val total = exact.count()

@@ -21,10 +21,15 @@ import graft.functions.DateTimeOps
   * codegen'd projection over the scan — per-row, distributed, no
   * driver involvement, which is what makes it hold at 100 TB.
   *
-  * Avro note: the reference also reads Avro; `spark.read.format
-  * ("avro")` is the drop-in once the spark-avro jar ships with the
-  * deployment (not present in this build's jar set, so it is not
-  * wired here).
+  * Avro: the spark-avro datasource jar is not in this build's jar
+  * set, so [[readAvro]] goes through `avro-mapred`'s
+  * `AvroKeyInputFormat` (splittable container reads, one task per
+  * block) and converts GenericRecord → Row against the DECLARED
+  * schema — the `AvroRecordReader.java` semantics: fields matched by
+  * name, union-wrapped nullables unwrapped, missing fields null (the
+  * transformer chain fills defaults). Swap to
+  * `spark.read.format("avro")` when the datasource jar ships; the
+  * transformer chain downstream is unchanged.
   */
 object Ingest {
 
@@ -109,6 +114,29 @@ object Ingest {
       .option("delimiter", delimiter)
       .option("mode", "FAILFAST")
       .csv(path)
+
+  /** Avro container files → rows (AvroRecordReader.java). Reads with
+    * the file's writer schema via `AvroKeyInputFormat` (block-aligned
+    * splits — parallel at any file size), then projects/converts each
+    * GenericRecord onto the declared StructType by field name. The
+    * per-record conversion happens inside the partition iterator, so
+    * the input format's object reuse never leaks. */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable])
+    val fields = schema.fields // serializable capture, not the SparkSession
+    val rows = rdd.mapPartitions(_.map { case (k, _) =>
+      AvroConvert.toRow(k.datum(), fields)
+    })
+    spark.createDataFrame(rows, schema)
+  }
 
   /** JSON-lines → rows (JSONRecordReader.java). */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * logs): `from_json` yields null structs which are filtered, with a
   * `_corrupt` passthrough variant for quarantine pipelines.
   *
-  * Avro note: `from_avro` is the drop-in for the Avro decoder once the
-  * spark-avro jar ships with the deployment; not wired here because
-  * this build's jar set does not include it.
+  * Avro: `from_avro` needs the spark-avro jar (absent here), so
+  * [[decodeAvro]] decodes the binary payload with the Avro runtime
+  * directly — `KafkaAvroMessageDecoder.java` semantics: one configured
+  * reader schema, per-message BinaryDecoder (reused within a
+  * partition), undecodable payloads skipped.
   */
 object StreamDecoder {
 
@@ -48,6 +50,34 @@ object StreamDecoder {
       .filter(col(s"_rec.$CorruptCol").isNull)
       .select(keep.map(col) :+ col("_rec.*"): _*)
       .drop(CorruptCol)
+
+  /** Avro-decode a binary `value` column against the configured
+    * writer/reader schema (JSON form), yielding rows of `schema`.
+    * Streaming-safe (`mapPartitions` on a typed Dataset); the decoder
+    * and datum reader are constructed once per partition and the
+    * BinaryDecoder is reused across records — the same
+    * decode-or-skip loop as the reference's KafkaAvroMessageDecoder
+    * (it logs-and-drops on corrupt payloads). `mapPartitions` is the
+    * right shape here, not a UDF: the Avro runtime is per-partition
+    * stateful (decoder reuse) and returns a full row, not a scalar. */
+  def decodeAvro(raw: DataFrame, avroSchemaJson: String, schema: StructType,
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val fields = schema.fields
+    raw.select(col(valueCol).cast("binary")).as(Encoders.BINARY)
+      .mapPartitions { iter =>
+        val avro = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+        val reader = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](avro)
+        var decoder: org.apache.avro.io.BinaryDecoder = null
+        iter.flatMap { bytes =>
+          try {
+            decoder = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, decoder)
+            Some(graft.sources.AvroConvert.toRow(reader.read(null, decoder), fields))
+          } catch { case _: Exception => None }
+        }
+      }(Encoders.row(schema))
+  }
 
   /** Same, but quarantines undecodable payloads instead of dropping:
     * returns (decoded, corrupt-raw) frames. */

@@ -4,26 +4,30 @@ import graft.pql.CorpusHarness
 
 /** The full 10,000-line golden-corpus sweep — the reference's own
   * integration bar (`ClusterIntegrationTestUtils.testQuery` over every
-  * line of `On_Time_..._test_queries_10K`). ~20 minutes of wall time,
-  * so gated behind GRAFT_CORPUS_FULL=1; the always-on sampled gate is
-  * [[CorpusSpec]] and the driver-checked `q_corpus_sample`. */
+  * line of `On_Time_..._test_queries_10K`). Minutes of wall time (25K+
+  * small jobs), so gated behind GRAFT_CORPUS_FULL=1; the always-on
+  * sampled gate is [[CorpusSpec]] and the driver-checked
+  * `q_corpus_sample`. Lines run on a driver thread pool
+  * ([[CorpusHarness.compareAll]]) to overlap per-job latency. */
 class CorpusFullSpec extends SparkSpec {
 
   private val enabled = sys.env.get("GRAFT_CORPUS_FULL").contains("1")
 
   test("all 10,000 corpus lines match PQL-vs-hsql (≥9,900 bar, mismatches triaged)") {
     assume(enabled, "set GRAFT_CORPUS_FULL=1 to run the full sweep")
+    spark.sparkContext.setLogLevel("WARN") // 25K jobs of INFO would dominate wall time
     val fx = CorpusHarness.fixture(spark)
-    var matched = 0
-    val mismatches = Vector.newBuilder[CorpusHarness.Outcome]
-    fx.lines.foreach { l =>
-      val o = CorpusHarness.compareLine(spark, fx, l)
-      if (o.matched) matched += 1 else mismatches += o
-      if ((l.id + 1) % 1000 == 0)
-        info(s"${l.id + 1}/10000: $matched matched")
-    }
-    val bad = mismatches.result()
+    val t0 = System.nanoTime()
+    val outcomes = fx.lines.grouped(1000).zipWithIndex.flatMap { case (chunk, i) =>
+      val os = CorpusHarness.compareAll(spark, fx, chunk, parallelism = 8)
+      val done = (i + 1) * 1000
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"$done%5d/10000 lines, ${os.count(_.matched) + 0}%4d matched in chunk, $secs%.0f s elapsed")
+      os
+    }.toVector
+    val bad = outcomes.filterNot(_.matched)
     bad.take(20).foreach(o => info(s"MISMATCH line ${o.id} [${o.mode}]: ${o.reason}"))
+    val matched = outcomes.count(_.matched)
     assert(matched >= 9900, s"$matched/10000 matched; ${bad.length} mismatches")
     assert(bad.isEmpty, s"${bad.length} mismatches need triage (see info output)")
   }

@@ -67,9 +67,24 @@ class ExtensionsSpec extends SparkSpec {
       // not covered: grouping outside the tree dims → fact scan stays
       val uncovered = fact.groupBy($"l_suppkey").agg(sum($"l_quantity"))
       assert(scanPaths(uncovered).exists(_.contains("lineitem.parquet")))
-      // not covered: non-mergeable aggregate (avg) → fact scan stays
-      val avgQ = fact.groupBy($"l_returnflag").agg(avg($"l_quantity"))
-      assert(scanPaths(avgQ).exists(_.contains("lineitem.parquet")))
+
+      // avg(metric) derives from the tree's (sum, cnt) pair — routed,
+      // and equal to the fact-table answer
+      def avgQ() = fact.groupBy($"l_returnflag")
+        .agg(avg($"l_quantity").as("a"), count(lit(1)).as("c"))
+      val avgDirect = {
+        StarTreeRegistry.clear()
+        val r = avgQ().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+        StarTreeRegistry.register(factPath, idx)
+        r
+      }
+      assert(!scanPaths(avgQ()).exists(_.contains("lineitem.parquet")),
+        "avg must route to the rollup via sum/cnt derivation")
+      assert(avgQ().orderBy("l_returnflag").collect().map(_.toSeq).toSeq === avgDirect)
+
+      // still not mergeable: percentile → fact scan stays
+      val pctQ = fact.groupBy($"l_returnflag").agg(percentile($"l_quantity", lit(0.5)))
+      assert(scanPaths(pctQ).exists(_.contains("lineitem.parquet")))
     } finally StarTreeRegistry.clear()
   }
 

@@ -42,6 +42,45 @@ class IngestSpec extends SparkSpec {
       (2L, "bob", 1.25, 3L, 125.0)))
   }
 
+  test("Avro reader: container round-trip with MV arrays, nulls, and missing declared fields") {
+    import graft.sources.AvroConvert
+    val mvSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("counts", ArrayType(IntegerType))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "alice", 3.5, Seq("a", "b"), Seq(1, 2, 3)),
+      org.apache.spark.sql.Row(2L, null, 1.25, Seq("c"), Seq.empty[Int]),
+      org.apache.spark.sql.Row(3L, "carol", null, null, Seq(7)))
+    val dir = tmp("graft-avro")
+    val f = new java.io.File(dir, "data.avro")
+    AvroConvert.writeFile(rows, mvSchema, f)
+
+    val back = Ingest.readAvro(spark, f.getAbsolutePath, mvSchema)
+      .orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(0).getLong(0) === 1L && back(0).getString(1) === "alice")
+    assert(back(0).getSeq[String](3) === Seq("a", "b"))
+    assert(back(0).getSeq[Int](4) === Seq(1, 2, 3))
+    assert(back(1).isNullAt(1) && back(1).getSeq[Int](4).isEmpty)
+    assert(back(2).isNullAt(2) && back(2).isNullAt(3))
+
+    // a field the avro file lacks: null (reference warns-and-nulls;
+    // NullDefaultTransform downstream fills it)
+    val widened = StructType(mvSchema.fields :+ StructField("extra", LongType))
+    val w = Ingest.readAvro(spark, f.getAbsolutePath, widened).orderBy("id").collect()
+    assert(w.forall(_.isNullAt(5)), "missing avro field must read as null")
+    // int widening: declared LONG over an avro int field
+    val longCounts = StructType(mvSchema.fields.map {
+      case StructField("counts", _, _, _) => StructField("counts", ArrayType(LongType))
+      case other => other
+    })
+    val lc = Ingest.readAvro(spark, f.getAbsolutePath, longCounts).orderBy("id").collect()
+    assert(lc(0).getSeq[Long](4) === Seq(1L, 2L, 3L))
+  }
+
   test("JSON-lines reader with null-default substitution") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Paths.get(dir, "rows.json"),

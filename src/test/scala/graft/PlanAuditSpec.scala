@@ -54,6 +54,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "window top-k crept back in")
   }
 
+  test("ivfKnn over a pre-assigned corpus does not recompute cell assignment") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 1,
+      sampleFraction = 0.5)
+    // materialize the cell column like a segment write, then read back
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    Similarity.ivfAssign(emb, "embedding", model)
+      .write.mode("overwrite").parquet(dir)
+    val assigned = spark.read.parquet(dir)
+    val queries = emb.limit(5)
+    val pre = plan(Similarity.ivfKnn(queries, "vec_id", assigned, "vec_id",
+      "embedding", 3, model, nprobe = 2, cellCol = Some("ivf_cell")))
+    // corpus side must use the stored column: nearest_cell( (scalar
+    // assignment) absent; the query-side probe list nearest_cells( stays
+    assert(!pre.contains("nearest_cell("), s"cell re-assignment crept in:\n${pre.take(1200)}")
+    assert(pre.contains("nearest_cells("), "query probe list missing")
+    val inline = plan(Similarity.ivfKnn(queries, "vec_id", emb, "vec_id",
+      "embedding", 3, model, nprobe = 2))
+    assert(inline.contains("nearest_cell("), "sanity: inline path assigns cells")
+  }
+
   test("whole-stage codegen covers the text-kernel pipeline") {
     // AQE reports 0 codegen subtrees before the plan finalizes; turn it
     // off for this inspection only

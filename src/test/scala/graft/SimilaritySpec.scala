@@ -48,6 +48,33 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size <= queries.count() * k)
   }
 
+  test("ivfTrain on a seeded sample is deterministic; ivfAssign matches the inline path") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val s1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2,
+      sampleFraction = 0.3)
+    val s2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2,
+      sampleFraction = 0.3)
+    assert(s1.centroids.map(_.toSeq).toSeq === s2.centroids.map(_.toSeq).toSeq,
+      "sampled training must be deterministic (seeded hash filter)")
+    // pre-assigned corpus (the store-with-segment path) must give the
+    // same results as inline assignment
+    val queries = emb.filter($"vec_id" < 10)
+    val assigned = Similarity.ivfAssign(emb, "embedding", s1)
+    assert(assigned.columns.contains("ivf_cell"))
+    val inline = Similarity.ivfKnn(queries, "vec_id", emb, "vec_id", "embedding",
+        3, s1, nprobe = 4, excludeSelf = true)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val pre = Similarity.ivfKnn(queries, "vec_id", assigned, "vec_id", "embedding",
+        3, s1, nprobe = 4, excludeSelf = true, cellCol = Some("ivf_cell"))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(inline === pre)
+    // the sampled-training cache is released when training returns
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4, iters = 1, sampleFraction = 0.3)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "ivfTrain must unpersist its training sample")
+  }
+
   test("lshBucketedKnn achieves reasonable recall vs brute force") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 10)

@@ -29,6 +29,33 @@ class StreamDecoderSpec extends SparkSpec {
     assert(good.count() === 2 && bad.count() === 1)
   }
 
+  test("Avro decode over Kafka-shaped binary payloads (decode-or-skip)") {
+    import graft.sources.AvroConvert
+    val avro = AvroConvert.schemaFor(schema)
+    def payload(id: Long, typ: String, v: Double) = AvroConvert.toBytes(
+      org.apache.spark.sql.Row(id, typ, v), schema, avro)
+    val raw = Seq(
+      payload(1L, "click", 2.5),
+      Array[Byte](0x7f, 0x00, 0x13), // undecodable
+      payload(2L, "view", 1.0))
+      .toDF("value")
+    val decoded = StreamDecoder.decodeAvro(raw, avro.toString, schema)
+    assert(decoded.columns.toSeq === Seq("event_id", "event_type", "value"))
+    val rows = decoded.orderBy("event_id").as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "click", 2.5), (2L, "view", 1.0)),
+      "corrupt payload skipped, rest decoded")
+
+    // streaming path: same decoder over a MemoryStream micro-batch
+    val source = MemoryStream[Array[Byte]](spark)
+    source.addData(payload(10L, "click", 3.0), Array[Byte](0x01), payload(11L, "view", 4.0))
+    val sink = StreamDecoder.decodeAvro(source.toDF.toDF("value"), avro.toString, schema)
+      .writeStream.format("memory").queryName("avro_decoded").outputMode("append").start()
+    sink.processAllAvailable()
+    sink.stop()
+    assert(spark.table("avro_decoded").as[(Long, String, Double)].collect().toSet
+      === Set((10L, "click", 3.0), (11L, "view", 4.0)))
+  }
+
   test("streaming decode → segment commit end-to-end (Kafka-shaped pipeline)") {
     val seg = Files.createTempDirectory("graft-dec-seg").toFile.getAbsolutePath
     val ckp = Files.createTempDirectory("graft-dec-ckp").toFile.getAbsolutePath

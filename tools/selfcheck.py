@@ -36,8 +36,8 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
+        if not os.path.isdir(d) or name.startswith("_"):
+            continue  # _data/ = side dumps (corpus table), not results
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
             if files else pd.DataFrame()
