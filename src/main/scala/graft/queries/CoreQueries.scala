@@ -353,6 +353,40 @@ object CoreQueries {
       .orderBy($"nation_bucket")
   }
 
+  /** Thrift batch ingest (ThriftRecordReader.java semantics —
+    * [[graft.sources.Ingest.readThrift]]): nation rows serialize to a
+    * TBinaryProtocol struct stream (driver-side, key-bounded fixture),
+    * read back by declared-field name through the distributed reader,
+    * aggregate must match the oracle over the original parquet. */
+  def qThriftIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ingest
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TIOStreamTransport
+    val nation = t(s, dir, "nation").filter($"n_nationkey" <= 10000)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_thrift_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File(base).mkdirs()
+    val out = new java.io.FileOutputStream(s"$base/nation.bin")
+    val proto = new TBinaryProtocol(new TIOStreamTransport(out))
+    nation.select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .collect().foreach { r =>
+        val d = new graft.sources.ThriftDoc
+        d.id = r.getLong(0); d.name = r.getString(1); d.score = r.getLong(2).toDouble
+        d.write(proto)
+      }
+    out.close()
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    Ingest.readThrift(s, s"$base/nation.bin",
+        classOf[graft.sources.ThriftDoc].getName, declared)
+      .groupBy($"score".cast("long").as("region"))
+      .agg(count(lit(1)).as("cnt"), min($"name").as("min_name"))
+      .orderBy($"region")
+  }
+
   /** Star-tree routing ([[graft.plans.StarTree]]): the group-by is
     * answered from the materialized rollup (route() asserts the tree
     * was used — no fact scan), and must still equal the oracle's
@@ -416,6 +450,7 @@ object CoreQueries {
     "q_hybrid_boundary" -> qHybridBoundary,
     "q_csv_ingest" -> qCsvIngest,
     "q_avro_ingest" -> qAvroIngest,
+    "q_thrift_ingest" -> qThriftIngest,
     "q_startree" -> qStartree,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg)
@@ -526,6 +561,11 @@ object CoreQueries {
         |  min(s_name) AS min_name, round(sum(s_acctbal), 3) AS sum_bal
         |FROM supplier WHERE s_suppkey <= 10000
         |GROUP BY 1 ORDER BY nation_bucket""".stripMargin,
+    "q_thrift_ingest" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS region, count(*) AS cnt,
+        |  min(n_name) AS min_name
+        |FROM nation WHERE n_nationkey <= 10000
+        |GROUP BY 1 ORDER BY region""".stripMargin,
     "q_startree" ->
       """SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -138,6 +138,25 @@ object Ingest {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Thrift binary files → rows (ThriftRecordReader.java): each file
+    * is a stream of back-to-back TBinaryProtocol-serialized structs of
+    * a user-generated thrift class; fields map to the declared schema
+    * by NAME via the class's own TFieldIdEnum metadata (the
+    * reference's `fieldForId` index loop). One task per file — a bare
+    * thrift stream has no sync markers to split on (the reference
+    * reads it single-threaded for the same reason); shard input across
+    * files for parallelism. The thrift class is resolved and the
+    * fieldName→id map built once per task, records decode straight to
+    * Rows inside the iterator. */
+  def readThrift(spark: SparkSession, path: String, thriftClassName: String,
+      schema: StructType): DataFrame = {
+    val fields = schema.fields
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+      ThriftConvert.readStream(pds.open(), thriftClassName, fields)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** JSON-lines → rows (JSONRecordReader.java). */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Ingest
@@ -79,6 +81,42 @@ class IngestSpec extends SparkSpec {
     })
     val lc = Ingest.readAvro(spark, f.getAbsolutePath, longCounts).orderBy("id").collect()
     assert(lc(0).getSeq[Long](4) === Seq(1L, 2L, 3L))
+  }
+
+  test("Thrift reader: binary struct stream by declared-field name, sharded across files") {
+    import org.apache.thrift.protocol.TBinaryProtocol
+    import org.apache.thrift.transport.TIOStreamTransport
+    val dir = tmp("graft-thrift")
+    def writeFile(n: String, docs: Seq[(Long, String, Double, Seq[String])]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, n))
+      val proto = new TBinaryProtocol(new TIOStreamTransport(out))
+      docs.foreach { case (id, name, score, tags) =>
+        val d = new graft.sources.ThriftDoc
+        d.id = id; d.name = name; d.score = score
+        d.tags = new java.util.ArrayList(tags.asJava)
+        d.write(proto)
+      }
+      out.close()
+    }
+    // two files → two tasks (per-file streams, the splittability story)
+    writeFile("a.bin", Seq((1L, "alpha", 1.5, Seq("x", "y")), (2L, "beta", 2.5, Seq())))
+    writeFile("b.bin", Seq((3L, "gamma", 3.5, Seq("z"))))
+
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("tags", ArrayType(StringType)),
+      StructField("missing_col", StringType))) // declared but absent in the struct
+    val df = Ingest.readThrift(spark, dir, classOf[graft.sources.ThriftDoc].getName, declared)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).getSeq[String](3) === Seq("x", "y"))
+    assert(rows(1).getSeq[String](3).isEmpty)
+    assert(rows.forall(_.isNullAt(4)), "absent thrift field must read as null")
+    // int-widening conversion path: declared INT over the i64 field
+    val narrow = StructType(Seq(StructField("id", IntegerType)))
+    assert(Ingest.readThrift(spark, dir, classOf[graft.sources.ThriftDoc].getName, narrow)
+      .orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
 
   test("JSON-lines reader with null-default substitution") {
