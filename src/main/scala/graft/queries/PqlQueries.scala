@@ -53,7 +53,14 @@ object PqlQueries {
         |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q_pql_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin,
+    // round-4 grammar tail: backtick identifiers, IS [NOT] NULL
+    // evaluated (not parse-and-ignore), OPTION(...) carried as
+    // advisory — one query exercising all three through the oracle
+    "q_pql_isnull" ->
+      """SELECT COUNT(*), MAX(`o_totalprice`) FROM orders
+        |WHERE `o_orderstatus` IS NOT NULL AND o_orderpriority IS NOT NULL
+        |OPTION(preserveType=true, timeoutMs=10000)""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     pql.map { case (name, q) =>
@@ -113,5 +120,9 @@ object PqlQueries {
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "q_pql_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin,
+    "q_pql_isnull" ->
+      """SELECT count(*) AS count_star, max(o_totalprice) AS max_o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL""".stripMargin)
 }
