@@ -38,7 +38,13 @@ object Bench {
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // correctness HARNESSES, not throughput queries: each runs
+    // hundreds of sub-second corpus statements and would dominate (and
+    // distort) the headline total whose baseline counterpart does no
+    // comparable work. Timed separately, once, under "harness".
+    val harnessNames = Set("q_corpus_sample", "q_corpus_duck")
+
+    val names = SparkEntry.queries.keys.toSeq.filterNot(harnessNames).sorted
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     names.foreach { n =>
       try run(n)
@@ -94,11 +100,27 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println("[bench] streaming ingest FAILED"); e.printStackTrace(); ""
     }
+    // corpus harnesses: one timed pass each (deterministic workload;
+    // a best-of-N over hundreds of statements just repeats the work)
+    val harness = harnessNames.toSeq.sorted.filter(SparkEntry.queries.contains).flatMap { n =>
+      try {
+        val t0 = System.nanoTime()
+        run(n)
+        Some(n -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-harness] $n FAILED"); e.printStackTrace()
+        failed += n
+        None
+      }
+    }
+    val hj = harness.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","harness":{""", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor$ingestJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor$hj$ingestJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

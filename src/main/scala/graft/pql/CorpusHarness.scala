@@ -235,23 +235,42 @@ object CorpusHarness {
 
   // ---- entry points -----------------------------------------------------
 
+  /** Micro-query regime for the harness only: the fixture is a few
+    * thousand cached rows, so AQE's stage-by-stage resubmission and
+    * multi-partition exchanges cost more than the queries themselves
+    * (measured ~100× on the full sweep). Session confs are set for the
+    * duration of `f` and restored — engine defaults elsewhere are
+    * untouched. Safe because harness entry points run single-caller. */
+  private def withMicroQueryConf[A](spark: SparkSession)(f: => A): A = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   /** Run corpus lines through [[compareLine]] on a driver-side thread
     * pool — each line is a handful of tiny jobs over the cached
     * fixture, so the bottleneck is per-job scheduling latency, not
     * compute; concurrent submission overlaps it (Spark's scheduler is
     * built for multi-threaded drivers). Results keep `lines` order. */
   def compareAll(spark: SparkSession, fx: Fixture,
-      lines: Seq[OnTimeCorpus.Line], parallelism: Int = 8): Seq[Outcome] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-    try {
-      val futures = lines.map { l =>
-        pool.submit(new java.util.concurrent.Callable[Outcome] {
-          def call(): Outcome = compareLine(spark, fx, l)
-        })
-      }
-      futures.map(_.get())
-    } finally { pool.shutdown(); () }
-  }
+      lines: Seq[OnTimeCorpus.Line], parallelism: Int = 8): Seq[Outcome] =
+    withMicroQueryConf(spark) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        val futures = lines.map { l =>
+          pool.submit(new java.util.concurrent.Callable[Outcome] {
+            def call(): Outcome = compareLine(spark, fx, l)
+          })
+        }
+        futures.map(_.get())
+      } finally { pool.shutdown(); () }
+    }
 
   /** Run a set of corpus lines, returning (line_id, mode, matched,
     * reason) — the `q_corpus_sample` surface. */
@@ -284,15 +303,25 @@ object CorpusHarness {
     val fx = fixture(spark, numRows)
     val lines = aggOnlyLines(k)
     import spark.implicits._
-    val slice: Seq[(Int, Int, java.lang.Double)] = lines.flatMap { l =>
-      val q = Pql.parse(l.pql)
-      val row = Pql.toDataFrame(q, _ => fx.mv).head()
-      q.select.indices.map { i =>
-        val v: java.lang.Double = toDouble(row.get(i))
-          .map(d => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          .map(Double.box).orNull
-        (l.id, i, v)
-      }
+    val slice: Seq[(Int, Int, java.lang.Double)] = withMicroQueryConf(spark) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = lines.map { l =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(Int, Int, java.lang.Double)]] {
+            def call(): Seq[(Int, Int, java.lang.Double)] = {
+              val q = Pql.parse(l.pql)
+              val row = Pql.toDataFrame(q, _ => fx.mv).head()
+              q.select.indices.map { i =>
+                val v: java.lang.Double = toDouble(row.get(i))
+                  .map(d => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                  .map(Double.box).orNull
+                (l.id, i, v)
+              }
+            }
+          })
+        }
+        futures.flatMap(_.get())
+      } finally { pool.shutdown(); () }
     }
     slice.toDF("line_id", "agg_idx", "value")
       .orderBy("line_id", "agg_idx")
