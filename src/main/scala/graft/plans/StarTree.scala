@@ -34,10 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object StarTree {
 
-  /** Materialized rollup over `dims` with sum/count/min/max metrics.
-    * Persist `rollup` (e.g. `write.parquet`) to reuse across queries —
-    * the segment-build step of the reference's tree. */
-  final case class Index(dims: Seq[String], metrics: Seq[String], rollup: DataFrame) {
+  /** Materialized rollup over `dims` with sum/count/min/max metrics
+    * (plus, when built `withSketches`, a DataSketches HLL column per
+    * metric — the reference's sketch `ValueAggregator`s,
+    * `data/aggregator/ValueAggregatorFactory.java`). Persist `rollup`
+    * (e.g. `write.parquet`) to reuse across queries — the
+    * segment-build step of the reference's tree. */
+  final case class Index(dims: Seq[String], metrics: Seq[String], rollup: DataFrame,
+      sketchLgK: Int = 0) {
 
     private def gidFor(groupBy: Seq[String]): Long =
       dims.zipWithIndex.map { case (d, i) =>
@@ -56,27 +60,40 @@ object StarTree {
     def slice(groupBy: Seq[String]): DataFrame = {
       require(covers(groupBy),
         s"star-tree over $dims cannot answer group-by $groupBy")
+      val sketchCols = rollup.columns.filter(_.startsWith("hll_")).map(col).toSeq
       val metricCols = metrics.flatMap(m => Seq(
-        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"), col(s"cnt_$m"))) :+
-        col("star_count")
+        col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"), col(s"cnt_$m"))) ++
+        sketchCols :+ col("star_count")
       rollup.filter(col("_gid") === gidFor(groupBy))
         .select(groupBy.map(col) ++ metricCols: _*)
     }
   }
 
-  /** Build the index: one cube aggregation over the fact table. */
-  def build(fact: DataFrame, dims: Seq[String], metrics: Seq[String]): Index = {
+  /** Build the index: one cube aggregation over the fact table.
+    * `sketchLgK > 0` additionally materializes an `hll_<m>`
+    * DataSketches HLL column per metric. HLL register state is
+    * insertion-order invariant, so the stored sketch for a group is
+    * byte-for-byte the sketch a query-time `hll_sketch_agg` over the
+    * same rows would build — which is what makes sketch routing
+    * TRANSPARENT (identical estimates), unlike mixing sketch
+    * algorithms (approx_count_distinct is HLL++ and is deliberately
+    * NOT routed to these columns). */
+  def build(fact: DataFrame, dims: Seq[String], metrics: Seq[String],
+      sketchLgK: Int = 0): Index = {
+    val sketches: Seq[Column] =
+      if (sketchLgK <= 0) Nil
+      else metrics.map(m => hll_sketch_agg(col(m), lit(sketchLgK)).as(s"hll_$m"))
     val aggCols: Seq[Column] =
       metrics.flatMap(m => Seq(
         sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m"),
-        count(col(m)).as(s"cnt_$m"))) :+ count(lit(1)).as("star_count")
+        count(col(m)).as(s"cnt_$m"))) ++ sketches :+ count(lit(1)).as("star_count")
     // grouping_id() is only valid inside the cube aggregation itself
     val rollup = fact
       .cube(dims.map(col): _*)
       .agg(aggCols.head, aggCols.tail :+ grouping_id().as("_gid"): _*)
-    Index(dims, metrics, rollup)
+    Index(dims, metrics, rollup, math.max(sketchLgK, 0))
   }
 
   /** Route a group-by aggregate: answer from the index when it covers

@@ -3,8 +3,8 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EvalMode, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EvalMode, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -87,8 +87,23 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * AvgPair `ValueAggregator` (`data/aggregator/
     * ValueAggregatorFactory.java`) stores the same pair in the tree. */
   private def rollupExpr(e: Expression, metrics: Seq[String],
-      bySlice: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute])
-      : Option[Expression] = e match {
+      bySlice: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute],
+      sketchLgK: Int): Option[Expression] = e match {
+    // fastHLL family: estimate of the STORED group sketch — HLL
+    // register state is insertion-order invariant, so this equals the
+    // query-time hll_sketch_agg over the same rows bit-for-bit,
+    // provided lgK matches the one the tree was built with.
+    // approx_count_distinct (HLL++) deliberately does NOT route: a
+    // different sketch algorithm would silently change estimates.
+    case HllSketchEstimate(
+        AggregateExpression(h: HllSketchAgg, Complete, false, None, _))
+        if sketchLgK > 0 =>
+      (h.left, h.right) match {
+        case (ar: AttributeReference, Literal(lgk: Int, _))
+            if metrics.contains(ar.name) && lgk == sketchLgK =>
+          bySlice.get(s"hll_${ar.name}").map(HllSketchEstimate(_))
+        case _ => None
+      }
     case AggregateExpression(Sum(ar: AttributeReference, _), Complete, false, None, _)
         if metrics.contains(ar.name) => bySlice.get(s"sum_${ar.name}")
     case AggregateExpression(Min(ar: AttributeReference), Complete, false, None, _)
@@ -128,8 +143,10 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         projections <- traverse[NamedExpression, NamedExpression](aggExprs) {
           case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
             bySlice.get(ar.name).map(src => Alias(src, ar.name)(exprId = ar.exprId))
-          case al @ Alias(ae: AggregateExpression, _) =>
-            rollupExpr(ae, entry.index.metrics, bySlice)
+          case al @ Alias(body, _)
+              if body.isInstanceOf[AggregateExpression] ||
+                body.isInstanceOf[HllSketchEstimate] =>
+            rollupExpr(body, entry.index.metrics, bySlice, entry.index.sketchLgK)
               .map(expr => Alias(expr, al.name)(exprId = al.exprId))
           case _ => None
         }

@@ -88,6 +88,39 @@ class ExtensionsSpec extends SparkSpec {
     } finally StarTreeRegistry.clear()
   }
 
+  test("sketch metrics route when lgK matches the tree, fall back otherwise") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    val rollupDir = Files.createTempDirectory("graft-rollup-hll").toFile.getAbsolutePath
+    StarTree.build(fact, Seq("l_returnflag"), Seq("l_partkey"), sketchLgK = 8)
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("l_returnflag"), Seq("l_partkey"),
+      spark.read.parquet(rollupDir), sketchLgK = 8)
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansFact(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten.exists(_.contains("lineitem.parquet"))
+    def q(lgk: Int) = fact.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_partkey", lit(lgk))).as("dc"))
+
+    StarTreeRegistry.clear()
+    val direct = q(8).orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    try {
+      StarTreeRegistry.register(factPath, idx)
+      assert(!scansFact(q(8)), "matching-lgK sketch estimate must route to the tree")
+      assert(q(8).orderBy("l_returnflag").collect().map(_.toSeq).toSeq === direct,
+        "stored-sketch estimate must equal the query-time sketch estimate")
+      // different lgK → different registers → must NOT route
+      assert(scansFact(q(12)), "mismatched lgK must fall back to the fact scan")
+      // HLL++ (approx_count_distinct) is a different sketch → no route
+      assert(scansFact(fact.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("dc"))))
+    } finally StarTreeRegistry.clear()
+  }
+
   test("registry matches only at path-segment boundaries — no substring cross-routing") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")

@@ -74,7 +74,11 @@ class PropertySpec extends SparkSpec {
       3 -> Gen.oneOf(' ', '(', ')', ',', '\'', '*', '=', '<', '>', '.'),
       1 -> Gen.asciiPrintableChar)).map(_.mkString)
     val keywords = Gen.oneOf("SELECT", "FROM", "WHERE", "GROUP BY", "TOP",
-      "LIMIT", "ORDER BY", "IN", "NOT", "BETWEEN", "'a'", "42", "*", "(", ")")
+      "LIMIT", "ORDER BY", "IN", "NOT", "BETWEEN", "'a'", "42", "*", "(", ")",
+      // round-4 grammar tail: quoted idents, null predicates, options,
+      // malformed numbers — same single-exception contract
+      "`col`", "`", "IS", "NULL", "IS NOT NULL", "OPTION", "OPTION(k=v)",
+      "OPTION(", "=", "1.2.3", ".5", "1.", "k=v")
     val stitched = Gen.listOf(keywords).map(_.mkString(" "))
     val prop = Prop.forAll(Gen.oneOf(junk, stitched)) { q =>
       try { Pql.parse(q); true }
