@@ -80,9 +80,17 @@ object StarTree {
     * NOT routed to these columns). */
   def build(fact: DataFrame, dims: Seq[String], metrics: Seq[String],
       sketchLgK: Int = 0): Index = {
+    // DataSketches HLL accepts int/bigint/string/binary only — sketch
+    // the metrics it can, silently skip the rest (their hll_ column is
+    // simply absent, so sketch routing falls back for them)
+    val sketchable: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.BinaryType)
     val sketches: Seq[Column] =
       if (sketchLgK <= 0) Nil
-      else metrics.map(m => hll_sketch_agg(col(m), lit(sketchLgK)).as(s"hll_$m"))
+      else metrics
+        .filter(m => sketchable.contains(fact.schema(m).dataType))
+        .map(m => hll_sketch_agg(col(m), lit(sketchLgK)).as(s"hll_$m"))
     val aggCols: Seq[Column] =
       metrics.flatMap(m => Seq(
         sum(col(m)).as(s"sum_$m"),

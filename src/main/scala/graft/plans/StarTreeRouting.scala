@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EvalMode, Expression, HllSketchEstimate, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HllSketchAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -20,9 +20,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * analogue is a `Rule[LogicalPlan]` injected through
   * `SparkSessionExtensions`: an `Aggregate` whose grouping keys are a
   * subset of a registered index's dimensions and whose aggregates are
-  * all tree-mergeable (SUM/MIN/MAX over indexed metrics, COUNT(*))
-  * over the indexed fact relation is replaced by a scan of the
-  * pre-aggregated rollup slice — same results, no fact scan.
+  * all tree-mergeable (SUM/MIN/MAX/COUNT/AVG over indexed metrics,
+  * COUNT(*), fastHLL estimates) over the indexed fact relation is
+  * replaced by a scan of the pre-aggregated rollup slice — same
+  * results, no fact scan. A dimension-only WHERE between the
+  * aggregate and the scan routes too: the filter re-applies over the
+  * (group ∪ filter)-dim slice and the surviving pre-aggregated rows
+  * merge back down to the query's groups — the reference's star-tree
+  * query shape (`StarTreeIndexOperator`: traverse by predicate, then
+  * aggregate pre-aggregated records).
   *
   * Safety: the rewrite only fires when EVERY aggregate expression maps
   * onto a materialized column and the grouping is non-empty (a global
@@ -42,6 +48,8 @@ object StarTreeRegistry {
     entries.put(path, Entry(path, index))
 
   def clear(): Unit = entries.clear()
+
+  def unregister(path: String): Unit = { entries.remove(path); () }
 
   /** Strip URI scheme (scan roots come back as `file:/...`) and any
     * trailing slashes so registered paths and scan roots compare in
@@ -71,12 +79,20 @@ object StarTreeRegistry {
 
 case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def factEntry(plan: LogicalPlan): Option[StarTreeRegistry.Entry] = plan match {
-    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+  /** Peel attribute-only Projects and at most ONE Filter off the
+    * aggregate's child down to an indexed fact scan. The filter (when
+    * present) is the dimension predicate the reference's star-tree
+    * answers by tree traversal; here it re-applies over the rollup
+    * slice. */
+  private def peel(plan: LogicalPlan, cond: Option[Expression])
+      : Option[(Option[Expression], StarTreeRegistry.Entry)] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.headOption
         .flatMap(p => StarTreeRegistry.lookup(p.toString))
+        .map(e => (cond, e))
     case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
-      factEntry(child)
+      peel(child, cond)
+    case Filter(c, child) if cond.isEmpty => peel(child, Some(c))
     case _ => None
   }
 
@@ -121,13 +137,89 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType), EvalMode.LEGACY)
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
       bySlice.get("star_count")
+    case AggregateExpression(Count(Seq(ar: AttributeReference)), Complete, false, None, _)
+        if metrics.contains(ar.name) => bySlice.get(s"cnt_${ar.name}")
     case _ => None
+  }
+
+  private def aggE(f: AggregateFunction): AggregateExpression =
+    AggregateExpression(f, Complete, isDistinct = false)
+
+  /** RE-AGGREGATING form of [[rollupExpr]] for the filtered path: the
+    * slice carries one row per (group ∪ filter)-dim combination, so
+    * after the dimension filter the remaining rows merge back down to
+    * the query's groups — sums add, min/max re-extremize, counts add,
+    * AVG re-derives from summed (sum, cnt), HLL sketches union.
+    * Exact aggregates merge exactly; the unioned-HLL estimate can
+    * differ from a directly-built sketch WITHIN the sketch's error
+    * contract (sparse→dense promotion depends on merge topology) —
+    * the same approximation contract as the reference's tree-HLL.
+    * Exactly the reference's star-tree execution: aggregate
+    * pre-aggregated records below the filter
+    * (`StarTreeIndexOperator` + the ValueAggregator merge path). */
+  private def reAggExpr(e: Expression, metrics: Seq[String],
+      bySlice: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute],
+      sketchLgK: Int): Option[Expression] = e match {
+    case HllSketchEstimate(
+        AggregateExpression(h: HllSketchAgg, Complete, false, None, _))
+        if sketchLgK > 0 =>
+      (h.left, h.right) match {
+        case (ar: AttributeReference, Literal(lgk: Int, _))
+            if metrics.contains(ar.name) && lgk == sketchLgK =>
+          bySlice.get(s"hll_${ar.name}")
+            .map(a => HllSketchEstimate(aggE(HllUnionAgg(a, Literal(false)))))
+        case _ => None
+      }
+    case AggregateExpression(Sum(ar: AttributeReference, _), Complete, false, None, _)
+        if metrics.contains(ar.name) =>
+      bySlice.get(s"sum_${ar.name}").map(a => aggE(Sum(a)))
+    case AggregateExpression(Min(ar: AttributeReference), Complete, false, None, _)
+        if metrics.contains(ar.name) =>
+      bySlice.get(s"min_${ar.name}").map(a => aggE(Min(a)))
+    case AggregateExpression(Max(ar: AttributeReference), Complete, false, None, _)
+        if metrics.contains(ar.name) =>
+      bySlice.get(s"max_${ar.name}").map(a => aggE(Max(a)))
+    case AggregateExpression(Average(ar: AttributeReference, _), Complete, false, None, _)
+        if metrics.contains(ar.name) && !ar.dataType.isInstanceOf[DecimalType] =>
+      for {
+        s <- bySlice.get(s"sum_${ar.name}")
+        c <- bySlice.get(s"cnt_${ar.name}")
+      } yield Divide(Cast(aggE(Sum(s)), DoubleType),
+        Cast(aggE(Sum(c)), DoubleType), EvalMode.LEGACY)
+    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
+      bySlice.get("star_count").map(a => aggE(Sum(a)))
+    case AggregateExpression(Count(Seq(ar: AttributeReference)), Complete, false, None, _)
+        if metrics.contains(ar.name) =>
+      bySlice.get(s"cnt_${ar.name}").map(a => aggE(Sum(a)))
+    case _ => None
+  }
+
+  /** Rewrite an aggregate-output expression bottom-up: every embedded
+    * aggregate (or sketch-estimate-of-aggregate) goes through
+    * `replaceAgg`, remaining attribute references must be grouping
+    * dims (mapped to their slice attributes), scalar wrappers —
+    * `round(sum(x), 3)`, arithmetic over two aggregates — carry over
+    * unchanged. None anywhere → the whole rewrite falls back. */
+  private def rewriteBody(body: Expression, groupNames: Set[String],
+      bySlice: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute],
+      replaceAgg: Expression => Option[Expression]): Option[Expression] = body match {
+    case h @ HllSketchEstimate(_: AggregateExpression) => replaceAgg(h)
+    case a: AggregateExpression => replaceAgg(a)
+    case ar: AttributeReference =>
+      if (groupNames.contains(ar.name)) bySlice.get(ar.name) else None
+    case other =>
+      val kids = other.children.map(rewriteBody(_, groupNames, bySlice, replaceAgg))
+      if (kids.forall(_.isDefined)) {
+        if (kids.isEmpty) Some(other)
+        else Some(other.withNewChildren(kids.map(_.get)))
+      } else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.nonEmpty =>
       val rewritten = for {
-        entry <- factEntry(child)
+        peeled <- peel(child, None)
+        (cond, entry) = peeled
         dims = entry.index.dims
         groupAttrs <- Some(groupings).collect {
           case gs if gs.forall {
@@ -135,22 +227,46 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } => gs.map(_.asInstanceOf[AttributeReference])
         }
-        slicePlan = entry.index
-          .slice(groupAttrs.map(_.name))
-          .queryExecution.analyzed
+        // a dimension-only, deterministic predicate can re-apply over
+        // the slice; anything touching a non-dim column cannot
+        _ <- cond match {
+          case None => Some(())
+          case Some(c) if c.deterministic &&
+              c.references.forall(a => dims.contains(a.name)) => Some(())
+          case _ => None
+        }
+        condDims = cond.map(_.references.map(_.name).toSeq).getOrElse(Nil)
+        sliceDims = dims.filter(d =>
+          groupAttrs.exists(_.name == d) || condDims.contains(d))
+        slicePlan = entry.index.slice(sliceDims).queryExecution.analyzed
         bySlice = slicePlan.output.map(a => a.name -> a).toMap
-        // every output: either a grouping attr or a mergeable aggregate
-        projections <- traverse[NamedExpression, NamedExpression](aggExprs) {
+        groupNames = groupAttrs.map(_.name).toSet
+        replaceAgg = (e: Expression) =>
+          if (cond.isEmpty) rollupExpr(e, entry.index.metrics, bySlice, entry.index.sketchLgK)
+          else reAggExpr(e, entry.index.metrics, bySlice, entry.index.sketchLgK)
+        newOut <- traverse[NamedExpression, NamedExpression](aggExprs) {
           case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
             bySlice.get(ar.name).map(src => Alias(src, ar.name)(exprId = ar.exprId))
-          case al @ Alias(body, _)
-              if body.isInstanceOf[AggregateExpression] ||
-                body.isInstanceOf[HllSketchEstimate] =>
-            rollupExpr(body, entry.index.metrics, bySlice, entry.index.sketchLgK)
+          case al @ Alias(body, _) =>
+            rewriteBody(body, groupNames, bySlice, replaceAgg)
               .map(expr => Alias(expr, al.name)(exprId = al.exprId))
           case _ => None
         }
-      } yield Project(projections, slicePlan)
+      } yield cond match {
+        case None =>
+          // direct projection: slice rows ARE the query's groups
+          Project(newOut, slicePlan)
+        case Some(c) =>
+          // filtered: filter the (group ∪ filter)-dim slice, then
+          // merge back down to the query's groups
+          val newCond = c.transform {
+            case ar: AttributeReference => bySlice(ar.name)
+          }
+          agg.copy(
+            groupingExpressions = groupAttrs.map(a => bySlice(a.name)),
+            aggregateExpressions = newOut,
+            child = Filter(newCond, slicePlan))
+      }
       rewritten.getOrElse(agg)
   }
 

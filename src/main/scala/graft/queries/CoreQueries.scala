@@ -403,6 +403,44 @@ object CoreQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Star-tree FILTERED routing (the reference's actual star-tree
+    * query shape: WHERE on dimensions + GROUP BY —
+    * `StarTreeIndexOperator`): the optimizer rule rewrites the
+    * dim-filtered aggregate to filter the rollup slice and
+    * re-aggregate; the plan is asserted fact-scan-free before the
+    * registry entry is withdrawn, and the answer must still match the
+    * oracle's direct aggregate over the fact table. */
+  def qStartreeFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{StarTree, StarTreeRegistry}
+    graft.Graft.enable(s)
+    val fact = t(s, dir, "lineitem")
+    val rollupDir = s"${System.getProperty("java.io.tmpdir")}/graft_st_rollup_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    StarTree.build(fact, Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+      Seq("l_quantity"), s.read.parquet(rollupDir))
+    val factPath = s"$dir/lineitem.parquet"
+    StarTreeRegistry.register(factPath, idx)
+    try {
+      val df = fact
+        .filter($"l_linestatus" === "F" && $"l_linenumber" <= 4)
+        .groupBy($"l_returnflag")
+        .agg(round(sum($"l_quantity"), 3).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          round(avg($"l_quantity"), 6).as("avg_qty"))
+        .orderBy($"l_returnflag")
+      // memoize the optimized plan NOW (QueryExecution lazy vals), so
+      // the routing survives the unregister below
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("lineitem.parquet"),
+        "star-tree filtered routing must eliminate the fact scan")
+      df
+    } finally StarTreeRegistry.unregister(factPath)
+  }
+
   /** IS NULL / IS NOT NULL predicates (SURVEY §2.2 superset row):
     * nulls manufactured by a left join against a thinned dimension. */
   def qNullPredicates(s: SparkSession, dir: String): DataFrame = {
@@ -452,6 +490,7 @@ object CoreQueries {
     "q_avro_ingest" -> qAvroIngest,
     "q_thrift_ingest" -> qThriftIngest,
     "q_startree" -> qStartree,
+    "q_startree_filtered" -> qStartreeFiltered,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg)
 
@@ -569,6 +608,11 @@ object CoreQueries {
     "q_startree" ->
       """SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_startree_filtered" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, count(*) AS cnt,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem WHERE l_linestatus = 'F' AND l_linenumber <= 4
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_null_predicates" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN c_name IS NULL THEN 1 END) AS null_cnt,

@@ -88,6 +88,62 @@ class ExtensionsSpec extends SparkSpec {
     } finally StarTreeRegistry.clear()
   }
 
+  test("dimension-filtered aggregates route to the slice and re-aggregate") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    val rollupDir = Files.createTempDirectory("graft-rollup-f").toFile.getAbsolutePath
+    StarTree.build(fact, Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        Seq("l_quantity", "l_partkey"), sketchLgK = 8)
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+      Seq("l_quantity", "l_partkey"), spark.read.parquet(rollupDir), sketchLgK = 8)
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansFact(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten.exists(_.contains("lineitem.parquet"))
+
+    // the reference's star-tree query shape: WHERE on dims + GROUP BY
+    def q() = fact
+      .filter($"l_linestatus" === "F" && $"l_linenumber" <= 4)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("c"),
+        count($"l_quantity").as("cm"), min($"l_quantity").as("mn"),
+        max($"l_quantity").as("mx"), avg($"l_quantity").as("a"),
+        hll_sketch_estimate(hll_sketch_agg($"l_partkey", lit(8))).as("dc"))
+
+    StarTreeRegistry.clear()
+    val direct = q().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    try {
+      StarTreeRegistry.register(factPath, idx)
+      assert(!scansFact(q()), "dim-filtered aggregate must route to the rollup")
+      val routed = q().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+      // exact aggregates merge exactly; the HLL estimate (last column)
+      // may differ WITHIN THE SKETCH'S ERROR CONTRACT — the union of
+      // per-combo sketches promotes sparse→dense at a different point
+      // than one directly-built sketch (the reference's tree-HLL has
+      // the same property; sketches are approximate by contract)
+      assert(routed.map(_.dropRight(1)) === direct.map(_.dropRight(1)),
+        "re-aggregated exact aggregates must equal the fact-table answer")
+      routed.zip(direct).foreach { case (r, d) =>
+        val (rdc, ddc) = (r.last.toString.toDouble, d.last.toString.toDouble)
+        assert(math.abs(rdc - ddc) <= 0.2 * ddc,
+          s"HLL estimate outside the error contract: routed $rdc vs direct $ddc")
+      }
+      // filter touching a NON-dim column → fact scan stays
+      val nonDim = fact.filter($"l_suppkey" > 0)
+        .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+      assert(scansFact(nonDim), "non-dim filter must fall back")
+      // non-deterministic predicate → fall back (an OR keeps the
+      // rand conjunct from being split off or simplified away)
+      val nonDet = fact.filter(rand(7) <= 0.5 || $"l_linestatus" === "F")
+        .groupBy($"l_returnflag").agg(sum($"l_quantity"))
+      assert(scansFact(nonDet), "non-deterministic filter must fall back")
+    } finally StarTreeRegistry.clear()
+  }
+
   test("sketch metrics route when lgK matches the tree, fall back otherwise") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
