@@ -359,10 +359,22 @@ object Pql {
 
   private val AggNames = Set("count", "min", "max", "sum", "avg",
     "minmaxrange", "distinctcount", "distinctcounthll")
-  private val PercentileRe = "^(percentile|percentileest|percentiletdigest)(\\d{1,2})$".r
+  private val PercentileRe = "^(percentile|percentileest|percentiletdigest)(\\d{1,3})$".r
+  // the MV twins (AggregationFunctionFactory.java COUNTMV..DISTINCTCOUNTHLLMV,
+  // PERCENTILE\d+MV / EST / TDIGEST): same function over every element
+  // of the array column instead of the scalar cell
+  private val MvAggRe = "^(count|min|max|sum|avg|minmaxrange|distinctcount|distinctcounthll)mv$".r
+  private val PercentileMvRe = "^(percentile|percentileest|percentiletdigest)(\\d{1,3})mv$".r
+
+  private def isMvAgg(e: Expr): Boolean = e match {
+    case Func(n, _) =>
+      MvAggRe.findFirstIn(n).isDefined || PercentileMvRe.findFirstIn(n).isDefined
+    case _ => false
+  }
 
   private def isAgg(e: Expr): Boolean = e match {
-    case Func(n, _) => AggNames.contains(n) || PercentileRe.findFirstIn(n).isDefined
+    case Func(n, _) => AggNames.contains(n) || PercentileRe.findFirstIn(n).isDefined ||
+      isMvAgg(e)
     case _ => false
   }
 
@@ -411,10 +423,39 @@ object Pql {
     case Func("distinctcount", Seq(a)) => countDistinct(scalar(a))
     case Func("distinctcounthll", Seq(a)) => approx_count_distinct(scalar(a), 0.065)
     case Func(PercentileRe(kind, pct), Seq(a)) =>
-      val q = pct.toInt / 100.0
+      val q = percentileFraction(pct)
       if (kind == "percentile") percentile(scalar(a), lit(q))
       else percentile_approx(scalar(a), lit(q), lit(10000))
     case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
+  }
+
+  private def percentileFraction(pct: String): Double = {
+    val p = pct.toInt
+    require(p >= 0 && p <= 100, s"percentile must be in 0..100, got $p")
+    p / 100.0
+  }
+
+  /** MV aggregation function → Column over the exploded element
+    * (`elem`). Mirrors the reference's `*MVAggregationFunction`s:
+    * each one feeds EVERY element of the array column into the same
+    * value buffer its single-value twin uses, so explode + the SV
+    * aggregate is the exact semantics. */
+  private def mvAggColumn(e: Expr, elem: Column): Column = e match {
+    case Func(MvAggRe(base), Seq(_)) => base match {
+      case "count" => count(elem)
+      case "min" => min(elem)
+      case "max" => max(elem)
+      case "sum" => sum(elem)
+      case "avg" => avg(elem)
+      case "minmaxrange" => max(elem) - min(elem)
+      case "distinctcount" => countDistinct(elem)
+      case "distinctcounthll" => approx_count_distinct(elem, 0.065)
+    }
+    case Func(PercentileMvRe(kind, pct), Seq(_)) =>
+      val q = percentileFraction(pct)
+      if (kind == "percentile") percentile(elem, lit(q))
+      else percentile_approx(elem, lit(q), lit(10000))
+    case _ => throw new IllegalArgumentException(s"not an MV aggregation: $e")
   }
 
   /** Apply a scalar predicate builder to `e`, with the reference's

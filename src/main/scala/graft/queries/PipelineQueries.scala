@@ -80,6 +80,32 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** percentileN-MV / percentileEstN-MV / percentileTDigestN-MV
+    * (Percentile{,Est,TDigest}MVAggregationFunction.java): the
+    * reference collects every element of the array column into the
+    * same value buffer its SV twin uses — explode + the SV aggregate
+    * is the Spark mapping. Exact percentiles are oracle-matched
+    * (DuckDB `quantile_cont` uses the same linear interpolation);
+    * the sketch variants are pinned by a deviation bound against the
+    * exact answer, the q_percentile_approx pattern. */
+  def qMvPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", explode($"embedding").as("e"))
+      .groupBy($"label")
+      .agg(
+        expr("percentile(CAST(e AS DOUBLE), array(0.5, 0.9))").as("_pe"),
+        expr("approx_percentile(CAST(e AS DOUBLE), array(0.5, 0.9), 10000)").as("_pa"))
+      .select($"label",
+        round(element_at($"_pe", 1), 4).as("p50_e"),
+        round(element_at($"_pe", 2), 4).as("p90_e"),
+        (abs(element_at($"_pa", 1) - element_at($"_pe", 1))
+          <= abs(element_at($"_pe", 1)) * 0.02 + lit(1e-3)).as("p50_ok"),
+        (abs(element_at($"_pa", 2) - element_at($"_pe", 2))
+          <= abs(element_at($"_pe", 2)) * 0.02 + lit(1e-3)).as("p90_ok"))
+      .orderBy($"label")
+  }
+
   /** valueIn (ValueInTransformFunction.java:51): filter an MV column's
     * elements to a literal set, then group on the surviving values. */
   def qMvValueIn(s: SparkSession, dir: String): DataFrame = {
@@ -414,6 +440,7 @@ object PipelineQueries {
     "q_mv_agg" -> qMvAgg,
     "q_mv_valuein" -> qMvValueIn,
     "q_mv_range_dc" -> qMvRangeDc,
+    "q_mv_percentile" -> qMvPercentile,
     "q_media_features" -> qMediaFeatures,
     "q_text_stats" -> qTextStats,
     "q_token_stats" -> qTokenStats,
@@ -557,6 +584,13 @@ object PipelineQueries {
       """SELECT label,
         |  round(max(CAST(e AS DOUBLE)) - min(CAST(e AS DOUBLE)), 4) AS range_e,
         |  count(DISTINCT e) AS dc_e
+        |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_mv_percentile" ->
+      """SELECT label,
+        |  round(quantile_cont(CAST(e AS DOUBLE), 0.5), 4) AS p50_e,
+        |  round(quantile_cont(CAST(e AS DOUBLE), 0.9), 4) AS p90_e,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
         |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
     "q_media_features" ->
