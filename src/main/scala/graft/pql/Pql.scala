@@ -21,6 +21,11 @@ import graft.sources.Tables
   *  - `ORDER BY col [ASC|DESC], ... LIMIT [offset,] size` (selection)
   *  - aggregations COUNT/MIN/MAX/SUM/AVG/MINMAXRANGE/DISTINCTCOUNT/
   *    DISTINCTCOUNTHLL/PERCENTILE\d+/PERCENTILEEST\d+ (+ `*` for COUNT)
+  *    and their MV twins (COUNTMV..DISTINCTCOUNTHLLMV, PERCENTILE\d+MV):
+  *    every element of the array column feeds the aggregation buffer,
+  *    computed as explode_outer sub-aggregations joined back on the
+  *    group keys so single-value aggregations in the same query still
+  *    see one row per entry
   *  - transform functions ADD/SUB/MULT/DIV, TIMECONVERT,
   *    DATETIMECONVERT (`TransformFunctionFactory.java:43-50`)
   *
@@ -491,9 +496,18 @@ object Pql {
       else mvAware(schema, e)(_.isin(lits: _*))
     case RegexpLike(e, pat) => mvAware(schema, e)(_.rlike(pat))
     // null-ness is a property of the entry, not its elements — bypass
-    // the MV any-element rule (an empty/absent MV cell is null itself)
+    // the MV any-element rule. An MV cell with NO values satisfies
+    // IS NULL whether it is stored as SQL null or as an empty array
+    // (the reference stores MV cells as value lists; no values = no
+    // cell), so ArrayType columns also test size() == 0.
     case IsNull(e, negated) =>
-      if (negated) scalar(e).isNotNull else scalar(e).isNull
+      val isNullCol = e match {
+        case Ident(n) if schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType]) =>
+          scalar(e).isNull || size(scalar(e)) === 0
+        case _ => scalar(e).isNull
+      }
+      if (negated) !isNullCol else isNullCol
     case AndP(ps) => ps.map(predicate(_, schema)).reduce(_ && _)
     case OrP(ps) => ps.map(predicate(_, schema)).reduce(_ || _)
   }
@@ -555,15 +569,65 @@ object Pql {
       }
       val grouped = mvKeys.foldLeft(filtered)((d, n) => d.withColumn(n, explode(col(n))))
       val groupCols = q.groupBy.map(e => scalar(e).as(nameOf(e)))
+      val keyNames = q.groupBy.map(nameOf)
       val havingAggs = q.having.map(collectAggs).getOrElse(Nil)
         .filterNot(e => selAggs.map(nameOf).contains(nameOf(e)))
       val hiddenNames = havingAggs.map(e => nameOf(e) -> s"_h_${nameOf(e)}").toMap
-      val aggCols = selAggs.map(e => aggColumn(e).as(nameOf(e))) ++
-        havingAggs.map(e => aggColumn(e).as(hiddenNames(nameOf(e))))
-      require(aggCols.nonEmpty, "aggregation query needs at least one aggregation function")
-      val agged =
-        if (q.groupBy.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-        else grouped.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // SV aggregations compute in the main aggregation; MV twins
+      // compute in explode_outer sub-aggregations joined back on the
+      // group keys — each MV function feeds EVERY element of its array
+      // argument into the same buffer its SV twin uses, while SV
+      // aggregations in the same query still see one row per entry
+      // (the reference's per-aggregation value-buffer independence,
+      // `*MVAggregationFunction`).
+      val named: Seq[(Expr, String)] =
+        selAggs.map(e => e -> nameOf(e)) ++
+          havingAggs.map(e => e -> hiddenNames(nameOf(e)))
+      val (mvNamed, svNamed) = named.partition { case (e, _) => isMvAgg(e) }
+      require(named.nonEmpty, "aggregation query needs at least one aggregation function")
+      def mvArgOf(e: Expr): Expr = e match {
+        case Func(_, Seq(a)) => a
+        case other => throw new IllegalArgumentException(
+          s"MV aggregation takes exactly one array argument: $other")
+      }
+      val svFrame: Option[DataFrame] =
+        if (svNamed.isEmpty) None
+        else {
+          val svCols = svNamed.map { case (e, nm) => aggColumn(e).as(nm) }
+          Some(
+            if (q.groupBy.isEmpty) filtered.agg(svCols.head, svCols.tail: _*)
+            else grouped.groupBy(groupCols: _*).agg(svCols.head, svCols.tail: _*))
+        }
+      // one sub-aggregation per distinct array argument (deterministic
+      // order); explode_outer keeps entries whose array is empty/null
+      // so every group stays present (COUNTMV counts 0 there, exactly
+      // the SV twin over no values)
+      val mvFrames: Seq[DataFrame] =
+        mvNamed.groupBy(p => nameOf(mvArgOf(p._1))).toSeq.sortBy(_._1)
+          .map { case (_, items) =>
+            val arg = mvArgOf(items.head._1)
+            val aggs = items.map { case (e, nm) => mvAggColumn(e, col("_mv_elem")).as(nm) }
+            if (q.groupBy.isEmpty)
+              grouped.select(explode_outer(scalar(arg)).as("_mv_elem"))
+                .agg(aggs.head, aggs.tail: _*)
+            else
+              grouped.select(groupCols :+ explode_outer(scalar(arg)).as("_mv_elem"): _*)
+                .groupBy(keyNames.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+          }
+      // null-safe key equi-join: a null group key is a real group in
+      // both engines; global aggregations are 1-row frames → crossJoin
+      def joinFrames(l: DataFrame, r: DataFrame): DataFrame =
+        if (q.groupBy.isEmpty) l.crossJoin(r)
+        else {
+          val rr = keyNames.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"_rk_$k"))
+          val cond = keyNames.map(k => l(k) <=> rr(s"_rk_$k")).reduce(_ && _)
+          l.join(rr, cond, "inner").drop(keyNames.map(k => s"_rk_$k"): _*)
+        }
+      val agged = (svFrame.toSeq ++ mvFrames).reduce(joinFrames)
+        // restore the documented column order: keys, then aggregations
+        // in select order (hidden HAVING aggregations last)
+        .select(keyNames.map(col) ++ named.map { case (_, nm) => col(nm) }: _*)
       val allAggNames = selAggs.map(e => nameOf(e) -> nameOf(e)).toMap ++ hiddenNames
       val havinged = q.having
         .map(h => agged.filter(havingPredicate(h, allAggNames)))

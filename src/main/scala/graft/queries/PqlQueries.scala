@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, round}
 import graft.pql.Pql
 
 /** The PQL front-end exercised over every documented query shape
@@ -62,10 +63,31 @@ object PqlQueries {
         |WHERE `o_orderstatus` IS NOT NULL AND o_orderpriority IS NOT NULL
         |OPTION(preserveType=true, timeoutMs=10000)""".stripMargin)
 
+  /** MV aggregation twins (COUNTMV..MINMAXRANGEMV,
+    * `AggregationFunctionFactory.java`) mixed with an SV COUNT(*) in
+    * one query — proving the explode_outer sub-aggregation join path.
+    * Float-derived outputs are rounded AFTER the TOP sort (which is on
+    * the integral COUNTMV) for cross-engine sum-order parity; the
+    * oracle rounds identically. */
+  private val pqlMvAgg =
+    """SELECT COUNTMV(embedding), DISTINCTCOUNTMV(embedding), MINMV(embedding),
+      |MAXMV(embedding), SUMMV(embedding), AVGMV(embedding), MINMAXRANGEMV(embedding),
+      |COUNT(*) FROM embeddings GROUP BY label TOP 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     pql.map { case (name, q) =>
       name -> ((s: SparkSession, dir: String) => Pql.run(s, dir, q))
-    }
+    } + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
+      Pql.run(s, dir, pqlMvAgg).select(
+        col("label"),
+        col("countmv_embedding"),
+        col("distinctcountmv_embedding"),
+        round(col("minmv_embedding").cast("double"), 4).as("minmv_embedding"),
+        round(col("maxmv_embedding").cast("double"), 4).as("maxmv_embedding"),
+        round(col("summv_embedding").cast("double"), 4).as("summv_embedding"),
+        round(col("avgmv_embedding").cast("double"), 4).as("avgmv_embedding"),
+        round(col("minmaxrangemv_embedding").cast("double"), 4).as("minmaxrangemv_embedding"),
+        col("count_star"))))
 
   val oracles: Map[String, String] = Map(
     "q_pql_count" ->
@@ -124,5 +146,27 @@ object PqlQueries {
     "q_pql_isnull" ->
       """SELECT count(*) AS count_star, max(o_totalprice) AS max_o_totalprice
         |FROM orders
-        |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL""".stripMargin)
+        |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL""".stripMargin,
+    // unnest = explode; float min/max/range use float arithmetic in
+    // both engines (bit-identical) before the widening round; sum/avg
+    // widen per-element to double then round away the order difference
+    "q_pql_mv_agg" ->
+      """WITH sv AS (
+        |  SELECT label, count(*) AS count_star FROM embeddings GROUP BY label
+        |), mv AS (
+        |  SELECT label,
+        |    count(e) AS countmv_embedding,
+        |    count(DISTINCT e) AS distinctcountmv_embedding,
+        |    round(CAST(min(e) AS DOUBLE), 4) AS minmv_embedding,
+        |    round(CAST(max(e) AS DOUBLE), 4) AS maxmv_embedding,
+        |    round(CAST(sum(CAST(e AS DOUBLE)) AS DOUBLE), 4) AS summv_embedding,
+        |    round(CAST(avg(CAST(e AS DOUBLE)) AS DOUBLE), 4) AS avgmv_embedding,
+        |    round(CAST(max(e) - min(e) AS DOUBLE), 4) AS minmaxrangemv_embedding
+        |  FROM (SELECT label, unnest(embedding) AS e FROM embeddings) GROUP BY label
+        |)
+        |SELECT sv.label, mv.countmv_embedding, mv.distinctcountmv_embedding,
+        |  mv.minmv_embedding, mv.maxmv_embedding, mv.summv_embedding,
+        |  mv.avgmv_embedding, mv.minmaxrangemv_embedding, sv.count_star
+        |FROM sv JOIN mv USING(label)
+        |ORDER BY countmv_embedding DESC, label LIMIT 10""".stripMargin)
 }

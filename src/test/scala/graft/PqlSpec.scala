@@ -104,6 +104,46 @@ class PqlSpec extends SparkSpec {
     assert(cnt === 2L)
   }
 
+  test("MV aggregation twins: element semantics, SV aggregations undistorted") {
+    val df = Seq(
+      (1, Seq(1, 2, 2)), (1, Seq(4)), (2, Seq.empty[Int]), (2, Seq(7, 8))
+    ).toDF("g", "vals")
+    val out = Pql.toDataFrame(Pql.parse(
+      "SELECT COUNTMV(vals), SUMMV(vals), MINMV(vals), MAXMV(vals), AVGMV(vals), " +
+        "DISTINCTCOUNTMV(vals), MINMAXRANGEMV(vals), COUNT(*) FROM t GROUP BY g TOP 10"),
+      _ => df)
+    assert(out.columns.toSeq === Seq("g", "countmv_vals", "summv_vals", "minmv_vals",
+      "maxmv_vals", "avgmv_vals", "distinctcountmv_vals", "minmaxrangemv_vals", "count_star"))
+    val rows = out.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getDouble(5),
+        r.getLong(6), r.getInt(7), r.getLong(8))).toSeq
+    // TOP orders by the first aggregation (COUNTMV) desc: g=1 (4 elems) first
+    assert(rows.map(_._1) === Seq(1, 2))
+    assert(rows.toMap === Map(
+      1 -> ((4L, 9L, 1, 4, 2.25, 3L, 3, 2L)),
+      // the empty array contributes 0 elements but the entry still counts
+      2 -> ((2L, 15L, 7, 8, 7.5, 2L, 1, 2L))))
+    // global (no GROUP BY): MV + SV mix in one row
+    val one = Pql.toDataFrame(
+      Pql.parse("SELECT SUMMV(vals), COUNT(*) FROM t"), _ => df).collect().head
+    assert((one.getLong(0), one.getLong(1)) === ((24L, 4L)))
+    // HAVING over an MV aggregation hidden from the select list
+    val hav = Pql.toDataFrame(Pql.parse(
+      "SELECT COUNT(*) FROM t GROUP BY g HAVING MAXMV(vals) >= 5 TOP 10"), _ => df)
+    assert(hav.columns.toSeq === Seq("g", "count_star"))
+    assert(hav.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((2, 2L)))
+  }
+
+  test("IS NULL on an MV column: empty and absent cells both match") {
+    val df = Seq(
+      (1, Option(Seq(1, 2))), (2, Option(Seq.empty[Int])), (3, Option.empty[Seq[Int]])
+    ).toDF("id", "vals")
+    def cnt(q: String): Long =
+      Pql.toDataFrame(Pql.parse(q), _ => df).as[Long].head()
+    assert(cnt("SELECT COUNT(*) FROM t WHERE vals IS NULL") === 2L)
+    assert(cnt("SELECT COUNT(*) FROM t WHERE vals IS NOT NULL") === 1L)
+  }
+
   test("broker response renders the three reference result shapes") {
     import graft.pql.BrokerResponse
     def render(q: String): String = {
