@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EvalMode, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -67,13 +67,16 @@ object StarTreeRegistry {
   /** Exact match on the normalized root path, or a prefix match only
     * at a path-segment boundary — `/data/lineitem10.parquet` must NOT
     * hit an index registered for `/data/lineitem1` (a substring match
-    * here silently answers from the wrong rollup). */
+    * here silently answers from the wrong rollup). When several
+    * registered prefixes match one scan root (a parent directory and
+    * the exact table path), the LONGEST normalized prefix wins —
+    * deterministic most-specific-wins, not TrieMap iteration order. */
   def lookup(rootPath: String): Option[Entry] = {
     val root = normalize(rootPath)
-    entries.values.find { e =>
+    entries.values.filter { e =>
       val pfx = normalize(e.pathPrefix)
       root == pfx || root.startsWith(pfx + "/")
-    }
+    }.maxByOption(e => normalize(e.pathPrefix).length)
   }
 }
 
@@ -135,10 +138,15 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s <- bySlice.get(s"sum_${ar.name}")
         c <- bySlice.get(s"cnt_${ar.name}")
       } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType), EvalMode.LEGACY)
+    // COUNT is non-nullable but a slice attribute read back from the
+    // rollup is nullable — Coalesce restores the original contract so
+    // the attribute's nullability matches what parents resolved
+    // (values are never null: every slice row aggregated ≥1 fact row)
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
-      bySlice.get("star_count")
+      bySlice.get("star_count").map(a => Coalesce(Seq(a, Literal(0L))))
     case AggregateExpression(Count(Seq(ar: AttributeReference)), Complete, false, None, _)
-        if metrics.contains(ar.name) => bySlice.get(s"cnt_${ar.name}")
+        if metrics.contains(ar.name) =>
+      bySlice.get(s"cnt_${ar.name}").map(a => Coalesce(Seq(a, Literal(0L))))
     case _ => None
   }
 
@@ -172,7 +180,15 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case AggregateExpression(Sum(ar: AttributeReference, _), Complete, false, None, _)
         if metrics.contains(ar.name) =>
-      bySlice.get(s"sum_${ar.name}").map(a => aggE(Sum(a)))
+      // re-summing a DecimalType sum widens precision by another 10
+      // digits — cast back so the attribute under the original exprId
+      // keeps the dataType downstream operators resolved against
+      // (overflow on the cast would have overflowed the original Sum
+      // too, so the error behavior is unchanged)
+      bySlice.get(s"sum_${ar.name}").map { a =>
+        val merged = aggE(Sum(a))
+        if (merged.dataType == e.dataType) merged else Cast(merged, e.dataType)
+      }
     case AggregateExpression(Min(ar: AttributeReference), Complete, false, None, _)
         if metrics.contains(ar.name) =>
       bySlice.get(s"min_${ar.name}").map(a => aggE(Min(a)))
@@ -186,11 +202,16 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         c <- bySlice.get(s"cnt_${ar.name}")
       } yield Divide(Cast(aggE(Sum(s)), DoubleType),
         Cast(aggE(Sum(c)), DoubleType), EvalMode.LEGACY)
+    // COUNT→SUM flips nullability (Count is non-nullable, Sum is not);
+    // Coalesce restores the contract — a group only exists here if ≥1
+    // slice row survived the filter, so the sum is never actually null
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
-      bySlice.get("star_count").map(a => aggE(Sum(a)))
+      bySlice.get("star_count").map(a =>
+        Coalesce(Seq(Cast(aggE(Sum(a)), e.dataType), Literal(0L))))
     case AggregateExpression(Count(Seq(ar: AttributeReference)), Complete, false, None, _)
         if metrics.contains(ar.name) =>
-      bySlice.get(s"cnt_${ar.name}").map(a => aggE(Sum(a)))
+      bySlice.get(s"cnt_${ar.name}").map(a =>
+        Coalesce(Seq(Cast(aggE(Sum(a)), e.dataType), Literal(0L))))
     case _ => None
   }
 

@@ -177,6 +177,82 @@ class ExtensionsSpec extends SparkSpec {
     } finally StarTreeRegistry.clear()
   }
 
+  test("routing preserves result dataType and nullability (decimal sums, counts)") {
+    Graft.enable(spark)
+    val tmp = Files.createTempDirectory("graft-decfact").toFile.getAbsolutePath
+    val decFactPath = s"$tmp/fact.parquet"
+    spark.range(100).select(
+      (col("id") % 3).cast("string").as("d1"),
+      (col("id") % 2).cast("string").as("d2"),
+      col("id").cast("decimal(12,2)").as("m"))
+      .write.mode("overwrite").parquet(decFactPath)
+    val fact = spark.read.parquet(decFactPath)
+    val rollupDir = s"$tmp/rollup"
+    StarTree.build(fact, Seq("d1", "d2"), Seq("m"))
+      .rollup.write.mode("overwrite").parquet(rollupDir)
+    val idx = StarTree.Index(Seq("d1", "d2"), Seq("m"), spark.read.parquet(rollupDir))
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansFact(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten.exists(_.contains("fact.parquet"))
+
+    // filtered path: Sum over a decimal re-widens (p+10 → p+20) unless
+    // cast back; Count→Sum flips nullability unless coalesced — the
+    // routed schema must be IDENTICAL to the direct one or downstream
+    // operators resolved at analysis time see a changed attribute
+    def q() = fact.filter($"d2" === "1").groupBy($"d1")
+      .agg(sum($"m").as("s"), count(lit(1)).as("c"), count($"m").as("cm"))
+    def qUnfiltered() = fact.groupBy($"d1")
+      .agg(sum($"m").as("s"), count(lit(1)).as("c"))
+    StarTreeRegistry.clear()
+    val direct = q().orderBy("d1").collect().map(_.toSeq).toSeq
+    val directSchema = q().schema
+    val directU = qUnfiltered().orderBy("d1").collect().map(_.toSeq).toSeq
+    val directUSchema = qUnfiltered().schema
+    try {
+      StarTreeRegistry.register(decFactPath, idx)
+      assert(!scansFact(q()), "decimal filtered aggregate must route")
+      assert(q().schema === directSchema,
+        s"routed schema ${q().schema} must equal direct $directSchema")
+      assert(q().orderBy("d1").collect().map(_.toSeq).toSeq === direct)
+      assert(!scansFact(qUnfiltered()), "decimal unfiltered aggregate must route")
+      assert(qUnfiltered().schema === directUSchema)
+      assert(qUnfiltered().orderBy("d1").collect().map(_.toSeq).toSeq === directU)
+    } finally StarTreeRegistry.clear()
+  }
+
+  test("most-specific registered prefix wins when several match") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    val tmp = Files.createTempDirectory("graft-multi").toFile.getAbsolutePath
+    // correct rollup for the exact path; a WRONG one (built from a
+    // filtered fact, so its sums differ) for the parent directory —
+    // if lookup picked the parent entry the values would be wrong
+    StarTree.build(fact, Seq("l_returnflag"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(s"$tmp/right")
+    StarTree.build(fact.filter($"l_linenumber" === 1), Seq("l_returnflag"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(s"$tmp/wrong")
+    val right = StarTree.Index(Seq("l_returnflag"), Seq("l_quantity"),
+      spark.read.parquet(s"$tmp/right"))
+    val wrong = StarTree.Index(Seq("l_returnflag"), Seq("l_quantity"),
+      spark.read.parquet(s"$tmp/wrong"))
+
+    def q() = fact.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s"))
+    StarTreeRegistry.clear()
+    val direct = q().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    try {
+      StarTreeRegistry.register(sfDir, wrong)
+      StarTreeRegistry.register(factPath, right)
+      assert(StarTreeRegistry.lookup(factPath).exists(_.pathPrefix == factPath),
+        "lookup must pick the longest matching prefix")
+      assert(q().orderBy("l_returnflag").collect().map(_.toSeq).toSeq === direct,
+        "query must be answered from the exact-path index, not the parent's")
+    } finally StarTreeRegistry.clear()
+  }
+
   test("registry matches only at path-segment boundaries — no substring cross-routing") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
