@@ -38,15 +38,29 @@ object ThriftConvert extends Serializable {
     val bin = new BufferedInputStream(in)
     val proto = new TBinaryProtocol(new TIOStreamTransport(bin))
 
-    // fieldName → TFieldIdEnum, via the generated class's own id space
-    // (ThriftRecordReader.java's constructor loop, ids start at 1)
+    // fieldName → TFieldIdEnum. Prefer the generated class's static
+    // metaDataMap (exact field set, robust to id gaps); fall back to
+    // scanning the FULL positive id range — the reference's
+    // constructor loop stops at the first missing id
+    // (ThriftRecordReader.java do/while), which silently drops every
+    // field after a gap (common after IDL field removal). A one-time
+    // 32K-probe scan per stream is noise next to deserialization.
     val probe = cls.getDeclaredConstructor().newInstance()
-    val byName: Map[String, TFieldIdEnum] =
-      Iterator.from(1)
-        .map(i => fieldForId.invoke(probe, Int.box(i)).asInstanceOf[TFieldIdEnum])
-        .takeWhile(_ != null)
-        .map(f => f.getFieldName -> f)
-        .toMap
+    val byName: Map[String, TFieldIdEnum] = {
+      val fromMeta: Option[Map[String, TFieldIdEnum]] =
+        try {
+          val m = cls.getField("metaDataMap").get(null)
+            .asInstanceOf[java.util.Map[_ <: TFieldIdEnum, _]]
+          Some(m.keySet.asScala.map(f => f.getFieldName -> (f: TFieldIdEnum)).toMap)
+        } catch { case _: ReflectiveOperationException | _: ClassCastException => None }
+      fromMeta.getOrElse {
+        (1 to Short.MaxValue).iterator
+          .map(i => fieldForId.invoke(probe, Int.box(i)).asInstanceOf[TFieldIdEnum])
+          .filter(_ != null)
+          .map(f => f.getFieldName -> f)
+          .toMap
+      }
+    }
 
     new Iterator[Row] {
       override def hasNext: Boolean = {

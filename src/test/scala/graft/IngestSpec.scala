@@ -119,6 +119,26 @@ class IngestSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
 
+  test("thrift reader sees fields AFTER a field-id gap (non-contiguous ids)") {
+    // ids 1 and 5 — the reference's do/while enumeration would stop at
+    // the gap and silently null every later field
+    val dir = tmp("graft-thrift-gap")
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "g.bin"))
+    val proto = new org.apache.thrift.protocol.TBinaryProtocol(
+      new org.apache.thrift.transport.TIOStreamTransport(out))
+    Seq((7L, "after-the-gap"), (8L, "still-here")).foreach { case (a, b) =>
+      val t = new ThriftGapped; t.a = a; t.b = b; t.write(proto)
+    }
+    out.close()
+    val declared = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val rows = Ingest.readThrift(spark, dir, classOf[ThriftGapped].getName, declared)
+      .orderBy("a").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(7L, 8L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("after-the-gap", "still-here"),
+      "fields after an id gap must be read, not silently nulled")
+  }
+
   test("JSON-lines reader with null-default substitution") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Paths.get(dir, "rows.json"),
