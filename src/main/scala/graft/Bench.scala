@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *    "failed", exit code 1 — never a silently-fast bogus number.
   */
 object Bench {
+  /** Millisecond-precision JSON number (locale-fixed). */
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.US, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,7 +100,7 @@ object Bench {
         spark.readStream.schema(schema).parquet(inbox), seg, ckp).awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
       val rows = spark.read.parquet(seg).count()
-      s""","streaming_ingest":{"rows":$rows,"sec":$secs,"rows_per_sec":${rows / secs}}"""
+      s""","streaming_ingest":{"rows":$rows,"sec":${r3(secs)},"rows_per_sec":${(rows / secs).toLong}}"""
     } catch { case e: Throwable =>
       System.err.println("[bench] streaming ingest FAILED"); e.printStackTrace(); ""
     }
@@ -113,14 +117,17 @@ object Bench {
         None
       }
     }
-    val hj = harness.map { case (k, v) => "\"" + k + "\":" + v }
+    val hj = harness.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString(""","harness":{""", ",", "}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":$floor$hj$ingestJson,"sf":"$sfDir"}""")
+    // ms precision keeps the WHOLE line under the driver's 2000-char
+    // stdout tail capture — full-precision doubles overflowed it in
+    // r3/r4 and the driver recorded parsed:null
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":${r3(floor)}$hj$ingestJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

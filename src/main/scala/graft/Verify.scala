@@ -18,13 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // normalized (no trailing slash) — keeps "${outAbs}_aux" a SIBLING
+    // of outDir even if the caller passed "out/"
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     // The golden-corpus oracle runs the reference's own hsqls in
     // DuckDB over the exact synthesized table the PQL side queried —
-    // dump it where the {OUT} placeholder will point.
-    // under _data/ so result-dir scanners skip it (underscore = the
-    // hadoop hidden-path convention)
+    // dump it where the {OUT} placeholder will point. It lives in a
+    // SIBLING directory (outDir + "_aux"): the driver treats every
+    // entry under outDir as a query result, so a side dump inside
+    // would surface as a bogus no-oracle row.
     try graft.pql.CorpusHarness.fixture(spark).flat
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_data/corpus_flat_parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"${outAbs}_aux/corpus_flat_parquet")
     catch { case e: Throwable =>
       System.err.println(s"[verify] corpus flat dump failed: ${e.getMessage}")
     }
@@ -49,7 +53,6 @@ object Verify {
     } + "\""
     // {OUT} in an oracle statement → this run's absolute output dir
     // (lets corpus oracles read the parquet dumped above from DuckDB)
-    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
       .mkString("{", ",", "}")

@@ -335,7 +335,7 @@ object CorpusHarness {
     val parts = lines.flatMap { l =>
       l.hsqls.zipWithIndex.map { case (h, i) =>
         val scalar = h.replaceAll("(?i)\\bFROM\\s+mytable\\b",
-          "FROM read_parquet('{OUT}/_data/corpus_flat_parquet/*.parquet')")
+          "FROM read_parquet('{OUT}_aux/corpus_flat_parquet/*.parquet')")
         s"SELECT ${l.id} AS line_id, $i AS agg_idx, round(CAST(($scalar) AS DOUBLE), 6) AS value"
       }
     }
