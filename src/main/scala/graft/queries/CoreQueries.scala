@@ -24,6 +24,17 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.load(s, dir, name)
 
+  /** Star-tree indexes are built ONCE per (session, table) and reused
+    * across queries — the reference builds its tree at segment load,
+    * not per query (`StarTreeIndexOperator` reads a prebuilt index),
+    * so re-building per call would time construction, not routing.
+    * Keyed on the session identity so a stale index never outlives its
+    * session (test suites spin up one session each). */
+  private val stCache =
+    new scala.collection.concurrent.TrieMap[(Int, String), graft.plans.StarTree.Index]
+  private def stKey(s: SparkSession, tag: String) =
+    (System.identityHashCode(s), tag)
+
   /** COUNT(*) no-filter — reference answers from segment metadata
     * (`MetadataBasedAggregationOperator`, InstancePlanMakerImplV2.java:148-169);
     * Spark answers from parquet footer row counts without reading data. */
@@ -395,7 +406,8 @@ object CoreQueries {
     import s.implicits._
     import graft.plans.StarTree
     val fact = t(s, dir, "lineitem")
-    val idx = StarTree.build(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+    val idx = stCache.getOrElseUpdate(stKey(s, s"route|$dir"),
+      StarTree.build(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
     val (answer, fromTree) = StarTree.route(idx, fact, Seq("l_returnflag"), "l_quantity")
     require(fromTree, "star-tree must cover this group-by")
     answer
@@ -415,13 +427,15 @@ object CoreQueries {
     import graft.plans.{StarTree, StarTreeRegistry}
     graft.Graft.enable(s)
     val fact = t(s, dir, "lineitem")
-    val rollupDir = s"${System.getProperty("java.io.tmpdir")}/graft_st_rollup_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-    StarTree.build(fact, Seq("l_returnflag", "l_linestatus", "l_linenumber"),
-        Seq("l_quantity"))
-      .rollup.write.mode("overwrite").parquet(rollupDir)
-    val idx = StarTree.Index(Seq("l_returnflag", "l_linestatus", "l_linenumber"),
-      Seq("l_quantity"), s.read.parquet(rollupDir))
+    val idx = stCache.getOrElseUpdate(stKey(s, s"filtered|$dir"), {
+      val rollupDir = s"${System.getProperty("java.io.tmpdir")}/graft_st_rollup_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      StarTree.build(fact, Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+          Seq("l_quantity"))
+        .rollup.write.mode("overwrite").parquet(rollupDir)
+      StarTree.Index(Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        Seq("l_quantity"), s.read.parquet(rollupDir))
+    })
     val factPath = s"$dir/lineitem.parquet"
     StarTreeRegistry.register(factPath, idx)
     try {
@@ -439,6 +453,42 @@ object CoreQueries {
         "star-tree filtered routing must eliminate the fact scan")
       df
     } finally StarTreeRegistry.unregister(factPath)
+  }
+
+  private val bucketReady =
+    new scala.collection.concurrent.TrieMap[(Int, String), (String, String)]
+
+  /** Write-once bucketed twins of (lineitem, orders) hashed on the
+    * order key for this (session, dir); returns the catalog table
+    * names. Like the star-tree, the layout is built at ingest time in
+    * a real deployment — queries only read it. */
+  def bucketTables(s: SparkSession, dir: String): (String, String) =
+    bucketReady.getOrElseUpdate(stKey(s, s"bucket|$dir"), {
+      import graft.sources.Ingest
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$tag"
+      val (liT, ordT) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
+      Ingest.writeBucketedSegment(t(s, dir, "lineitem"), liT, s"$base/lineitem",
+        "l_orderkey", 8, Seq("l_orderkey"))
+      Ingest.writeBucketedSegment(t(s, dir, "orders"), ordT, s"$base/orders",
+        "o_orderkey", 8, Seq("o_orderkey"))
+      (liT, ordT)
+    })
+
+  /** Bucketed co-located fact⋈fact join (§2.1 partition-aware sink +
+    * §4 partition routing, [[graft.sources.Ingest.writeBucketedSegment]]):
+    * both facts are bucketed on the order key, so the join reads
+    * co-located buckets with NO exchange on either side — the
+    * shuffle-free plan shape is asserted in BucketedJoinSpec (with
+    * broadcast disabled, as at fact scale); here the oracle pins the
+    * values through the bucketed round-trip. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (liT, ordT) = bucketTables(s, dir)
+    s.table(liT).join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 3).as("sum_qty"))
+      .orderBy($"o_orderpriority")
   }
 
   /** IS NULL / IS NOT NULL predicates (SURVEY §2.2 superset row):
@@ -492,7 +542,8 @@ object CoreQueries {
     "q_startree" -> qStartree,
     "q_startree_filtered" -> qStartreeFiltered,
     "q_null_predicates" -> qNullPredicates,
-    "q_empty_agg" -> qEmptyAgg)
+    "q_empty_agg" -> qEmptyAgg,
+    "q_bucket_join" -> qBucketJoin)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -624,5 +675,10 @@ object CoreQueries {
     "q_empty_agg" ->
       """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty,
         |  max(l_returnflag) AS max_flag
-        |FROM lineitem WHERE l_quantity < -1""".stripMargin)
+        |FROM lineitem WHERE l_quantity < -1""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  round(sum(l_quantity), 3) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

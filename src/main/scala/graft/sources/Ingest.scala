@@ -179,4 +179,28 @@ object Ingest {
       else transformed.sortWithinPartitions(sortBy.map(col): _*)
     sorted.write.mode("overwrite").parquet(segmentDir)
   }
+
+  /** Bucketed segment sink — the reference's partition-aware segment
+    * layout: ingest hashes one column into N partitions
+    * (`pinot-core/.../data/partition/MurmurPartitionFunction.java`,
+    * `ModuloPartitionFunction.java`, factory
+    * `PartitionFunctionFactory.java:35-60`), records the partition id
+    * in segment metadata, and the broker prunes/routes segments by it
+    * (`pinot-core/.../query/pruner/PartitionSegmentPruner.java`).
+    * Spark bucketing is the same contract — `hash(col) % n` recorded
+    * in the table catalog — and additionally makes joins and
+    * aggregations ON the bucket key shuffle-free: both sides read
+    * co-located buckets, so the exchange disappears from the plan
+    * (asserted in BucketedJoinSpec). At 100 TB that is the difference
+    * between a full-fact shuffle per join and none. `saveAsTable` is
+    * required because bucket metadata lives in the catalog, not the
+    * parquet footers; `path` pins where the files land. */
+  def writeBucketedSegment(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    val ws = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    ws.saveAsTable(table)
+  }
 }
