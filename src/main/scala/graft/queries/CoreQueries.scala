@@ -491,6 +491,38 @@ object CoreQueries {
       .orderBy($"o_orderpriority")
   }
 
+  private val partReady =
+    new scala.collection.concurrent.TrieMap[(Int, String), String]
+
+  /** Write-once copy of `events` partitioned by event_type
+    * ([[graft.sources.Ingest.writePartitionedSegment]]); returns the
+    * segment root. Partitioned layout, like the star-tree and the
+    * bucketed twins, is built at ingest in a real deployment. */
+  def partitionedEvents(s: SparkSession, dir: String): String =
+    partReady.getOrElseUpdate(stKey(s, s"part|$dir"), {
+      import graft.sources.Ingest
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_$tag"
+      Ingest.writePartitionedSegment(t(s, dir, "events"), out,
+        Seq("event_type"), Seq("ts"))
+      out
+    })
+
+  /** Partition-pruned aggregate (the reference's segment pruning —
+    * broker time-boundary routing + `ColumnValueSegmentPruner`): the
+    * filter on the partition column prunes directories at plan time
+    * (PartitionFilters asserted in PartitionPruneSpec); the oracle
+    * pins the values through the partitioned round-trip. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(partitionedEvents(s, dir))
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"),
+        countDistinct($"user_id").as("dc_users"))
+      .orderBy($"event_type")
+  }
+
   /** IS NULL / IS NOT NULL predicates (SURVEY §2.2 superset row):
     * nulls manufactured by a left join against a thinned dimension. */
   def qNullPredicates(s: SparkSession, dir: String): DataFrame = {
@@ -543,7 +575,8 @@ object CoreQueries {
     "q_startree_filtered" -> qStartreeFiltered,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg,
-    "q_bucket_join" -> qBucketJoin)
+    "q_bucket_join" -> qBucketJoin,
+    "q_partition_prune" -> qPartitionPrune)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -680,5 +713,10 @@ object CoreQueries {
       """SELECT o_orderpriority, count(*) AS cnt,
         |  round(sum(l_quantity), 3) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value,
+        |  count(DISTINCT user_id) AS dc_users
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -203,4 +203,27 @@ object Ingest {
     val ws = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
     ws.saveAsTable(table)
   }
+
+  /** Partitioned segment sink — the reference's segment pruning: the
+    * broker routes around segments whose time range can't match
+    * (`TimeBoundaryService`, routing by `SegmentZKMetadata` time
+    * metadata) and servers skip segments whose column min/max excludes
+    * the predicate (`pinot-core/.../query/pruner/
+    * ColumnValueSegmentPruner.java:40-76`). Hive-style partition
+    * directories are Spark's form of the same contract: a filter on a
+    * partition column prunes whole directories AT PLAN TIME
+    * (`PartitionFilters` in the scan — asserted in
+    * PartitionPruneSpec), so a day-scoped query over 100 TB reads one
+    * day, not 100 TB. Partition columns should be low-cardinality
+    * (day, event type); high-cardinality keys belong in
+    * [[writeBucketedSegment]] buckets instead. */
+  def writePartitionedSegment(df: DataFrame, segmentDir: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(segmentDir)
+  }
 }
