@@ -60,7 +60,16 @@ object CorpusHarness {
       val lines = OnTimeCorpus.loadCorpus()
       val schema = PinotSchema.load(spark, OnTimeCorpus.SchemaPath)
       val pools = OnTimeCorpus.minePools(lines)
-      val mv = OnTimeCorpus.synthesize(spark, schema, pools, numRows).cache()
+      // round-trip the synthesized frame through parquet before
+      // caching: the synthesis plan embeds the mined literal pools
+      // (~1.7 MB of task binary), and every micro-query task would
+      // otherwise ship them — with thousands of harness statements
+      // that serialization dominated wall time ("task of very large
+      // size" warnings). Re-read, each plan is a plain 4-file scan.
+      val segDir = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_fx_$numRows"
+      OnTimeCorpus.synthesize(spark, schema, pools, numRows)
+        .write.mode("overwrite").parquet(segDir)
+      val mv = spark.read.parquet(segDir).cache()
       val flat = OnTimeCorpus.flatten(mv).cache()
       flat.createOrReplaceTempView("mytable")
       flat.count() // materialize both caches once
@@ -258,8 +267,15 @@ object CorpusHarness {
     * fixture, so the bottleneck is per-job scheduling latency, not
     * compute; concurrent submission overlaps it (Spark's scheduler is
     * built for multi-threaded drivers). Results keep `lines` order. */
+  /** Driver-pool width for [[compareAll]] — the work is per-line query
+    * PLANNING (parse/analyze over the 115-column fixture) plus tiny
+    * jobs, both of which overlap across threads; GRAFT_CORPUS_PAR
+    * overrides for tuning runs. */
+  private def defaultParallelism: Int =
+    sys.env.get("GRAFT_CORPUS_PAR").map(_.toInt).getOrElse(8)
+
   def compareAll(spark: SparkSession, fx: Fixture,
-      lines: Seq[OnTimeCorpus.Line], parallelism: Int = 8): Seq[Outcome] =
+      lines: Seq[OnTimeCorpus.Line], parallelism: Int = defaultParallelism): Seq[Outcome] =
     withMicroQueryConf(spark) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       try {
