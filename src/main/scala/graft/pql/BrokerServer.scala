@@ -1,0 +1,197 @@
+package graft.pql
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** PQL-over-HTTP broker endpoint — the reference's main query path
+  * (`pinot-broker/.../api/resources/PinotClientRequest.java:62-103`:
+  * `GET /query?pql=...` and `POST /query` with body `{"pql": "..."}`),
+  * served by the JDK's built-in HttpServer so the library adds no
+  * dependencies. Each request parses + compiles through [[Pql]] and
+  * renders the broker response shape ([[BrokerResponse]]); failures
+  * come back as the reference's `exceptions` list with HTTP 200
+  * (`BaseBrokerRequestHandler.java:122-135`; codes from
+  * `QueryException.java:40,44,49` — 150 parse, 200 execution,
+  * 250 timeout) and every response carries `timeUsedMs`.
+  *
+  * `OPTION(timeoutMs=...)` is honored for real: the query runs in its
+  * own Spark job group and the group is cancelled at the deadline —
+  * the broker-timeout semantics the reference enforces server-side.
+  *
+  * The query itself is compiled on the request thread and executed by
+  * Spark's scheduler across the cluster; the HTTP layer only carries
+  * the (LIMIT/TOP-bounded) response, exactly like the reference's
+  * broker — this class is deliberately a thin adapter, not an engine.
+  */
+final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var started = false
+
+  /** Actual listen port (useful with `port = 0` auto-assign). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Int = {
+    server.createContext("/query", new QueryHandler)
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    started = true
+    boundPort
+  }
+
+  def stop(): Unit = if (started) { server.stop(0); started = false }
+
+  private final class QueryHandler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val pql: Option[String] = ex.getRequestMethod.toUpperCase match {
+        case "GET" =>
+          Option(ex.getRequestURI.getRawQuery).flatMap(BrokerServer.queryParam(_, "pql"))
+        case "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          BrokerServer.pqlFromBody(body)
+        case _ => None
+      }
+      val json = pql match {
+        case None => BrokerServer.exceptionJson(
+          BrokerServer.JsonParsingErrorCode, "no 'pql' in request")
+          .dropRight(1) + """, "timeUsedMs": 0}"""
+        case Some(q) => BrokerServer.execute(spark, tableDir, q)
+      }
+      val bytes = json.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+}
+
+object BrokerServer {
+
+  /** `QueryException.java:38,40,44,49` */
+  val JsonParsingErrorCode = 100
+  val PqlParsingErrorCode = 150
+  val QueryExecutionErrorCode = 200
+  val ExecutionTimeoutErrorCode = 250
+
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `{"exceptions": [...]}` body WITHOUT timeUsedMs — callers append
+    * it via the same path successful responses use. */
+  def exceptionJson(code: Int, message: String): String =
+    s"""{"exceptions": [{"errorCode": $code, "message": ${js(message)}}]}"""
+
+  /** Minimal extractor for the one key the reference reads from the
+    * POST body (`request.get(PQL).asText()`) — a full JSON parser is
+    * not warranted for a single string field. Handles the standard
+    * string escapes. */
+  def pqlFromBody(body: String): Option[String] = {
+    val m = """"pql"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+    m.map(g => unescape(g.group(1)))
+  }
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out.append('"'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case '/' => out.append('/'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => out.append(other); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** First value of `name` in a raw query string. */
+  def queryParam(rawQuery: String, name: String): Option[String] =
+    rawQuery.split('&').iterator
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name =>
+        URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
+
+  /** Parse, compile, execute, render — one broker request. Returns the
+    * response JSON (never throws; errors map to the exceptions list). */
+  def execute(spark: SparkSession, tableDir: String, pql: String): String = {
+    val t0 = System.nanoTime()
+    def withTime(json: String): String =
+      json.dropRight(1) +
+        s""", "timeUsedMs": ${(System.nanoTime() - t0) / 1000000}}"""
+    val parsed =
+      try Right(Pql.parse(pql))
+      catch { case e: IllegalArgumentException =>
+        Left(exceptionJson(PqlParsingErrorCode, String.valueOf(e.getMessage)))
+      }
+    parsed match {
+      case Left(err) => withTime(err)
+      case Right(q) =>
+        val timeoutMs = q.options.get("timeoutMs").flatMap(_.toLongOption)
+        try {
+          val df = Pql.toDataFrame(q, Tables.load(spark, tableDir, _))
+          val body = timeoutMs match {
+            case None => BrokerResponse.render(q, df)
+            case Some(ms) => renderWithTimeout(spark, q, df, ms)
+          }
+          withTime(body)
+        } catch {
+          case _: TimeoutException =>
+            withTime(exceptionJson(ExecutionTimeoutErrorCode,
+              s"query timed out after ${timeoutMs.getOrElse(0L)} ms"))
+          case e: Exception =>
+            withTime(exceptionJson(QueryExecutionErrorCode,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
+        }
+    }
+  }
+
+  /** Execute under a cancellable job group with a deadline — the
+    * reference's broker timeout. interruptOnCancel interrupts running
+    * tasks; the waiting thread gets a TimeoutException. */
+  private def renderWithTimeout(spark: SparkSession, q: Pql.Query,
+      df: org.apache.spark.sql.DataFrame, ms: Long): String = {
+    val group = s"graft-broker-${java.util.UUID.randomUUID()}"
+    val pool = Executors.newSingleThreadExecutor()
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          spark.sparkContext.setJobGroup(group, s"broker pql (timeout ${ms}ms)",
+            interruptOnCancel = true)
+          try BrokerResponse.render(q, df)
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try fut.get(ms, TimeUnit.MILLISECONDS)
+      catch {
+        case e: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw e
+        case e: java.util.concurrent.ExecutionException =>
+          throw new RuntimeException(e.getCause)
+      }
+    } finally pool.shutdownNow()
+  }
+}

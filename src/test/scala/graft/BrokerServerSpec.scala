@@ -1,0 +1,84 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.pql.BrokerServer
+
+/** The PQL-over-HTTP entry point driven end-to-end over a real socket:
+  * GET and POST request shapes, all three response shapes, the
+  * exceptions list on bad input, and OPTION(timeoutMs) enforcement. */
+class BrokerServerSpec extends SparkSpec {
+
+  private def http(method: String, url: String, body: Option[String] = None): String = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  test("GET and POST /query answer with broker response shapes") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+
+      // GET with URL-encoded pql → selection shape
+      val sel = http("GET", s"$base?pql=" + java.net.URLEncoder.encode(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 3",
+        StandardCharsets.UTF_8))
+      assert(sel.contains("\"selectionResults\""), sel.take(300))
+      assert(sel.contains("\"timeUsedMs\""), sel.take(300))
+
+      // POST {"pql": ...} → aggregation shape (escaped quotes in body)
+      val agg = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*), MAX(l_quantity) FROM lineitem WHERE l_returnflag = 'R'"}"""))
+      assert(agg.contains("\"aggregationResults\""), agg.take(300))
+      assert(agg.contains("\"count_star\""), agg.take(300))
+
+      // group-by shape
+      val gby = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag TOP 5"}"""))
+      assert(gby.contains("\"groupByResult\""), gby.take(300))
+
+      // every response is valid JSON — parse back via Spark
+      import spark.implicits._
+      Seq(sel, agg, gby).foreach { j =>
+        val parsed = spark.read.json(Seq(j).toDS)
+        assert(!parsed.columns.contains("_corrupt_record"), j.take(200))
+      }
+
+      // parse error → reference exceptions list (code 150), HTTP 200
+      val bad = http("POST", base, Some("""{"pql": "SELECT FROM WHERE"}"""))
+      assert(bad.contains("\"errorCode\": 150"), bad.take(300))
+      // missing pql key → code 100
+      val noPql = http("POST", base, Some("""{"sql": "SELECT 1"}"""))
+      assert(noPql.contains("\"errorCode\": 100"), noPql.take(300))
+      // unknown table → execution error, not a hung socket
+      val noTable = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nope"}"""))
+      assert(noTable.contains("\"errorCode\": 200"), noTable.take(300))
+    } finally broker.stop()
+  }
+
+  test("OPTION(timeoutMs) cancels the job group at the deadline") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      // 1 ms deadline over a query whose execution can't finish that
+      // fast → the reference's execution-timeout exception (code 250)
+      val out = http("POST", s"http://127.0.0.1:$port/query",
+        Some("""{"pql": "SELECT DISTINCTCOUNT(l_partkey) FROM lineitem GROUP BY l_suppkey TOP 10000 OPTION(timeoutMs=1)"}"""))
+      assert(out.contains("\"errorCode\": 250"), out.take(300))
+      // a sane deadline still answers
+      val ok = http("POST", s"http://127.0.0.1:$port/query",
+        Some("""{"pql": "SELECT COUNT(*) FROM nation OPTION(timeoutMs=60000)"}"""))
+      assert(ok.contains("\"aggregationResults\""), ok.take(300))
+    } finally broker.stop()
+  }
+}
