@@ -363,7 +363,7 @@ object Pql {
   // ---- translation to DataFrame ----------------------------------------
 
   private val AggNames = Set("count", "min", "max", "sum", "avg",
-    "minmaxrange", "distinctcount", "distinctcounthll")
+    "minmaxrange", "distinctcount", "distinctcounthll", "fasthll")
   private val PercentileRe = "^(percentile|percentileest|percentiletdigest)(\\d{1,3})$".r
   // the MV twins (AggregationFunctionFactory.java COUNTMV..DISTINCTCOUNTHLLMV,
   // PERCENTILE\d+MV / EST / TDIGEST): same function over every element
@@ -427,6 +427,12 @@ object Pql {
     case Func("minmaxrange", Seq(a)) => max(scalar(a)) - min(scalar(a))
     case Func("distinctcount", Seq(a)) => countDistinct(scalar(a))
     case Func("distinctcounthll", Seq(a)) => approx_count_distinct(scalar(a), 0.065)
+    // FASTHLL (FastHLLAggregationFunction.java): aggregates a column
+    // that ALREADY holds serialized per-row/per-group HLL sketches
+    // (the ingest-derived metric) by unioning them — only sketch bytes
+    // cross the shuffle, never raw values
+    case Func("fasthll", Seq(a)) =>
+      hll_sketch_estimate(hll_union_agg(scalar(a)))
     case Func(PercentileRe(kind, pct), Seq(a)) =>
       val q = percentileFraction(pct)
       if (kind == "percentile") percentile(scalar(a), lit(q))

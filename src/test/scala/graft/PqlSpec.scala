@@ -144,6 +144,25 @@ class PqlSpec extends SparkSpec {
     assert(cnt("SELECT COUNT(*) FROM t WHERE vals IS NOT NULL") === 1L)
   }
 
+  test("FASTHLL aggregates a pre-built sketch column by union") {
+    // the ingest-derived sketch metric (FastHLLAggregationFunction):
+    // per-group partial sketches, then PQL FASTHLL unions them
+    val sketches = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey")
+      .agg(hll_sketch_agg($"l_partkey", lit(8)).as("sk"))
+    val got = Pql.toDataFrame(
+        Pql.parse("SELECT FASTHLL(sk) FROM t GROUP BY l_returnflag TOP 10"),
+        _ => sketches)
+      .orderBy("l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = sketches.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("dc"))
+      .orderBy("l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("broker response renders the three reference result shapes") {
     import graft.pql.BrokerResponse
     def render(q: String): String = {
