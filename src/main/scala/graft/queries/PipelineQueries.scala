@@ -297,10 +297,18 @@ object PipelineQueries {
     val approx = Similarity.ivfKnn(queries, "vec_id", assigned, "vec_id",
         "embedding", k, model, nprobe = 8, excludeSelf = true,
         cellCol = Some("ivf_cell"))
-      .select($"query_id", $"corpus_id")
-    val hits = exact.join(approx, Seq("query_id", "corpus_id")).count()
-    val total = exact.count()
-    Seq((total, hits >= (total * 2) / 5)).toDF("n_exact", "recall_ok")
+      .select($"query_id", $"corpus_id", lit(1).as("hit"))
+    // PER-QUERY recall bar (the qLshAnn standard, upgraded from the
+    // r3-era aggregate-only 40%): with nprobe=8 of 16 cells every
+    // query must recover at least one of its exact top-3 — seeded
+    // codebook + assignment make this deterministic per SF (verified
+    // at sf0.001 and sf0.01)
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).as("hits"))
+      .select($"query_id", $"n_exact", ($"hits" >= 1).as("recall_ok"))
+      .orderBy($"query_id")
   }
 
   // ---- near-duplicate detection self-oracles ---------------------------
@@ -604,8 +612,8 @@ object PipelineQueries {
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_ok
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     "q_ivf_ann" ->
-      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     "q_minhash_pairs" ->
       s"""SELECT doc_id, TRUE AS est_ok, TRUE AS found_ok
          |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
