@@ -72,6 +72,31 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0) {
   }
 }
 
+/** Launchable broker: `runMain graft.pql.BrokerMain <tableDir> [port]`
+  * starts the PQL HTTP endpoint over the parquet tables in `tableDir`
+  * and blocks — the single-process analogue of the reference's broker
+  * deployment (default port 8099, `CommonConstants.Helix
+  * .DEFAULT_BROKER_QUERY_PORT`). */
+object BrokerMain {
+  def main(args: Array[String]): Unit = {
+    val tableDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val port = if (args.length > 1) args(1).toInt else 8099
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val broker = new BrokerServer(spark, tableDir, port)
+    val bound = broker.start()
+    println(s"[broker] listening on http://127.0.0.1:$bound/query (tables: $tableDir)")
+    Thread.currentThread().join() // serve until killed
+  }
+}
+
 object BrokerServer {
 
   /** `QueryException.java:38,40,44,49` */
