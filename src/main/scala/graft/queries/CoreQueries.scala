@@ -523,6 +523,20 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  /** Salted fact⋈fact join ([[graft.operators.Skew.saltedJoin]]): the
+    * skew playbook's pre-shuffle half, oracle-pinned to the plain
+    * inner join's values (salting must be invisible in the result). */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Skew.saltedJoin(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", salt = 4)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_extendedprice"), 3).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** IS NULL / IS NOT NULL predicates (SURVEY §2.2 superset row):
     * nulls manufactured by a left join against a thinned dimension. */
   def qNullPredicates(s: SparkSession, dir: String): DataFrame = {
@@ -576,7 +590,8 @@ object CoreQueries {
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg,
     "q_bucket_join" -> qBucketJoin,
-    "q_partition_prune" -> qPartitionPrune)
+    "q_partition_prune" -> qPartitionPrune,
+    "q_salted_join" -> qSaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -718,5 +733,10 @@ object CoreQueries {
       """SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value,
         |  count(DISTINCT user_id) AS dc_users
         |FROM events WHERE event_type IN ('click', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 3) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
