@@ -89,4 +89,34 @@ class PropertySpec extends SparkSpec {
     }
     check("pql-fuzz", prop, minTests = 500)
   }
+
+  test("PQL MV aggregation twins equal a per-element reference on random data") {
+    // random groups of int arrays, including empty arrays (an entry
+    // with no values must still count toward COUNT(*) and keep its
+    // group alive with COUNTMV = 0)
+    val cell = Gen.listOf(Gen.chooseNum(-50, 50))
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), cell))
+    val prop = Prop.forAll(rows) { xs =>
+      val df = xs.map { case (g, vs) => (g, vs) }.toDF("g", "vals")
+      val got = Pql.toDataFrame(Pql.parse(
+          "SELECT COUNTMV(vals), SUMMV(vals), MINMV(vals), MAXMV(vals), " +
+            "DISTINCTCOUNTMV(vals), COUNT(*) FROM t GROUP BY g TOP 1000"), _ => df)
+        .collect().map { r =>
+          r.getInt(0) -> ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            if (r.isNullAt(4)) None else Some(r.getInt(4)),
+            r.getLong(5), r.getLong(6)))
+        }.toMap
+      val want = xs.groupBy(_._1).map { case (g, rs) =>
+        val elems = rs.flatMap(_._2)
+        g -> ((elems.size.toLong,
+          if (elems.isEmpty) None else Some(elems.map(_.toLong).sum),
+          elems.minOption, elems.maxOption,
+          elems.distinct.size.toLong, rs.size.toLong))
+      }
+      got == want
+    }
+    check("pql-mv-agg", prop, minTests = 12)
+  }
 }
