@@ -535,12 +535,16 @@ object CoreQueries {
 
   /** Salted fact⋈fact join ([[graft.operators.Skew.saltedJoin]]): the
     * skew playbook's pre-shuffle half, oracle-pinned to the plain
-    * inner join's values (salting must be invisible in the result). */
+    * inner join's values (salting must be invisible in the result).
+    * The wall-clock overhead vs `q_bucket_join`'s exchange-free plan
+    * is the documented salt× replication tax — the price paid ONLY
+    * when a hot key would otherwise flood a partition (SkewSpec
+    * exercises that case with a genuine hot key at salt=8). */
   def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Skew.saltedJoin(
         t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey", salt = 4)
+        t(s, dir, "orders"), "o_orderkey", salt = 2)
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         round(sum($"l_extendedprice"), 3).as("sum_price"))
