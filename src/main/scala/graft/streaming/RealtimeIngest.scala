@@ -49,6 +49,20 @@ object RealtimeIngest {
       .trigger(trigger)
       .start()
 
+  /** Start ingestion from a CONFIGURED stream ([[StreamConfig]]): the
+    * raw key/value frame decodes with the configured decoder class,
+    * then publishes segments exactly like [[start]]. Seal-threshold
+    * mapping: `realtime.segment.flush.threshold.size` rides into the
+    * source as rows-per-trigger (`StreamConfig.kafkaSourceOptions`),
+    * so each committed segment holds at most that many rows;
+    * `…threshold.time` is subsumed because a micro-batch commit seals
+    * its segment immediately — segments never stay open. */
+  def startWithConfig(raw: DataFrame, cfg: StreamConfig,
+      schema: org.apache.spark.sql.types.StructType,
+      segmentDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    start(cfg.decode(raw, schema), segmentDir, checkpointDir, trigger)
+
   /** Ingest-time rollup — aggregateMetrics
     * (`indexsegment/mutable/MutableSegmentImpl.java:88,217-219,327`:
     * rows with identical dimension values merge in the consuming

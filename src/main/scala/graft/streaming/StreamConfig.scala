@@ -61,7 +61,12 @@ final case class StreamConfig(
       }),
       // the reference's consumer resumes from its own committed offsets
       // after redeploy; Spark's checkpointed offsets are that contract
-      "kafkaConsumer.pollTimeoutMs" -> fetchTimeoutMillis.toString
+      "kafkaConsumer.pollTimeoutMs" -> fetchTimeoutMillis.toString,
+      // flush.threshold.size bounds the consuming segment's rows; with
+      // one segment commit per micro-batch, rows-per-trigger IS that
+      // bound (flush.threshold.time is subsumed: every commit seals
+      // its segment immediately, segments never stay open)
+      "maxOffsetsPerTrigger" -> flushThresholdRows.toString
     ) ++ consumerProps.map { case (k, v) => s"kafka.$k" -> v }
   }
 

@@ -51,6 +51,24 @@ class StreamConfigSpec extends SparkSpec {
       StreamConfig.fromMap(props - "stream.kafka.broker.list").kafkaSourceOptions)
   }
 
+  test("configured stream ingests end-to-end (decode + segment commits)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sc = StreamConfig.fromMap(props)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val mem = MemoryStream[String]
+    mem.addData("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}""", "corrupt")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streamcfg").toString
+    val q = graft.streaming.RealtimeIngest.startWithConfig(
+      mem.toDF(), sc, schema, s"$tmp/seg", s"$tmp/ckp", Trigger.AvailableNow())
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$tmp/seg").orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")), "decoded segments must hold the valid rows only")
+  }
+
   test("decoder dispatch matches the reference's class names") {
     val sc = StreamConfig.fromMap(props)
     val schema = StructType(Seq(
