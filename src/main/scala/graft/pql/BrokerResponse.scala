@@ -15,9 +15,12 @@ import org.apache.spark.sql.DataFrame
   *    `groupByColumns` and `groupByResult: [{"group": [keys],
   *    "value": "..."}]`
   *
-  * Values serialize as strings, as the reference does. This is a
-  * RESPONSE-sized collect (bounded by LIMIT/TOP, like the broker's
-  * own materialization) — never a data-sized one.
+  * Values serialize as strings by default, as the reference does; the
+  * `preserveType` query option keeps native JSON types instead
+  * (`BrokerReduceService.java:183-186`,
+  * `CommonConstants.Broker.Request.QueryOptionKey.PRESERVE_TYPE`).
+  * This is a RESPONSE-sized collect (bounded by LIMIT/TOP, like the
+  * broker's own materialization) — never a data-sized one.
   */
 object BrokerResponse {
 
@@ -31,10 +34,27 @@ object BrokerResponse {
     case c => c.toString
   } + "\""
 
-  private def cell(v: Any): String = js(String.valueOf(v))
+  private def typedCell(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case d: Double if !d.isNaN && !d.isInfinite => d.toString
+    case f: Float if !f.isNaN && !f.isInfinite => f.toString
+    case n: java.math.BigDecimal => n.toString
+    case seq: scala.collection.Seq[_] =>
+      seq.map(typedCell).mkString("[", ",", "]")
+    case other => js(String.valueOf(other))
+  }
 
-  /** Render the result of `Pql.toDataFrame(q, ...)` for query `q`. */
-  def render(q: Pql.Query, df: DataFrame): String = {
+  /** Render the result of `Pql.toDataFrame(q, ...)` for query `q`.
+    * `preserveType = false` stringifies every value (the reference's
+    * default); `true` emits native JSON numbers/booleans/nulls. */
+  def render(q: Pql.Query, df: DataFrame): String =
+    render(q, df, preserveType = false)
+
+  def render(q: Pql.Query, df: DataFrame, preserveType: Boolean): String = {
+    val cell: Any => String =
+      if (preserveType) typedCell else (v => js(String.valueOf(v)))
     val rows = df.collect()
     val cols = df.columns
 

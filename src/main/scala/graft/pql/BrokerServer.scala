@@ -175,11 +175,14 @@ object BrokerServer {
       case Left(err) => withTime(err)
       case Right(q) =>
         val timeoutMs = q.options.get("timeoutMs").flatMap(_.toLongOption)
+        // the reference's PRESERVE_TYPE query option: native JSON
+        // types instead of stringified values
+        val preserve = q.options.get("preserveType").exists(_.equalsIgnoreCase("true"))
         try {
           val df = Pql.toDataFrame(q, Tables.load(spark, tableDir, _))
           val body = timeoutMs match {
-            case None => BrokerResponse.render(q, df)
-            case Some(ms) => renderWithTimeout(spark, q, df, ms)
+            case None => BrokerResponse.render(q, df, preserve)
+            case Some(ms) => renderWithTimeout(spark, q, df, ms, preserve)
           }
           withTime(body)
         } catch {
@@ -197,7 +200,8 @@ object BrokerServer {
     * reference's broker timeout. interruptOnCancel interrupts running
     * tasks; the waiting thread gets a TimeoutException. */
   private def renderWithTimeout(spark: SparkSession, q: Pql.Query,
-      df: org.apache.spark.sql.DataFrame, ms: Long): String = {
+      df: org.apache.spark.sql.DataFrame, ms: Long,
+      preserveType: Boolean): String = {
     val group = s"graft-broker-${java.util.UUID.randomUUID()}"
     val pool = Executors.newSingleThreadExecutor()
     try {
@@ -205,7 +209,7 @@ object BrokerServer {
         def call(): String = {
           spark.sparkContext.setJobGroup(group, s"broker pql (timeout ${ms}ms)",
             interruptOnCancel = true)
-          try BrokerResponse.render(q, df)
+          try BrokerResponse.render(q, df, preserveType)
           finally spark.sparkContext.clearJobGroup()
         }
       })

@@ -54,6 +54,15 @@ class BrokerServerSpec extends SparkSpec {
         assert(!parsed.columns.contains("_corrupt_record"), j.take(200))
       }
 
+      // OPTION(preserveType=true) → native JSON types, not strings
+      // (BrokerReduceService.java:183-186)
+      val typed = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM nation OPTION(preserveType=true)"}"""))
+      assert(typed.contains("\"value\": 25"), typed.take(300))
+      val stringy = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(stringy.contains("\"value\": \"25\""), stringy.take(300))
+
       // parse error → reference exceptions list (code 150), HTTP 200
       val bad = http("POST", base, Some("""{"pql": "SELECT FROM WHERE"}"""))
       assert(bad.contains("\"errorCode\": 150"), bad.take(300))
