@@ -62,6 +62,13 @@ class BrokerServerSpec extends SparkSpec {
       val stringy = http("POST", base,
         Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
       assert(stringy.contains("\"value\": \"25\""), stringy.take(300))
+      // MV (array) cells under preserveType render as JSON arrays
+      val mv = http("POST", base, Some(
+        """{"pql": "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1 OPTION(preserveType=true)"}"""))
+      assert(mv.contains("[["), mv.take(300))
+      import spark.implicits._
+      assert(!spark.read.json(Seq(mv).toDS).columns.contains("_corrupt_record"),
+        mv.take(300))
 
       // parse error → reference exceptions list (code 150), HTTP 200
       val bad = http("POST", base, Some("""{"pql": "SELECT FROM WHERE"}"""))
