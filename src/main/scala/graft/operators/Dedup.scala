@@ -113,6 +113,62 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard similarity join — the deterministic,
+    * no-false-negatives counterpart of [[nearDupPairs]] (whose MinHash
+    * candidate stage is probabilistic): every pair with distinct
+    * n-gram Jaccard ≥ `threshold`, nothing missed, nothing spurious.
+    *
+    * Scale design — PREFIX FILTERING (the classic exact-similarity-
+    * join technique: order every document's shingles by a global
+    * rarity order, keep only the first |S| − ⌈t·|S|⌉ + 1 as the join
+    * prefix; for any pair with Jaccard ≥ t, the globally-smallest
+    * common shingle provably sits inside BOTH prefixes — its position
+    * in each set is ≤ |S| − |A∩B| + 1 and |A∩B| ≥ ⌈t·|S|⌉ — so
+    * joining prefixes alone finds every qualifying pair):
+    *  - the candidate join keys on prefix shingles only, and prefixes
+    *    keep the RAREST shingles (global document-frequency order), so
+    *    join fan-out is bounded by rare-shingle co-occurrence — the
+    *    frequent shingles that would explode an all-shingles join
+    *    never reach it;
+    *  - at threshold 0 the prefix is the whole set (graceful, but the
+    *    caller should use [[minhashCandidatePairs]] there);
+    *  - verification is exact Jaccard on candidates only, cost ∝
+    *    candidates;
+    *  - the global order is fully deterministic: (document frequency,
+    *    seeded shingle hash, shingle), so retries reproduce.
+    * Shuffles: shingle document-frequency (1), per-doc ranking window
+    * keyed by the unique doc id (1, skew-free), candidate join (1),
+    * verify joins (∝ candidates). */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("_id"),
+        array_distinct(shingles(col(textCol), n)).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+    val exploded = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_s"))
+    val dfreq = exploded.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val prefix = exploded.join(dfreq, "_s")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_id"))
+          .orderBy(col("_df"), xxhash64(col("_s")), col("_s"))))
+      .filter(col("_rk") <= col("_size") - ceil(lit(threshold) * col("_size")) + 1)
+      .select(col("_id"), col("_s"))
+    val cands = prefix.toDF("id_a", "_s")
+      .join(prefix.toDF("id_b", "_s"), "_s")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val texts = df.select(col(idCol), col(textCol))
+    cands
+      .join(texts.toDF("id_a", "_text_a"), "id_a")
+      .join(texts.toDF("id_b", "_text_b"), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("_text_a"), col("_text_b"), n))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: OR-amplified multi-table
     * LSH self-join generates candidates (cost ∝ bucket collisions, not
     * |corpus|²), exact cosine verifies ≥ `simThreshold`. The embedding

@@ -577,6 +577,76 @@ object CoreQueries {
         max($"l_returnflag").as("max_flag"))
   }
 
+  /** Minion ROLLUP merge ([[graft.sources.Minion.mergeSegments]] —
+    * `MergeRollupSegmentConverter.java` ROLLUP path): two event
+    * segments merge into one, grouped by the schema's dims + time
+    * (event_type, day, user_bucket) with SUM `ValueAggregator`s on the
+    * metrics (n, value). The merged segment is re-read and aggregated:
+    * `rolled_rows` = distinct dim combos pins that rows actually
+    * collapsed; `total_events`/`sum_value` pin metric preservation. */
+  def qMergeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Minion
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_minion_$tag"
+    val rows = t(s, dir, "events")
+      .select($"event_id", $"event_type", to_date($"ts").as("day"),
+        ($"user_id" % 10).as("user_bucket"), lit(1L).as("n"), $"value")
+    rows.filter($"event_id" % 2 === 0).drop("event_id")
+      .write.mode("overwrite").parquet(s"$base/seg0")
+    rows.filter($"event_id" % 2 === 1).drop("event_id")
+      .write.mode("overwrite").parquet(s"$base/seg1")
+    Minion.mergeSegments(s, Seq(s"$base/seg0", s"$base/seg1"), s"$base/merged",
+      Minion.Rollup, groupByCols = Seq("event_type", "day", "user_bucket"),
+      aggTypes = Map("n" -> "SUM", "value" -> "SUM"))
+    s.read.parquet(s"$base/merged")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("rolled_rows"), sum($"n").as("total_events"),
+        round(sum($"value"), 3).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Minion purge/modify ([[graft.sources.Minion.purgeSegment]] —
+    * `SegmentPurger.java`): region-0 nations purged, names rewritten
+    * by the modifier, new segment re-read; the oracle recomputes the
+    * survivor set + rewrite directly from the source table. */
+  def qPurgeSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Minion
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_purge_$tag"
+    t(s, dir, "nation").write.mode("overwrite").parquet(s"$base/in")
+    Minion.purgeSegment(s, s"$base/in", s"$base/out",
+      purge = Some($"n_regionkey" === 0),
+      modify = Seq("n_name" -> lower($"n_name")))
+    s.read.parquet(s"$base/out")
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("cnt"), min($"n_name").as("min_name"))
+      .orderBy($"n_regionkey")
+  }
+
+  /** ROLLUP grouping sets (SURVEY §2.3: no grouping sets in PQL —
+    * Spark's `rollup` exposed as the documented capability bonus):
+    * per-(flag, status) groups, per-flag subtotals, and a grand total
+    * in ONE aggregation pass (Expand + two-phase hash agg — each input
+    * row feeds every grouping set map-side, no re-scan per level).
+    * Subtotal keys coalesced to '(all)' so both engines render the
+    * rollup rows identically; grouping flags disambiguate a real
+    * value from a subtotal marker. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"l_quantity"), 3).as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"cnt", $"sum_qty", $"g_rf", $"g_ls")
+      .orderBy($"g_rf", $"g_ls", $"rf", $"ls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count" -> qCount,
     "q_agg_basic" -> qAggBasic,
@@ -605,7 +675,10 @@ object CoreQueries {
     "q_empty_agg" -> qEmptyAgg,
     "q_bucket_join" -> qBucketJoin,
     "q_partition_prune" -> qPartitionPrune,
-    "q_salted_join" -> qSaltedJoin)
+    "q_salted_join" -> qSaltedJoin,
+    "q_merge_rollup" -> qMergeRollup,
+    "q_purge_segment" -> qPurgeSegment,
+    "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
     "q_count" ->
@@ -752,5 +825,26 @@ object CoreQueries {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(l_extendedprice), 3) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_merge_rollup" ->
+      """SELECT event_type, count(*) AS rolled_rows,
+        |  CAST(sum(n) AS BIGINT) AS total_events,
+        |  round(sum(v), 3) AS sum_value
+        |FROM (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id % 10 AS user_bucket,
+        |    count(*) AS n, sum("value") AS v
+        |  FROM events GROUP BY 1, 2, 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_purge_segment" ->
+      """SELECT n_regionkey, count(*) AS cnt, min(lower(n_name)) AS min_name
+        |FROM nation WHERE NOT (n_regionkey = 0)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |  COALESCE(l_linestatus, '(all)') AS ls,
+        |  count(*) AS cnt, round(sum(l_quantity), 3) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
 }

@@ -382,6 +382,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Standalone EXACT n-gram Jaccard similarity join
+    * ([[Dedup.jaccardSimilarityJoin]], prefix filtering) with a full
+    * external oracle: DuckDB recomputes ALL-PAIRS bigram Jaccard over
+    * the same bounded universe, so the entire prefix-filter machinery
+    * (rarity order, prefix truncation, candidate join, exact verify)
+    * must reproduce the exact pair set AND the exact Jaccard values —
+    * any false negative from a wrong prefix bound breaks the match. */
+  def qJaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val universe = t(s, dir, "documents")
+      .filter($"doc_id" < 200 && size(TextAnalysis.tokens($"text")) >= 30)
+      .select($"doc_id", $"text")
+    Dedup.jaccardSimilarityJoin(universe, "doc_id", "text", n = 2, threshold = 0.7)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Embedding-cosine near-dup self-oracle: each vector paired with a
     * deterministic perturbed copy of itself (every 16th component
     * zeroed → cosine ≈ 0.97); [[Dedup.embeddingNearDups]] over the
@@ -463,6 +479,7 @@ object PipelineQueries {
     "q_ivf_ann" -> qIvfAnn,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_near_dup" -> qNearDup,
+    "q_jaccard_join" -> qJaccardJoin,
     "q_dedup_cluster" -> qDedupCluster,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_winnow" -> qWinnow,
@@ -629,6 +646,31 @@ object PipelineQueries {
     "q_embed_neardup" ->
       """SELECT vec_id, TRUE AS found_ok FROM embeddings
         |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    // Exact ground truth for the standalone Jaccard similarity join:
+    // DuckDB computes ALL-PAIRS bigram Jaccard over the universe (it
+    // can afford O(n²) at oracle scale; the Spark side must reach the
+    // same pairs through prefix filtering).
+    "q_jaccard_join" -> {
+      val normToks =
+        """list_filter(string_split_regex(regexp_replace(lower(trim(text)),
+          |      '\s+', ' ', 'g'), '\s+'), x -> len(x) > 0)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, $normToks AS t
+         |  FROM documents WHERE doc_id < 200
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+         |  FROM toks WHERE len(t) >= 30
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(a.s || b.s)), 4) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // Exact ground truth for the whole near-dup dedup pipeline:
     // bigram Jaccard over normalized tokens, transitive clustering by
     // recursive CTE, survivors = component minima.

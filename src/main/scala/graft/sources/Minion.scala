@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minion-style segment maintenance tasks — the reference's background
+  * segment conversions, re-expressed as batch Spark jobs over parquet
+  * segments:
+  *
+  *  - merge/rollup (`pinot-core/.../minion/rollup/
+  *    MergeRollupSegmentConverter.java`): CONCATENATE merges N input
+  *    segments into one with rows unchanged; ROLLUP groups by every
+  *    dimension + the time column and aggregates each metric with a
+  *    per-metric `ValueAggregator` (`minion/rollup/aggregate/
+  *    ValueAggregatorFactory.java` — SUM and MAX; unlisted metrics
+  *    default to SUM, `RollupRecordAggregator.java:40-41`).
+  *  - purge/modify (`pinot-core/.../minion/SegmentPurger.java`): drop
+  *    records matching a `RecordPurger` predicate and/or rewrite
+  *    columns with a `RecordModifier`, producing a new segment.
+  *
+  * Scale shape: CONCATENATE and purge are map-only (no shuffle — a
+  * scan, a filter/projection, a write); ROLLUP is ONE shuffle on the
+  * group keys with map-side partial aggregation, so the combine cost
+  * is bounded by distinct dimension combos per partition, not row
+  * count. All run segment-parallel — at 100 TB each merge task handles
+  * its own segment group, exactly like the reference's minion workers.
+  */
+object Minion {
+
+  /** Merge strategy (minion/rollup/MergeType.java). */
+  sealed trait MergeType
+  case object Concatenate extends MergeType
+  case object Rollup extends MergeType
+
+  object MergeType {
+    /** Case-insensitive parse (MergeType.fromString). */
+    def fromString(name: String): MergeType = name.toLowerCase match {
+      case "concatenate" => Concatenate
+      case "rollup"      => Rollup
+      case other => throw new IllegalArgumentException(s"Invalid merge type : $other")
+    }
+  }
+
+  /** Per-metric rollup aggregator (ValueAggregatorFactory: SUM, MAX). */
+  private def valueAgg(aggType: String, c: String): Column = aggType.toUpperCase match {
+    case "SUM" => sum(col(c)).as(c)
+    case "MAX" => max(col(c)).as(c)
+    case other => throw new IllegalArgumentException(
+      s"No value aggregator for: $other (SUM, MAX)")
+  }
+
+  /** Merge input segments into one output segment
+    * (MergeRollupSegmentConverter.convert).
+    *
+    * For [[Rollup]], `groupByCols` plays the role of the schema's
+    * dimensions + time column (the reference derives them from segment
+    * metadata; here segments are plain parquet, so the caller names
+    * them) and every remaining column is a metric aggregated with
+    * `aggTypes(name)` (default SUM). Output column order matches the
+    * input schema, so downstream readers see the same table shape.
+    */
+  def mergeSegments(spark: SparkSession, inputDirs: Seq[String], outDir: String,
+      mergeType: MergeType, groupByCols: Seq[String] = Nil,
+      aggTypes: Map[String, String] = Map.empty,
+      sortBy: Seq[String] = Nil): Unit = {
+    require(inputDirs.nonEmpty, "at least one input segment required")
+    val merged = inputDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val result = mergeType match {
+      case Concatenate => merged
+      case Rollup =>
+        require(groupByCols.nonEmpty,
+          "rollup requires group-by columns (the schema's dimensions + time column)")
+        val metrics = merged.columns.toSeq.filterNot(groupByCols.contains)
+        require(metrics.nonEmpty, "rollup requires at least one metric column")
+        val aggs = metrics.map(m => valueAgg(aggTypes.getOrElse(m, "SUM"), m))
+        merged.groupBy(groupByCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(merged.columns.toSeq.map(col): _*)
+    }
+    val sorted =
+      if (sortBy.isEmpty) result
+      else result.sortWithinPartitions(sortBy.map(col): _*)
+    sorted.write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Purge and/or modify a segment's records into a new segment
+    * (SegmentPurger.purgeSegment): rows where `purge` evaluates true
+    * are dropped (null-safe — a null predicate keeps the row, matching
+    * filter semantics the RecordPurger boolean contract implies), then
+    * `modify` rewrites columns on the survivors. At least one of the
+    * two must be given (SegmentPurger.java:59). */
+  def purgeSegment(spark: SparkSession, inputDir: String, outDir: String,
+      purge: Option[Column] = None,
+      modify: Seq[(String, Column)] = Nil): Unit = {
+    require(purge.nonEmpty || modify.nonEmpty,
+      "At least one of record purger and modifier should be non-null")
+    val df = spark.read.parquet(inputDir)
+    val kept = purge.fold(df)(p => df.filter(!coalesce(p, lit(false))))
+    val modified = modify.foldLeft(kept) { case (d, (c, e)) => d.withColumn(c, e) }
+    modified.write.mode("overwrite").parquet(outDir)
+  }
+}

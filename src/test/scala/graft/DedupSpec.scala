@@ -134,6 +134,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq(1L, 3L), s"cluster {1,2,4} keeps 1; got $out")
   }
 
+  test("jaccardSimilarityJoin matches brute-force all-pairs exactly") {
+    // corpus with near-dups at different similarity levels plus noise;
+    // the prefix-filtered join must reproduce the brute-force pair set
+    // (exactness = zero false negatives, the prefix bound's claim)
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("quick", "fast"),
+      3L -> base.replace("lazy", "idle").replace("deep", "dark"),
+      4L -> ("completely different content about database engines " +
+        "processing columnar analytical workloads with vectorized plans"),
+      5L -> base, // exact duplicate
+      6L -> ("completely different content about database engines " +
+        "processing columnar analytical workloads with modern hardware"))
+      .toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardSimilarityJoin(docs, "id", "text", n = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val a = docs.toDF("id_a", "text_a")
+      val b = docs.toDF("id_b", "text_b")
+      val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("jaccard", Dedup.ngramJaccard($"text_a", $"text_b", 3))
+        .filter($"jaccard" >= t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got === brute, s"threshold $t")
+      assert(brute.nonEmpty, s"vacuous at $t — fixture broken")
+    }
+  }
+
+  test("jaccardSimilarityJoin rejects degenerate thresholds") {
+    val docs = Seq(1L -> base).toDF("id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.jaccardSimilarityJoin(docs, "id", "text", n = 2, threshold = 0.0))
+  }
+
   test("fingerprints are normalization-invariant") {
     val df = Seq(("A  B\tC", "a b c")).toDF("t1", "t2")
     val r = df.select(

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Minion
+
+/** Minion segment-maintenance tasks (MergeRollupSegmentConverter /
+  * SegmentPurger semantics): concatenate, rollup with per-metric
+  * aggregators, purge + modify. */
+class MinionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_minion_spec/$name"
+
+  private val seg = Seq(
+    ("click", 1L, 10.0, 5.0),
+    ("click", 1L, 20.0, 7.0),
+    ("view", 2L, 5.0, 1.0)).toDF("etype", "bucket", "v", "m")
+
+  test("MergeType.fromString is case-insensitive and rejects unknowns") {
+    assert(Minion.MergeType.fromString("CONCATENATE") === Minion.Concatenate)
+    assert(Minion.MergeType.fromString("rollup") === Minion.Rollup)
+    intercept[IllegalArgumentException](Minion.MergeType.fromString("append"))
+  }
+
+  test("concatenate merges segments with rows unchanged") {
+    seg.limit(2).write.mode("overwrite").parquet(tmp("c0"))
+    seg.filter($"etype" === "view").write.mode("overwrite").parquet(tmp("c1"))
+    Minion.mergeSegments(spark, Seq(tmp("c0"), tmp("c1")), tmp("cout"),
+      Minion.Concatenate)
+    val out = spark.read.parquet(tmp("cout"))
+    assert(out.count() === 3)
+    assert(out.agg(sum($"v")).as[Double].head() === 35.0)
+  }
+
+  test("rollup collapses duplicate dim combos, SUM default + MAX override") {
+    seg.limit(2).write.mode("overwrite").parquet(tmp("r0"))
+    seg.write.mode("overwrite").parquet(tmp("r1"))
+    Minion.mergeSegments(spark, Seq(tmp("r0"), tmp("r1")), tmp("rout"),
+      Minion.Rollup, groupByCols = Seq("etype", "bucket"),
+      aggTypes = Map("m" -> "MAX")) // v defaults to SUM
+    val out = spark.read.parquet(tmp("rout")).orderBy($"etype")
+    assert(out.columns.toSeq === Seq("etype", "bucket", "v", "m"))
+    val rows = out.as[(String, Long, Double, Double)].collect().toSeq
+    // click: v = (10+20) + (10+20) = 60 summed, m = max(5,7) = 7
+    assert(rows === Seq(("click", 1L, 60.0, 7.0), ("view", 2L, 5.0, 1.0)))
+  }
+
+  test("rollup rejects unknown aggregators and missing group columns") {
+    seg.write.mode("overwrite").parquet(tmp("e0"))
+    intercept[IllegalArgumentException](
+      Minion.mergeSegments(spark, Seq(tmp("e0")), tmp("eout"),
+        Minion.Rollup, groupByCols = Seq("etype", "bucket"),
+        aggTypes = Map("v" -> "AVG")))
+    intercept[IllegalArgumentException](
+      Minion.mergeSegments(spark, Seq(tmp("e0")), tmp("eout"), Minion.Rollup))
+  }
+
+  test("purgeSegment drops purged rows, modifies survivors, needs one of the two") {
+    seg.write.mode("overwrite").parquet(tmp("p0"))
+    Minion.purgeSegment(spark, tmp("p0"), tmp("pout"),
+      purge = Some($"etype" === "view"),
+      modify = Seq("v" -> ($"v" * 2)))
+    val out = spark.read.parquet(tmp("pout"))
+    assert(out.count() === 2)
+    assert(out.agg(sum($"v")).as[Double].head() === 60.0)
+    intercept[IllegalArgumentException](
+      Minion.purgeSegment(spark, tmp("p0"), tmp("pout")))
+  }
+}
