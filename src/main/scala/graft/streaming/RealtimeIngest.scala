@@ -92,6 +92,28 @@ object RealtimeIngest {
       .trigger(trigger)
       .start()
 
+  /** Ingest-time EXACT DEDUP on a stream — the streaming counterpart
+    * of [[graft.operators.Dedup.exactDedup]], for training-data
+    * pipelines that must drop duplicate documents as they arrive
+    * rather than in a nightly batch.
+    *
+    * `dropDuplicatesWithinWatermark` keys the dedup state on `keyCols`
+    * (e.g. a content fingerprint) and — the 100 TB point — BOUNDS the
+    * state with the event-time watermark: a key is remembered only
+    * within `watermarkDelay` of the stream's max event time, so state
+    * size tracks the duplicate-arrival window, not stream history.
+    * Duplicates arriving later than the watermark delay are a
+    * documented miss (use the batch [[graft.operators.Dedup]] pass for
+    * full-history dedup); within the window, semantics are exact
+    * first-wins. */
+  def startWithDedup(stream: DataFrame, keyCols: Seq[String], timeCol: String,
+      watermarkDelay: String, segmentDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    start(
+      stream.withWatermark(timeCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols),
+      segmentDir, checkpointDir, trigger)
+
   /** Read the committed segments back as a queryable table. */
   def readSegments(spark: SparkSession, segmentDir: String): DataFrame =
     spark.read.parquet(segmentDir)

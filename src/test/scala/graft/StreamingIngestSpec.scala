@@ -86,6 +86,36 @@ class StreamingIngestSpec extends SparkSpec {
     assert(HybridTable.view(offline.filter($"t" < 0), realtime, "t").count() === 21)
   }
 
+  test("streaming exact dedup: watermark-bounded state, first-wins across batches") {
+    val seg = tmp("graft-dedup-seg")
+    val ckp = tmp("graft-dedup-ckp")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+
+    // batch 1: doc 2 arrives twice (same text → same fingerprint)
+    source.addData((1L, "alpha doc", ts(1)), (2L, "beta doc", ts(2)),
+      (3L, "beta doc", ts(3)))
+    val dedup1 = RealtimeIngest.startWithDedup(
+      source.toDF.toDF("id", "text", "ts")
+        .withColumn("fp", graft.operators.TextAnalysis.fingerprintMd5($"text")),
+      keyCols = Seq("fp"), timeCol = "ts", watermarkDelay = "1 hour", seg, ckp)
+    dedup1.awaitTermination()
+    assert(RealtimeIngest.readSegments(spark, seg)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+
+    // restart from the checkpoint: a duplicate of doc 2 within the
+    // watermark window is suppressed by the CHECKPOINTED state; the
+    // genuinely new doc passes
+    source.addData((4L, "beta doc", ts(10)), (5L, "gamma doc", ts(11)))
+    RealtimeIngest.startWithDedup(
+      source.toDF.toDF("id", "text", "ts")
+        .withColumn("fp", graft.operators.TextAnalysis.fingerprintMd5($"text")),
+      keyCols = Seq("fp"), timeCol = "ts", watermarkDelay = "1 hour", seg, ckp)
+      .awaitTermination()
+    assert(RealtimeIngest.readSegments(spark, seg)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
+  }
+
   test("streaming windowed aggregation with watermark (event-time rollup)") {
     val seg = tmp("graft-win-seg")
     val ckp = tmp("graft-win-ckp")
