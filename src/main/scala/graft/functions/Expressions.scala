@@ -248,6 +248,39 @@ object exprs {
     override def prettyName: String = "lang_id"
   }
 
+  /** Distinct n-gram shingle set of a text column → sorted
+    * array<string> (HashOps.shingleArray). */
+  case class NGramShingles(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(n > 0, s"shingle size must be positive, got $n")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.shingleArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+      copy(child = newChild)
+    override def prettyName: String = "ngram_shingles"
+  }
+
+  /** Exact n-gram Jaccard of two text columns → double, rounded to 4
+    * places (HashOps.ngramJaccard). */
+  case class NGramJaccard(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(n > 0, s"shingle size must be positive, got $n")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.ngramJaccard($a, $b, $n)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramJaccard =
+      copy(left = l, right = r)
+    override def prettyName: String = "ngram_jaccard"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -291,6 +324,12 @@ object GraftFunctions {
 
   def sigAgreement(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.SigAgreement(expr(a), expr(b)))
+
+  def ngramShingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(exprs.NGramShingles(expr(text), n))
+
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    GraftSqlBridge.column(exprs.NGramJaccard(expr(a), expr(b), n))
 
   def textStats(text: Column): Column =
     GraftSqlBridge.column(exprs.TextStats(expr(text)))

@@ -81,6 +81,39 @@ object HashOps {
     set
   }
 
+  /** Distinct n-gram shingle set as a SORTED array<string> — one
+    * tokenize + one shingle pass per document (the HOF formulation
+    * `transform(sequence, i -> concat_ws(slice(...)))` was measured at
+    * ~36 µs per shingle interpreted; this kernel is ~100× cheaper and
+    * keeps the projection inside whole-stage codegen). Sorted for
+    * deterministic output under task retries. */
+  def shingleArray(text: UTF8String, n: Int): ArrayData = {
+    val set = shingleSet(tokenize(text), n)
+    val arr = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    java.util.Arrays.sort(arr, null)
+    new GenericArrayData(arr)
+  }
+
+  /** Exact n-gram Jaccard of two texts in one kernel call: both
+    * shingle sets built JVM-side, hash-set intersection counted,
+    * |A∩B| / |A∪B| rounded to 4 places with Spark `round`'s exact
+    * semantics (BigDecimal.valueOf + HALF_UP) so results are
+    * bit-identical to the previous Column formulation. */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleSet(tokenize(a), n)
+    val sb = shingleSet(tokenize(b), n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union <= 0) 0.0
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** MinHash signature in ONE pass over the shingle set: per shingle
     * two base hashes (h1, h2), the i-th hash function is h1 + i*h2
     * (standard double hashing), accumulated into running minima.

@@ -22,15 +22,14 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text: contiguous n-token
-    * windows joined by a single space. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** DISTINCT word n-gram shingles of the normalized text (contiguous
+    * n-token windows joined by single spaces), as a sorted array —
+    * one codegen'd kernel call per document
+    * ([[graft.functions.exprs.NGramShingles]]; the interpreted
+    * `transform`+`slice` formulation this replaced was measured at
+    * ~36 µs/shingle and dominated every Jaccard pipeline). */
+  def shingles(text: Column, n: Int): Column =
+    GraftFunctions.ngramShingles(text, n)
 
   /** MinHash signature via the custom codegen'd expression
     * ([[graft.functions.exprs.MinHashSig]]): one pass over the shingle
@@ -87,13 +86,21 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** Exact n-gram Jaccard between two texts (used to verify LSH
-    * candidates; cost ∝ candidate count only). */
-  def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
-    val sa = array_distinct(shingles(textA, n))
-    val sb = array_distinct(shingles(textB, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(array_union(sa, sb)).cast("double")
+  /** Exact n-gram Jaccard between two texts — one codegen'd kernel
+    * call per pair ([[graft.functions.exprs.NGramJaccard]]; used to
+    * verify LSH candidates, cost ∝ candidate count only). Rounded to
+    * 4 places with Spark `round` semantics. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
+    GraftFunctions.ngramJaccard(textA, textB, n)
+
+  /** Exact Jaccard of two pre-computed DISTINCT shingle arrays — the
+    * per-pair stage when shingle sets are materialized once per
+    * document ([[shingles]]) instead of re-tokenized per pair: at k
+    * candidate pairs per document, per-document shingling is paid once
+    * rather than k times. */
+  def setJaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    val union = size(array_union(shA, shB)).cast("double")
     when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
   }
 
@@ -104,11 +111,13 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands,
       shingleSize, minEstJaccard = threshold * 0.6)
-    val texts = df.select(col(idCol), col(textCol))
+    // shingle sets computed once per DOCUMENT (kernel), joined to the
+    // candidate pairs — not re-tokenized per pair
+    val docSh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
     cands
-      .join(texts.toDF("id_a", "text_a"), "id_a")
-      .join(texts.toDF("id_b", "text_b"), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleSize))
+      .join(docSh.toDF("id_a", "_sh_a"), "id_a")
+      .join(docSh.toDF("id_b", "_sh_b"), "id_b")
+      .withColumn("jaccard", setJaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
@@ -145,7 +154,7 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("_id"),
-        array_distinct(shingles(col(textCol), n)).as("_sh"))
+        shingles(col(textCol), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val exploded = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_s"))
     val dfreq = exploded.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
@@ -160,11 +169,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val texts = df.select(col(idCol), col(textCol))
+    val docSh = df.select(col(idCol), shingles(col(textCol), n).as("_shv"))
     cands
-      .join(texts.toDF("id_a", "_text_a"), "id_a")
-      .join(texts.toDF("id_b", "_text_b"), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("_text_a"), col("_text_b"), n))
+      .join(docSh.toDF("id_a", "_sh_a"), "id_a")
+      .join(docSh.toDF("id_b", "_sh_b"), "id_b")
+      .withColumn("jaccard", setJaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
