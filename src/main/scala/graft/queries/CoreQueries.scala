@@ -24,27 +24,6 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.load(s, dir, name)
 
-  /** Session-scoped build-once cache: star-tree indexes, bucketed
-    * twins, and partitioned copies are built ONCE per (session, table)
-    * and reused across queries — the reference builds these at segment
-    * load, not per query, so re-building per call would time
-    * construction, not routing. The stored session reference is
-    * compared with `eq` so an identityHashCode collision after GC can
-    * never resurrect state from a stopped session. */
-  private final class SessionCache[V] {
-    private val m =
-      new scala.collection.concurrent.TrieMap[(Int, String), (SparkSession, V)]
-    def getOrElseUpdate(s: SparkSession, tag: String)(build: => V): V = {
-      val k = (System.identityHashCode(s), tag)
-      m.get(k) match {
-        case Some((sess, v)) if sess eq s => v
-        case _ =>
-          val v = build
-          m.put(k, (s, v))
-          v
-      }
-    }
-  }
   private val stCache = new SessionCache[graft.plans.StarTree.Index]
 
   /** COUNT(*) no-filter — reference answers from segment metadata

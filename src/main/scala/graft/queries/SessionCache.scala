@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped build-once cache: star-tree indexes, bucketed
+  * twins, partitioned copies, and derived sketch segments are built
+  * ONCE per (session, table) and reused across queries — the
+  * reference builds these at segment load / ingest time, not per
+  * query, so re-building per call would time construction, not the
+  * query. The stored session reference is compared with `eq` so an
+  * identityHashCode collision after GC can never resurrect state from
+  * a stopped session. */
+private[queries] final class SessionCache[V] {
+  private val m =
+    new scala.collection.concurrent.TrieMap[(Int, String), (SparkSession, V)]
+  def getOrElseUpdate(s: SparkSession, tag: String)(build: => V): V = {
+    val k = (System.identityHashCode(s), tag)
+    m.get(k) match {
+      case Some((sess, v)) if sess eq s => v
+      case _ =>
+        val v = build
+        m.put(k, (s, v))
+        v
+    }
+  }
+}
