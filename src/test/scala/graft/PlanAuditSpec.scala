@@ -77,6 +77,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(inline.contains("nearest_cell("), "sanity: inline path assigns cells")
   }
 
+  test("jaccard similarity join: kernel shingles, hash-joined candidates, no cartesian") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val p = plan(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+      n = 2, threshold = 0.7))
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation degenerated to all-pairs")
+    assert(p.contains("ngram_shingles"),
+      "shingle kernel missing — interpreted HOF shingling crept back in")
+    assert(!p.toLowerCase.contains("slice("),
+      "per-element slice formulation crept back in")
+  }
+
   test("whole-stage codegen covers the text-kernel pipeline") {
     // AQE reports 0 codegen subtrees before the plan finalizes; turn it
     // off for this inspection only
