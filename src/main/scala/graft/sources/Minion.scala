@@ -83,6 +83,23 @@ object Minion {
     sorted.write.mode("overwrite").parquet(outDir)
   }
 
+  /** Backfill a dateTime column derived from the time column
+    * (minion/BackfillDateTimeColumn.java: new segment = old segment +
+    * a column computed from the time column per the dest
+    * DateTimeFieldSpec's `size:unit:EPOCH|SDF` format + granularity;
+    * an existing column of that name is overwritten). Map-only — a
+    * scan, one derived projection, a write. */
+  def backfillDateTime(spark: SparkSession, inputDir: String, outDir: String,
+      timeCol: String, destCol: String, srcFormat: String, destFormat: String,
+      granularity: String): Unit = {
+    require(inputDir != outDir,
+      "Original index dir and backfill index dir should not be the same")
+    spark.read.parquet(inputDir)
+      .withColumn(destCol, graft.functions.DateTimeOps.dateTimeConvert(
+        col(timeCol), srcFormat, destFormat, granularity))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Purge and/or modify a segment's records into a new segment
     * (SegmentPurger.purgeSegment): rows where `purge` evaluates true
     * are dropped (null-safe — a null predicate keeps the row, matching

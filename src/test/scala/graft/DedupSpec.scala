@@ -162,6 +162,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardSimilarityJoin fuzz: random corpora match brute force (seeded)") {
+    // small word pool forces heavy shingle overlap — the hardest regime
+    // for prefix filtering (rare-shingle prefixes barely exist)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 8) {
+      val docs = (1L to 8L).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        id -> Seq.fill(len)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      }.toDF("id", "text")
+      val t = Seq(0.25, 0.5, 0.75)(rnd.nextInt(3))
+      val got = Dedup.jaccardSimilarityJoin(docs, "id", "text", n = 2, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val brute = docs.toDF("id_a", "text_a")
+        .crossJoin(docs.toDF("id_b", "text_b")).filter($"id_a" < $"id_b")
+        .withColumn("jaccard", Dedup.ngramJaccard($"text_a", $"text_b", 2))
+        .filter($"jaccard" >= t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got === brute, s"round $round threshold $t")
+    }
+  }
+
   test("jaccardSimilarityJoin rejects degenerate thresholds") {
     val docs = Seq(1L -> base).toDF("id", "text")
     intercept[IllegalArgumentException](

@@ -56,6 +56,21 @@ class MinionSpec extends SparkSpec {
       Minion.mergeSegments(spark, Seq(tmp("e0")), tmp("eout"), Minion.Rollup))
   }
 
+  test("backfillDateTime derives the dateTimeSpec column from the time column") {
+    val rows = Seq((1L, 0L), (2L, 900000L), (3L, 3600000L)).toDF("id", "ms")
+    rows.write.mode("overwrite").parquet(tmp("b0"))
+    Minion.backfillDateTime(spark, tmp("b0"), tmp("bout"),
+      timeCol = "ms", destCol = "ep15",
+      srcFormat = "1:MILLISECONDS:EPOCH", destFormat = "15:MINUTES:EPOCH",
+      granularity = "15:MINUTES")
+    val out = spark.read.parquet(tmp("bout")).orderBy($"id")
+    assert(out.columns.toSeq === Seq("id", "ms", "ep15"))
+    assert(out.select($"ep15").as[Long].collect().toSeq === Seq(0L, 1L, 4L))
+    intercept[IllegalArgumentException](
+      Minion.backfillDateTime(spark, tmp("b0"), tmp("b0"),
+        "ms", "x", "1:MILLISECONDS:EPOCH", "1:HOURS:EPOCH", "1:HOURS"))
+  }
+
   test("purgeSegment drops purged rows, modifies survivors, needs one of the two") {
     seg.write.mode("overwrite").parquet(tmp("p0"))
     Minion.purgeSegment(spark, tmp("p0"), tmp("pout"),
