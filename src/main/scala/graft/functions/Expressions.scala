@@ -281,6 +281,23 @@ object exprs {
     override def prettyName: String = "ngram_jaccard"
   }
 
+  /** Exact Jaccard of two sorted distinct array<string> columns
+    * (HashOps.sortedJaccard — merge-count, allocation-free). */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.sortedJaccard($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_jaccard"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -330,6 +347,9 @@ object GraftFunctions {
 
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     GraftSqlBridge.column(exprs.NGramJaccard(expr(a), expr(b), n))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.SortedJaccard(expr(a), expr(b)))
 
   def textStats(text: Column): Column =
     GraftSqlBridge.column(exprs.TextStats(expr(text)))

@@ -114,6 +114,30 @@ object HashOps {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** Exact Jaccard of two SORTED DISTINCT string arrays (the
+    * [[shingleArray]] output shape) by merge-counting the
+    * intersection — no per-pair hash-set or output-array allocation
+    * (`array_intersect` + `array_union` pay both), which is the
+    * difference between ~8 µs and sub-µs per candidate pair in the
+    * similarity-join verify stage. Same rounding as [[ngramJaccard]]. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union <= 0) 0.0
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** MinHash signature in ONE pass over the shingle set: per shingle
     * two base hashes (h1, h2), the i-th hash function is h1 + i*h2
     * (standard double hashing), accumulated into running minima.

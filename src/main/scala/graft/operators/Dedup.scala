@@ -93,16 +93,15 @@ object Dedup {
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
     GraftFunctions.ngramJaccard(textA, textB, n)
 
-  /** Exact Jaccard of two pre-computed DISTINCT shingle arrays — the
-    * per-pair stage when shingle sets are materialized once per
-    * document ([[shingles]]) instead of re-tokenized per pair: at k
-    * candidate pairs per document, per-document shingling is paid once
-    * rather than k times. */
-  def setJaccard(shA: Column, shB: Column): Column = {
-    val inter = size(array_intersect(shA, shB)).cast("double")
-    val union = size(array_union(shA, shB)).cast("double")
-    when(union > 0, round(inter / union, 4)).otherwise(lit(0.0))
-  }
+  /** Exact Jaccard of two pre-computed SORTED DISTINCT shingle arrays
+    * (the [[shingles]] output shape) — the per-pair stage when shingle
+    * sets are materialized once per document instead of re-tokenized
+    * per pair. One merge-count kernel call per pair
+    * ([[graft.functions.exprs.SortedJaccard]]) — no per-pair hash sets
+    * or output arrays, which is what makes multi-million-candidate
+    * verify stages affordable. */
+  def setJaccard(shA: Column, shB: Column): Column =
+    GraftFunctions.sortedJaccard(shA, shB)
 
   /** Full near-dup pipeline: LSH candidates → exact n-gram Jaccard
     * verification ≥ threshold. */
@@ -163,10 +162,20 @@ object Dedup {
         Window.partitionBy(col("_id"))
           .orderBy(col("_df"), xxhash64(col("_s")), col("_s"))))
       .filter(col("_rk") <= col("_size") - ceil(lit(threshold) * col("_size")) + 1)
-      .select(col("_id"), col("_s"))
-    val cands = prefix.toDF("id_a", "_s")
-      .join(prefix.toDF("id_b", "_s"), "_s")
-      .filter(col("id_a") < col("id_b"))
+      .select(col("_id"), col("_s"), col("_rk"), col("_size"))
+    val a = prefix.toDF("id_a", "_s", "_rk_a", "_size_a")
+    val b = prefix.toDF("id_b", "_s", "_rk_b", "_size_b")
+    // POSITIONAL filter (PPJoin): for the smallest common shingle in
+    // the global order, every other common shingle ranks after it in
+    // BOTH sets, so overlap ≤ 1 + min(|A|-rk_a, |B|-rk_b); Jaccard ≥ t
+    // needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — pairs can only be pruned
+    // at non-smallest matches, so no qualifying pair is lost.
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("_size_a") + col("_size_b")))
+    val cands = a.join(b,
+        a("_s") === b("_s") && col("id_a") < col("id_b") &&
+        lit(1) + least(col("_size_a") - col("_rk_a"),
+          col("_size_b") - col("_rk_b")) >= minOverlap)
       .select(col("id_a"), col("id_b"))
       .distinct()
     val docSh = df.select(col(idCol), shingles(col(textCol), n).as("_shv"))
