@@ -124,11 +124,62 @@ object ApproxQueries {
       .orderBy($"l_returnflag")
   }
 
+  private val qsketchSeg = new SessionCache[String]
+
+  /** Mergeable QUANTILE sketch column ([[graft.functions.QuantileSketch]])
+    * — the percentile analog of fastHLL, completing the reference's
+    * mergeable-sketch story (`PercentileEstAggregationFunction` merges
+    * serialized QuantileDigests server→broker; the ingest/star-tree
+    * `ValueAggregatorFactory` includes percentile-est metrics): GK
+    * sketches of l_quantity built once per (l_returnflag, l_suppkey)
+    * slice and stored with the segment; the coarse per-flag query
+    * UNIONS stored sketches — only KB-scale sketch bytes move, rows
+    * are never re-read. Invariants: the merged estimate must land
+    * between the exact percentiles at f∓0.05 (GK rank error ≤ eps·n
+    * with eps 0.01, margin 5×), and the sketch count must equal the
+    * true row count (GK counts are exact). */
+  def qPercentileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.QuantileSketch
+    val segPath = qsketchSeg.getOrElseUpdate(s, s"qsketch|$dir") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_qsketch_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_suppkey")
+        .agg(QuantileSketch.sketchAgg($"l_quantity".cast("double"), 0.01).as("qs"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val merged = s.read.parquet(segPath)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"), sum($"n").as("n_rows"),
+        QuantileSketch.unionAgg($"qs").as("sk"))
+      .select($"l_returnflag", $"n_parts", $"n_rows",
+        QuantileSketch.estimate($"sk", 0.5).as("p50_est"),
+        QuantileSketch.estimate($"sk", 0.95).as("p95_est"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        expr("percentile(l_quantity, array(0.45, 0.5, 0.55, 0.9, 0.95, 1.0))").as("_pe"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_parts",
+        round(element_at($"_pe", 2), 4).as("p50_exact"),
+        round(element_at($"_pe", 5), 4).as("p95_exact"),
+        ($"n_rows" === $"cnt").as("count_ok"),
+        ($"p50_est" >= element_at($"_pe", 1) &&
+          $"p50_est" <= element_at($"_pe", 3)).as("p50_ok"),
+        ($"p95_est" >= element_at($"_pe", 4) &&
+          $"p95_est" <= element_at($"_pe", 6)).as("p95_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll" -> qHll,
     "q_hll_mv" -> qHllMv,
     "q_percentile_approx" -> qPercentileApprox,
-    "q_fasthll" -> qFastHll)
+    "q_fasthll" -> qFastHll,
+    "q_percentile_sketch" -> qPercentileSketch)
 
   val oracles: Map[String, String] = Map(
     "q_hll" ->
@@ -147,5 +198,11 @@ object ApproxQueries {
     "q_fasthll" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
         |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_exact,
+        |  TRUE AS count_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
