@@ -41,7 +41,7 @@ object StarTree {
     * (e.g. `write.parquet`) to reuse across queries — the
     * segment-build step of the reference's tree. */
   final case class Index(dims: Seq[String], metrics: Seq[String], rollup: DataFrame,
-      sketchLgK: Int = 0) {
+      sketchLgK: Int = 0, quantileEps: Double = 0) {
 
     private def gidFor(groupBy: Seq[String]): Long =
       dims.zipWithIndex.map { case (d, i) =>
@@ -50,6 +50,29 @@ object StarTree {
 
     /** Can this index answer a group-by on `groupBy`? */
     def covers(groupBy: Seq[String]): Boolean = groupBy.forall(dims.contains)
+
+    /** Percentile estimate of `metric` per group, answered ENTIRELY
+      * from the tree's stored quantile sketch column — the reference's
+      * percentile-est star-tree metric
+      * (`data/aggregator/ValueAggregatorFactory.java`'s
+      * PERCENTILE_EST: the tree node stores a mergeable digest, and a
+      * star-tree query extracts quantiles from it). Explicit API, not
+      * a silent optimizer rewrite: sketch-merge percentiles are
+      * approximate (rank error ≤ eps·n), so unlike the
+      * insertion-order-invariant HLL columns they cannot transparently
+      * replace an exact `percentile`/`approx_percentile` plan without
+      * changing answers — the caller opts into sketch semantics here,
+      * exactly as with fastHLL. */
+    def slicePercentile(groupBy: Seq[String], metric: String,
+        fractions: Seq[Double]): DataFrame = {
+      require(quantileEps > 0 && rollup.columns.contains(s"qs_$metric"),
+        s"index was not built with a quantile sketch for '$metric' " +
+          "(pass quantileEps to StarTree.build)")
+      val ests = fractions.map(f =>
+        graft.functions.QuantileSketch.estimate(col(s"qs_$metric"), f)
+          .as(s"p${(f * 100).round}_$metric"))
+      slice(groupBy).select(groupBy.map(col) ++ ests: _*)
+    }
 
     /** The pre-aggregated slice for a group-by on `groupBy` ⊆ dims:
       * rows whose grouping id stars exactly the other dimensions.
@@ -60,7 +83,8 @@ object StarTree {
     def slice(groupBy: Seq[String]): DataFrame = {
       require(covers(groupBy),
         s"star-tree over $dims cannot answer group-by $groupBy")
-      val sketchCols = rollup.columns.filter(_.startsWith("hll_")).map(col).toSeq
+      val sketchCols = rollup.columns
+        .filter(c => c.startsWith("hll_") || c.startsWith("qs_")).map(col).toSeq
       val metricCols = metrics.flatMap(m => Seq(
         col(s"sum_$m"), col(s"min_$m"), col(s"max_$m"), col(s"cnt_$m"))) ++
         sketchCols :+ col("star_count")
@@ -79,7 +103,7 @@ object StarTree {
     * algorithms (approx_count_distinct is HLL++ and is deliberately
     * NOT routed to these columns). */
   def build(fact: DataFrame, dims: Seq[String], metrics: Seq[String],
-      sketchLgK: Int = 0): Index = {
+      sketchLgK: Int = 0, quantileEps: Double = 0): Index = {
     // DataSketches HLL accepts int/bigint/string/binary only — sketch
     // the metrics it can, silently skip the rest (their hll_ column is
     // simply absent, so sketch routing falls back for them)
@@ -91,17 +115,27 @@ object StarTree {
       else metrics
         .filter(m => sketchable.contains(fact.schema(m).dataType))
         .map(m => hll_sketch_agg(col(m), lit(sketchLgK)).as(s"hll_$m"))
+    // percentile-est metric (ValueAggregatorFactory PERCENTILE_EST):
+    // a mergeable GK quantile sketch per numeric metric per node
+    val qsketches: Seq[Column] =
+      if (quantileEps <= 0) Nil
+      else metrics
+        .filter(m => fact.schema(m).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .map(m => graft.functions.QuantileSketch
+          .sketchAgg(col(m).cast("double"), quantileEps).as(s"qs_$m"))
     val aggCols: Seq[Column] =
       metrics.flatMap(m => Seq(
         sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m"),
-        count(col(m)).as(s"cnt_$m"))) ++ sketches :+ count(lit(1)).as("star_count")
+        count(col(m)).as(s"cnt_$m"))) ++ sketches ++ qsketches :+
+        count(lit(1)).as("star_count")
     // grouping_id() is only valid inside the cube aggregation itself
     val rollup = fact
       .cube(dims.map(col): _*)
       .agg(aggCols.head, aggCols.tail :+ grouping_id().as("_gid"): _*)
-    Index(dims, metrics, rollup, math.max(sketchLgK, 0))
+    Index(dims, metrics, rollup, math.max(sketchLgK, 0), math.max(quantileEps, 0))
   }
 
   /** Route a group-by aggregate: answer from the index when it covers

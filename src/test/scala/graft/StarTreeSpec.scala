@@ -47,6 +47,26 @@ class StarTreeSpec extends SparkSpec {
     assert(fallback.count() > 0)
   }
 
+  test("percentile-est metric: slice sketches bracket the exact percentiles") {
+    val qidx = StarTree.build(fact, Seq("l_returnflag"), Seq("l_quantity"),
+      quantileEps = 0.01)
+    val est = qidx.slicePercentile(Seq("l_returnflag"), "l_quantity",
+        Seq(0.5, 0.95))
+      .withColumnRenamed("p50_l_quantity", "p50")
+      .withColumnRenamed("p95_l_quantity", "p95")
+    val exact = fact.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.45, 0.55, 0.9, 1.0))").as("pe"))
+    val rows = est.join(exact, "l_returnflag")
+      .select(
+        ($"p50" >= element_at($"pe", 1) && $"p50" <= element_at($"pe", 2)).as("ok50"),
+        ($"p95" >= element_at($"pe", 3) && $"p95" <= element_at($"pe", 4)).as("ok95"))
+      .as[(Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._1 && r._2), rows.mkString(","))
+    // not built with sketches -> explicit rejection
+    intercept[IllegalArgumentException](
+      idx.slicePercentile(Seq("l_returnflag"), "l_quantity", Seq(0.5)))
+  }
+
   test("uncovered dimension or metric is rejected by slice") {
     intercept[IllegalArgumentException](idx.slice(Seq("l_suppkey")))
   }
