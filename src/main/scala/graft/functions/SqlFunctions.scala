@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.Decimal
 
 /** SQL-facing builders for the custom expressions, so `spark.sql`
   * users get the same functions as the Column API — the engine's
@@ -15,6 +16,15 @@ object SqlFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   private type Builder = Seq[Expression] => Expression
@@ -32,7 +42,22 @@ object SqlFunctions {
       exprs.MinHashSig(c, intLit(n, "numHashes"), intLit(s, "shingleSize")) },
     "lsh_bucket" -> { case Seq(c, p) => exprs.LshBucket(c, intLit(p, "numPlanes")) },
     "lsh_buckets" -> { case Seq(c, p, t) =>
-      exprs.LshBuckets(c, intLit(p, "numPlanes"), intLit(t, "numTables")) })
+      exprs.LshBuckets(c, intLit(p, "numPlanes"), intLit(t, "numTables")) },
+    "winnow_fingerprint" -> { case Seq(c, k, w) =>
+      exprs.WinnowFingerprint(c, intLit(k, "k"), intLit(w, "w")) },
+    "ngram_shingles" -> { case Seq(c, n) =>
+      exprs.NGramShingles(c, intLit(n, "shingleSize")) },
+    "ngram_jaccard" -> { case Seq(a, b, n) =>
+      exprs.NGramJaccard(a, b, intLit(n, "shingleSize")) },
+    "sorted_jaccard" -> { case Seq(a, b) => exprs.SortedJaccard(a, b) },
+    // aggregates: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression, same as Spark's own registry builders
+    "quantile_sketch_agg" -> { case Seq(c, e) =>
+      qsketch.QuantileSketchAgg(c, doubleLit(e, "eps")) },
+    "quantile_sketch_union_agg" -> { case Seq(c) =>
+      qsketch.QuantileSketchUnionAgg(c) },
+    "quantile_sketch_estimate" -> { case Seq(c, f) =>
+      qsketch.QuantileSketchEstimate(c, doubleLit(f, "fraction")) })
 
   val all: Seq[(String, Builder)] = raw.map { case (name, pf) =>
     name -> { (args: Seq[Expression]) =>

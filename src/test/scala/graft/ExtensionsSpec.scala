@@ -31,6 +31,26 @@ class ExtensionsSpec extends SparkSpec {
         factPath + "`").collect())
   }
 
+  test("round-5 SQL functions: shingles, jaccard, quantile sketch family") {
+    Graft.enable(spark)
+    val r = spark.sql(
+      """SELECT ngram_shingles('a b c', 2) AS sh,
+        |  ngram_jaccard('a b c d', 'a b c e', 2) AS j,
+        |  sorted_jaccard(array('a b', 'b c'), array('a b', 'b c')) AS sj""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0).toSet === Set("a b", "b c"))
+    assert(r.getDouble(1) === 0.5) // {a b, b c, c d} vs {a b, b c, c e}
+    assert(r.getDouble(2) === 1.0)
+    val q = spark.sql(
+      """SELECT quantile_sketch_estimate(
+        |  quantile_sketch_union_agg(sk), 0.5) AS p50 FROM (
+        |    SELECT g, quantile_sketch_agg(CAST(v AS DOUBLE), 0.01) AS sk
+        |    FROM VALUES (1, 1.0), (1, 2.0), (2, 3.0), (2, 4.0) AS t(g, v)
+        |    GROUP BY g)""".stripMargin)
+      .head().getDouble(0)
+    assert(q >= 1.0 && q <= 4.0, s"p50=$q")
+  }
+
   test("star-tree routing rule answers covered aggregates from the rollup, not the fact scan") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
