@@ -126,13 +126,25 @@ object HashOps {
     var i = 0
     var j = 0
     var inter = 0
+    var nullsA = 0
+    var nullsB = 0
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      // null elements (possible via hand-built SQL arrays; never from
+      // the shingle kernel) are skipped and excluded from the union
+      if (x == null) { nullsA += 1; i += 1 }
+      else if (y == null) { nullsB += 1; j += 1 }
+      else {
+        val c = x.compareTo(y)
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
-    val union = na + nb - inter
+    while (i < na) { if (a.getUTF8String(i) == null) nullsA += 1; i += 1 }
+    while (j < nb) { if (b.getUTF8String(j) == null) nullsB += 1; j += 1 }
+    val union = (na - nullsA) + (nb - nullsB) - inter
     if (union <= 0) 0.0
     else java.math.BigDecimal.valueOf(inter.toDouble / union)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -152,6 +152,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
+    // Candidate-stage bound slack, two parts, BOTH subtracted so the
+    // filters can only be weaker than the exact real-number bound —
+    // pruning too little costs a few extra verifications, pruning too
+    // much silently loses qualifying pairs:
+    //  - 5e-5: the verify stage accepts ROUNDED Jaccard ≥ t (4
+    //    decimals, matching the oracle), so a pair with true Jaccard
+    //    down to t − 0.00005 can round up to t and must still reach
+    //    verification;
+    //  - 1e-9: IEEE slack — t/(1+t)·(|A|+|B|) evaluated in doubles can
+    //    overshoot the exact real product (e.g. 0.4/1.4·7 →
+    //    2.0000000000000004, whose ceil wrongly demands overlap 3),
+    //    which would violate exactness for many (t, size) combos.
+    val tSlack = threshold - 5e-5 - 1e-9
     val sh = df.select(col(idCol).as("_id"),
         shingles(col(textCol), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
@@ -161,24 +174,26 @@ object Dedup {
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("_id"))
           .orderBy(col("_df"), xxhash64(col("_s")), col("_s"))))
-      .filter(col("_rk") <= col("_size") - ceil(lit(threshold) * col("_size")) + 1)
+      .filter(col("_rk") <= col("_size") - ceil(lit(tSlack) * col("_size")) + 1)
       .select(col("_id"), col("_s"), col("_rk"), col("_size"))
     val a = prefix.toDF("id_a", "_s", "_rk_a", "_size_a")
     val b = prefix.toDF("id_b", "_s", "_rk_b", "_size_b")
     // POSITIONAL filter (PPJoin): for the smallest common shingle in
     // the global order, every other common shingle ranks after it in
     // BOTH sets, so overlap ≤ 1 + min(|A|-rk_a, |B|-rk_b); Jaccard ≥ t
-    // needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — pairs can only be pruned
+    // needs overlap ≥ t/(1+t)·(|A|+|B|) — compared directly against
+    // the real-valued bound (no ceil: rounding up from a float product
+    // is exactly the overshoot hazard above); pairs can only be pruned
     // at non-smallest matches, so no qualifying pair is lost.
-    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("_size_a") + col("_size_b")))
+    val minOverlap = lit(tSlack / (1 + tSlack)) *
+      (col("_size_a") + col("_size_b"))
     val cands = a.join(b,
         a("_s") === b("_s") && col("id_a") < col("id_b") &&
-        lit(1) + least(col("_size_a") - col("_rk_a"),
-          col("_size_b") - col("_rk_b")) >= minOverlap)
+        (lit(1) + least(col("_size_a") - col("_rk_a"),
+          col("_size_b") - col("_rk_b"))).cast("double") >= minOverlap)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val docSh = df.select(col(idCol), shingles(col(textCol), n).as("_shv"))
+    val docSh = sh.select(col("_id"), col("_sh"))
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")
       .join(docSh.toDF("id_b", "_sh_b"), "id_b")

@@ -68,9 +68,17 @@ object StarTree {
       require(quantileEps > 0 && rollup.columns.contains(s"qs_$metric"),
         s"index was not built with a quantile sketch for '$metric' " +
           "(pass quantileEps to StarTree.build)")
-      val ests = fractions.map(f =>
+      // fraction encoded losslessly in the name (0.95 → p95, 0.954 →
+      // p95_4): integer-percent rounding would collide 0.95 and 0.954
+      // into duplicate column names
+      val ests = fractions.map { f =>
+        // valueOf goes through Double.toString, so 0.95 labels as p95,
+        // not the binary expansion's p94_999…
+        val label = java.math.BigDecimal.valueOf(f).movePointRight(2)
+          .stripTrailingZeros.toPlainString.replace(".", "_")
         graft.functions.QuantileSketch.estimate(col(s"qs_$metric"), f)
-          .as(s"p${(f * 100).round}_$metric"))
+          .as(s"p${label}_$metric")
+      }
       slice(groupBy).select(groupBy.map(col) ++ ests: _*)
     }
 

@@ -103,7 +103,7 @@ object ApproxQueries {
     // partial sketch at ~256 B instead of the 4 KB default
     val segPath = sketchSeg.getOrElseUpdate(s, s"fasthll|$dir") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_fasthll_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+        TmpTag(dir)
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_suppkey")
         .agg(hll_sketch_agg($"l_partkey", lit(8)).as("sk"))
@@ -143,7 +143,7 @@ object ApproxQueries {
     import graft.functions.QuantileSketch
     val segPath = qsketchSeg.getOrElseUpdate(s, s"qsketch|$dir") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_qsketch_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+        TmpTag(dir)
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_suppkey")
         .agg(QuantileSketch.sketchAgg($"l_quantity".cast("double"), 0.01).as("qs"),

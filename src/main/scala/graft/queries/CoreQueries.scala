@@ -300,7 +300,7 @@ object CoreQueries {
     import graft.sources.Ingest
     val nation = t(s, dir, "nation")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      TmpTag(dir)
     val csvDir = s"$base/csv"
     val segDir = s"$base/segment"
     nation.write.mode("overwrite").option("header", "true").csv(csvDir)
@@ -334,7 +334,7 @@ object CoreQueries {
     import graft.sources.{AvroConvert, Ingest}
     val supplier = t(s, dir, "supplier").filter($"s_suppkey" <= 10000)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      TmpTag(dir)
     new java.io.File(base).mkdirs()
     val avroFile = new java.io.File(s"$base/supplier.avro")
     AvroConvert.writeFile(supplier.collect().toSeq, supplier.schema, avroFile)
@@ -367,7 +367,7 @@ object CoreQueries {
     import org.apache.thrift.transport.TIOStreamTransport
     val nation = t(s, dir, "nation").filter($"n_nationkey" <= 10000)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_thrift_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      TmpTag(dir)
     new java.io.File(base).mkdirs()
     val out = new java.io.FileOutputStream(s"$base/nation.bin")
     val proto = new TBinaryProtocol(new TIOStreamTransport(out))
@@ -420,7 +420,7 @@ object CoreQueries {
     val fact = t(s, dir, "lineitem")
     val idx = stCache.getOrElseUpdate(s, s"filtered|$dir") {
       val rollupDir = s"${System.getProperty("java.io.tmpdir")}/graft_st_rollup_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
+        TmpTag(dir)
       StarTree.build(fact, Seq("l_returnflag", "l_linestatus", "l_linenumber"),
           Seq("l_quantity"))
         .rollup.write.mode("overwrite").parquet(rollupDir)
@@ -455,7 +455,7 @@ object CoreQueries {
   def bucketTables(s: SparkSession, dir: String): (String, String) =
     bucketReady.getOrElseUpdate(s, s"bucket|$dir") {
       import graft.sources.Ingest
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tag = TmpTag(dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$tag"
       val (liT, ordT) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
       Ingest.writeBucketedSegment(t(s, dir, "lineitem"), liT, s"$base/lineitem",
@@ -490,7 +490,7 @@ object CoreQueries {
   def partitionedEvents(s: SparkSession, dir: String): String =
     partReady.getOrElseUpdate(s, s"part|$dir") {
       import graft.sources.Ingest
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tag = TmpTag(dir)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_$tag"
       Ingest.writePartitionedSegment(t(s, dir, "events"), out,
         Seq("event_type"), Seq("ts"))
@@ -566,7 +566,7 @@ object CoreQueries {
   def qMergeRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.Minion
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = TmpTag(dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_minion_$tag"
     val rows = t(s, dir, "events")
       .select($"event_id", $"event_type", to_date($"ts").as("day"),
@@ -592,7 +592,7 @@ object CoreQueries {
   def qPurgeSegment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.Minion
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = TmpTag(dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_purge_$tag"
     t(s, dir, "nation").write.mode("overwrite").parquet(s"$base/in")
     Minion.purgeSegment(s, s"$base/in", s"$base/out",

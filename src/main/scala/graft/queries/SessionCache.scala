@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * query. The stored session reference is compared with `eq` so an
   * identityHashCode collision after GC can never resurrect state from
   * a stopped session. */
+/** Collision-free filesystem/table-name tag for a data directory:
+  * sanitized name plus a hash of the RAW string — sanitization alone
+  * is lossy (`/data/sf-1` and `/data/sf.1` would both map to
+  * `data_sf_1` and silently share one derived-segment path). */
+private[queries] object TmpTag {
+  def apply(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + f"_${dir.hashCode & 0xffffffffL}%08x"
+}
+
 private[queries] final class SessionCache[V] {
   private val m =
     new scala.collection.concurrent.TrieMap[(Int, String), (SparkSession, V)]

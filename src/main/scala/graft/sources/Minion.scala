@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Minion {
 
+  /** Canonicalized same-directory check: raw string equality misses
+    * trailing slashes and relative-vs-absolute spellings of one dir,
+    * and overwrite-while-reading the same path destroys the source
+    * segment mid-job. */
+  private def samePath(a: String, b: String): Boolean =
+    new java.io.File(a).getCanonicalPath == new java.io.File(b).getCanonicalPath
+
   /** Merge strategy (minion/rollup/MergeType.java). */
   sealed trait MergeType
   case object Concatenate extends MergeType
@@ -64,6 +71,8 @@ object Minion {
       aggTypes: Map[String, String] = Map.empty,
       sortBy: Seq[String] = Nil): Unit = {
     require(inputDirs.nonEmpty, "at least one input segment required")
+    require(!inputDirs.exists(samePath(_, outDir)),
+      "output segment dir must not be one of the input segment dirs")
     val merged = inputDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val result = mergeType match {
       case Concatenate => merged
@@ -92,7 +101,7 @@ object Minion {
   def backfillDateTime(spark: SparkSession, inputDir: String, outDir: String,
       timeCol: String, destCol: String, srcFormat: String, destFormat: String,
       granularity: String): Unit = {
-    require(inputDir != outDir,
+    require(!samePath(inputDir, outDir),
       "Original index dir and backfill index dir should not be the same")
     spark.read.parquet(inputDir)
       .withColumn(destCol, graft.functions.DateTimeOps.dateTimeConvert(
@@ -111,6 +120,8 @@ object Minion {
       modify: Seq[(String, Column)] = Nil): Unit = {
     require(purge.nonEmpty || modify.nonEmpty,
       "At least one of record purger and modifier should be non-null")
+    require(!samePath(inputDir, outDir),
+      "output segment dir must differ from the input segment dir")
     val df = spark.read.parquet(inputDir)
     val kept = purge.fold(df)(p => df.filter(!coalesce(p, lit(false))))
     val modified = modify.foldLeft(kept) { case (d, (c, e)) => d.withColumn(c, e) }

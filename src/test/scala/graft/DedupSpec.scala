@@ -148,7 +148,7 @@ class DedupSpec extends SparkSpec {
       6L -> ("completely different content about database engines " +
         "processing columnar analytical workloads with modern hardware"))
       .toDF("id", "text")
-    for (t <- Seq(0.3, 0.5, 0.8)) {
+    for (t <- Seq(0.3, 0.4, 0.5, 0.8)) {
       val got = Dedup.jaccardSimilarityJoin(docs, "id", "text", n = 3, threshold = t)
         .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
       val a = docs.toDF("id_a", "text_a")
@@ -173,7 +173,10 @@ class DedupSpec extends SparkSpec {
         val len = 3 + rnd.nextInt(12)
         id -> Seq.fill(len)(pool(rnd.nextInt(pool.size))).mkString(" ")
       }.toDF("id", "text")
-      val t = Seq(0.25, 0.5, 0.75)(rnd.nextInt(3))
+      // 0.2/0.4/0.65/0.8 are thresholds where the unslacked float
+      // bound was PROVEN to overshoot (ceil(0.4/1.4*7) = 3 > 2 etc.) —
+      // keep them in rotation so the slack regressing fails loudly
+      val t = Seq(0.2, 0.25, 0.4, 0.5, 0.65, 0.75, 0.8)(rnd.nextInt(7))
       val got = Dedup.jaccardSimilarityJoin(docs, "id", "text", n = 2, threshold = t)
         .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
       val brute = docs.toDF("id_a", "text_a")
