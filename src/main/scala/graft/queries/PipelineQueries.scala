@@ -382,6 +382,56 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Heavy hitters — frequent-token analysis (vocabulary skew, stopword
+    * discovery) with a Count-Min sketch cross-check. The exact top-20
+    * is a two-phase count + bounded top-k (DuckDB-verified); the CMS is
+    * built DISTRIBUTED by Spark's `count_min_sketch` aggregate (partial
+    * sketches merge map-side — fixed-size state regardless of
+    * vocabulary), then the driver probes it for just the 20 winners (a
+    * bounded model-object read, the qKnnBrute pattern). CMS guarantees
+    * pinned as invariants: never underestimates; overestimates by at
+    * most eps·N (deterministic for a fixed seed + dataset, so the
+    * booleans are stable, not flaky). */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(20)
+    val eps = 0.001
+    val skBytes = toks
+      .agg(count_min_sketch($"tok", lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val probed = exact.collect().toSeq.map { r =>
+      val (tok, cnt) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(tok)
+      (tok, cnt, est >= cnt, est <= cnt + bound)
+    }
+    probed.toDF("tok", "cnt", "no_underestimate", "bound_ok")
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  /** Deterministic content-addressed sampling
+    * ([[graft.operators.Sampling]]): the 10% document sample is decided
+    * by an md5 hash of the key, so the EXACT sampled row set is
+    * engine-independent — the DuckDB oracle recomputes the identical
+    * predicate and must select the identical rows (unlike
+    * `df.sample()`, whose row set silently changes with partitioning).
+    * A reproducible sample is what makes ablations and train/test
+    * splits auditable in a training pipeline. */
+  def qHashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Sampling
+    Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_id"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   /** Standalone EXACT n-gram Jaccard similarity join
     * ([[Dedup.jaccardSimilarityJoin]], prefix filtering) with a full
     * external oracle: DuckDB recomputes ALL-PAIRS bigram Jaccard over
@@ -479,6 +529,8 @@ object PipelineQueries {
     "q_ivf_ann" -> qIvfAnn,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_near_dup" -> qNearDup,
+    "q_hash_sample" -> qHashSample,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_jaccard_join" -> qJaccardJoin,
     "q_dedup_cluster" -> qDedupCluster,
     "q_embed_neardup" -> qEmbedNearDup,
@@ -646,6 +698,22 @@ object PipelineQueries {
     "q_embed_neardup" ->
       """SELECT vec_id, TRUE AS found_ok FROM embeddings
         |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    // Exact top-20 token counts; the CMS bound booleans are
+    // deterministic invariants (fixed seed + fixed dataset).
+    "q_heavy_hitters" ->
+      s"""SELECT tok, count(*) AS cnt,
+         |  TRUE AS no_underestimate, TRUE AS bound_ok
+         |FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    // Exact row-set oracle for the deterministic sampler: DuckDB
+    // computes the identical md5-based membership predicate.
+    "q_hash_sample" ->
+      """SELECT lang, count(*) AS cnt, min(doc_id) AS min_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < 0.1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Exact ground truth for the standalone Jaccard similarity join:
     // DuckDB computes ALL-PAIRS bigram Jaccard over the universe (it
     // can afford O(n²) at oracle scale; the Spark side must reach the
