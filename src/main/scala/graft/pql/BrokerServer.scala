@@ -28,10 +28,25 @@ import graft.sources.Tables
   * Spark's scheduler across the cluster; the HTTP layer only carries
   * the (LIMIT/TOP-bounded) response, exactly like the reference's
   * broker — this class is deliberately a thin adapter, not an engine.
+  *
+  * Query scheduling (the reference's pluggable server-side schedulers,
+  * `query/scheduler/QuerySchedulerFactory.java:40-63`): admission is
+  * FCFS-bounded — a FAIR semaphore admits at most
+  * `maxConcurrentQueries` at a time and queues the rest in arrival
+  * order (`scheduler/fcfs/`'s bounded-runners semantics); resource
+  * isolation between admitted queries maps to Spark's fair-scheduler
+  * pools — `OPTION(schedulerPool=name)` assigns the query's jobs to
+  * the named pool (`scheduler/tokenbucket/`'s per-group resource
+  * shares, expressed as pool weights in the Spark scheduler config).
   */
-final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0) {
+final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
+    maxConcurrentQueries: Int = 8) {
+  require(maxConcurrentQueries > 0,
+    s"maxConcurrentQueries must be positive, got $maxConcurrentQueries")
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val admission =
+    new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
   @volatile private var started = false
 
   /** Actual listen port (useful with `port = 0` auto-assign). */
@@ -61,7 +76,10 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0) {
         case None => BrokerServer.exceptionJson(
           BrokerServer.JsonParsingErrorCode, "no 'pql' in request")
           .dropRight(1) + """, "timeUsedMs": 0}"""
-        case Some(q) => BrokerServer.execute(spark, tableDir, q)
+        case Some(q) =>
+          admission.acquire()
+          try BrokerServer.execute(spark, tableDir, q)
+          finally admission.release()
       }
       val bytes = json.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -178,6 +196,11 @@ object BrokerServer {
         // the reference's PRESERVE_TYPE query option: native JSON
         // types instead of stringified values
         val preserve = q.options.get("preserveType").exists(_.equalsIgnoreCase("true"))
+        // fair-scheduler pool assignment (inheritable local property —
+        // the timeout executor thread inherits it too)
+        val pool = q.options.get("schedulerPool")
+        pool.foreach(p =>
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
         try {
           val df = Pql.toDataFrame(q, Tables.load(spark, tableDir, _))
           val body = timeoutMs match {
@@ -192,7 +215,8 @@ object BrokerServer {
           case e: Exception =>
             withTime(exceptionJson(QueryExecutionErrorCode,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
-        }
+        } finally pool.foreach(_ =>
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null))
     }
   }
 

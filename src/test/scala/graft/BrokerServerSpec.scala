@@ -82,6 +82,35 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("FCFS admission: maxConcurrentQueries=1 serializes parallel clients, none dropped") {
+    val broker = new BrokerServer(spark, sfDir, maxConcurrentQueries = 1)
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence((1 to 6).map(i => Future {
+        http("POST", base,
+          Some(s"""{"pql": "SELECT COUNT(*) FROM nation WHERE n_nationkey >= $i"}"""))
+      })), 120.seconds)
+      assert(results.forall(_.contains("\"aggregationResults\"")),
+        results.map(_.take(120)).mkString("\n"))
+    } finally broker.stop()
+  }
+
+  test("OPTION(schedulerPool) assigns the fair-scheduler pool and still answers") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      val out = http("POST", s"http://127.0.0.1:$port/query",
+        Some("""{"pql": "SELECT COUNT(*) FROM nation OPTION(schedulerPool=etl)"}"""))
+      assert(out.contains("\"aggregationResults\""), out.take(300))
+      // the request-scoped pool assignment must not leak to this thread
+      assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
+    } finally broker.stop()
+  }
+
   test("OPTION(timeoutMs) cancels the job group at the deadline") {
     val broker = new BrokerServer(spark, sfDir)
     val port = broker.start()
