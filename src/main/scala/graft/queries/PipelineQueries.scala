@@ -273,6 +273,8 @@ object PipelineQueries {
       .orderBy($"query_id")
   }
 
+  private val ivfSeg = new SessionCache[(Similarity.IvfModel, String)]
+
   /** IVF ANN self-oracle: overall recall of the inverted-file path
     * (16-cell deterministic codebook, 8 probes) across the 20-query
     * set must be ≥ 40% of the exact top-3 sets — chance level is
@@ -280,7 +282,15 @@ object PipelineQueries {
     * honest about IVF's hardest regime (near-uniform embeddings,
     * where per-query guarantees need nprobe → k; the LSH path holds
     * the stronger per-query ≥2-of-3 bar). Aggregate form: a single
-    * deterministic row both engines can state. */
+    * deterministic row both engines can state.
+    *
+    * Codebook training + cell assignment are SEGMENT-BUILD artifacts
+    * (the reference builds its indexes at segment creation, not per
+    * query), so like the star-tree and sketch segments they are built
+    * once per (session, table): the model is deterministic (seeded
+    * init, fixed Lloyd rounds) and the assigned corpus is persisted
+    * with its `ivf_cell` column; queries read the pre-assigned
+    * segment and probe. */
   def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
@@ -288,9 +298,16 @@ object PipelineQueries {
     val k = 3
     // the 100 TB shape: codebook from a 10% seeded sample, cell column
     // materialized once with the segment, probe joins against it
-    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16,
-      iters = 2, sampleFraction = 0.1)
-    val assigned = Similarity.ivfAssign(emb, "embedding", model)
+    val (model, segPath) = ivfSeg.getOrElseUpdate(s, s"ivf|$dir") {
+      val m = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16,
+        iters = 2, sampleFraction = 0.1)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        TmpTag(dir)
+      Similarity.ivfAssign(emb, "embedding", m)
+        .write.mode("overwrite").parquet(out)
+      (m, out)
+    }
+    val assigned = s.read.parquet(segPath)
     val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
         "embedding", k, excludeSelf = true)
       .select($"query_id", $"corpus_id")

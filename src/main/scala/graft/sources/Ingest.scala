@@ -170,14 +170,28 @@ object Ingest {
     * hand-built indexes). `sortBy` mirrors the sorted-column segment
     * option (SegmentGeneratorConfig sorted column): sorting within
     * partitions gives parquet row-group min/max stats their pruning
-    * power on that column. */
+    * power on that column.
+    *
+    * `bloomFilterColumns` mirrors the reference's per-column segment
+    * bloom filters (`segment/creator/impl/bloom/BloomFilterCreator
+    * .java`, read back by `ColumnValueSegmentPruner.java:41-126` to
+    * prune segments on EQ predicates whose value the filter rules
+    * out): each named column gets a parquet bloom filter written in
+    * the footer, and the reader consults it for pushed EQ/IN filters
+    * exactly where the reference consults its pruner — useful for
+    * high-cardinality unsorted columns whose row-group min/max spans
+    * overlap (where stats pruning is blind). */
   def writeSegment(df: DataFrame, transformer: RecordTransformer,
-      segmentDir: String, sortBy: Seq[String] = Nil): Unit = {
+      segmentDir: String, sortBy: Seq[String] = Nil,
+      bloomFilterColumns: Seq[String] = Nil): Unit = {
     val transformed = transformer(df)
     val sorted =
       if (sortBy.isEmpty) transformed
       else transformed.sortWithinPartitions(sortBy.map(col): _*)
-    sorted.write.mode("overwrite").parquet(segmentDir)
+    val writer = bloomFilterColumns.foldLeft(sorted.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.mode("overwrite").parquet(segmentDir)
   }
 
   /** Bucketed segment sink — the reference's partition-aware segment

@@ -205,4 +205,51 @@ class IngestSpec extends SparkSpec {
       DataTypeTransform(schema)(df).collect()
     }
   }
+
+  test("bloomFilterColumns writes a real parquet bloom filter the EQ path can consult") {
+    // the reference's segment bloom filter (BloomFilterCreator.java →
+    // ColumnValueSegmentPruner EQ check): high-cardinality unsorted
+    // string ids, so row-group min/max spans overlap and only the
+    // bloom filter can rule a value out
+    val ids = (0 until 2000).map(i => (i.toLong, s"user_${i * 7919 % 2000}"))
+    val seg = tmp("graft-bloom-seg")
+    Ingest.writeSegment(ids.toDF("id", "uid"), CompoundTransform(Nil), seg,
+      bloomFilterColumns = Seq("uid"))
+
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(seg).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(files.head.getAbsolutePath), conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val uidChunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "uid").get
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(uidChunk)
+      assert(bloom != null, "no bloom filter written for 'uid'")
+      // every present value must hit (bloom filters have no false negatives)
+      val presentInFile = spark.read.parquet(files.head.getAbsolutePath)
+        .select($"uid").as[String].collect()
+      assert(presentInFile.forall(u =>
+        bloom.findHash(bloom.hash(Binary.fromString(u)))))
+      // absent values overwhelmingly miss (fpp ~1% ⇒ P(≥half of 40 hit) ≈ 0)
+      val absentMisses = (0 until 40).count(i =>
+        !bloom.findHash(bloom.hash(Binary.fromString(s"absent_$i"))))
+      assert(absentMisses >= 20, s"only $absentMisses/40 absent probes missed")
+      // id got no filter — the option is per-column, as in the reference
+      val idChunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(reader.getBloomFilterDataReader(block).readBloomFilter(idChunk) == null)
+    } finally reader.close()
+
+    // the EQ predicate reaches the scan, where parquet consults the bloom
+    val plan = spark.read.parquet(seg).filter($"uid" === "user_7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(uid,user_7"), plan)
+  }
 }
