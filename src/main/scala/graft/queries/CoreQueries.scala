@@ -153,20 +153,21 @@ object CoreQueries {
   }
 
   /** Exact percentiles (PercentileAggregationFunction.java — the
-    * reference collects ALL values per group into a DoubleArrayList;
-    * Spark's percentile aggregate is the same exact semantics without
-    * the unbounded memory, it spills). */
+    * reference collects ALL values per group into a DoubleArrayList).
+    * Computed via [[graft.operators.Percentiles.exact]]: a distinct
+    * (group, value) histogram + cumulative ranks instead of per-group
+    * value buffers — identical interpolation semantics (PercentilesSpec
+    * pins parity with Spark's own `percentile`), but the reduce side
+    * scales with distinct pairs, not 3 groups' full distributions
+    * funneling through 3 reducer tasks. */
   def qPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE percentile buffer evaluated at both fractions — the
-    // two-separate-aggregates form builds (and shuffles) the full
-    // value map twice; this halves the dominant cost
-    t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("_p"))
+    graft.operators.Percentiles.exact(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 -> "_p50", 0.95 -> "_p95"))
       .select($"l_returnflag",
-        round(element_at($"_p", 1), 3).as("p50"),
-        round(element_at($"_p", 2), 3).as("p95"))
+        round($"_p50", 3).as("p50"),
+        round($"_p95", 3).as("p95"))
       .orderBy($"l_returnflag")
   }
 

@@ -90,19 +90,26 @@ object PipelineQueries {
     * exact answer, the q_percentile_approx pattern. */
   def qMvPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "embeddings")
-      .select($"label", explode($"embedding").as("e"))
+    // exploded MV elements have few distinct values, so the exact side
+    // collapses to a tiny (label, value) histogram
+    // (graft.operators.Percentiles.exact) joined with the compact
+    // KLL-sketch branch — no full-distribution reducer buffers
+    val elems = t(s, dir, "embeddings")
+      .select($"label", explode($"embedding").as("e0"))
+      .select($"label", $"e0".cast("double").as("e"))
+    val exact = graft.operators.Percentiles.exact(
+      elems, Seq("label"), "e", Seq(0.5 -> "_pe1", 0.9 -> "_pe2"))
+    val approx = elems
       .groupBy($"label")
-      .agg(
-        expr("percentile(CAST(e AS DOUBLE), array(0.5, 0.9))").as("_pe"),
-        expr("approx_percentile(CAST(e AS DOUBLE), array(0.5, 0.9), 10000)").as("_pa"))
+      .agg(expr("approx_percentile(e, array(0.5, 0.9), 10000)").as("_pa"))
+    exact.join(approx, Seq("label"))
       .select($"label",
-        round(element_at($"_pe", 1), 4).as("p50_e"),
-        round(element_at($"_pe", 2), 4).as("p90_e"),
-        (abs(element_at($"_pa", 1) - element_at($"_pe", 1))
-          <= abs(element_at($"_pe", 1)) * 0.02 + lit(1e-3)).as("p50_ok"),
-        (abs(element_at($"_pa", 2) - element_at($"_pe", 2))
-          <= abs(element_at($"_pe", 2)) * 0.02 + lit(1e-3)).as("p90_ok"))
+        round($"_pe1", 4).as("p50_e"),
+        round($"_pe2", 4).as("p90_e"),
+        (abs(element_at($"_pa", 1) - $"_pe1")
+          <= abs($"_pe1") * 0.02 + lit(1e-3)).as("p50_ok"),
+        (abs(element_at($"_pa", 2) - $"_pe2")
+          <= abs($"_pe2") * 0.02 + lit(1e-3)).as("p90_ok"))
       .orderBy($"label")
   }
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+/** [[Percentiles.exact]] must be value-identical to Spark's own exact
+  * `percentile` aggregate (which is itself the reference's
+  * PercentileAggregationFunction semantics) — same interpolation,
+  * same null handling — while scaling by distinct (key, value) pairs
+  * instead of per-group buffers. */
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fractions =
+    Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95", 1.0 -> "p100")
+
+  private def sparkBuiltin(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], valueCol: String) = {
+    val arr = fractions.map(_._1).mkString(",")
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array($arr))").as("_p"))
+      .select(keys.map(col) ++ fractions.zipWithIndex.map { case ((_, n), i) =>
+        element_at($"_p", i + 1).as(n)
+      }: _*)
+  }
+
+  private def assertParity(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], valueCol: String): Unit = {
+    val got = Percentiles.exact(df, keys, valueCol, fractions)
+      .orderBy(keys.map(col): _*).collect()
+    val want = sparkBuiltin(df, keys, valueCol)
+      .orderBy(keys.map(col): _*).collect()
+    assert(got.length == want.length,
+      s"group count ${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      (0 until w.length).foreach { i =>
+        val (gv, wv) = (g.get(i), w.get(i))
+        (gv, wv) match {
+          case (a: Double, b: Double) =>
+            assert(math.abs(a - b) <= math.abs(b) * 1e-12 + 1e-12,
+              s"col $i: $a != $b in group ${g.get(0)}")
+          case _ => assert(gv == wv, s"col $i: $gv != $wv")
+        }
+      }
+    }
+  }
+
+  test("parity with Spark percentile: repeats, singletons, negatives, nulls") {
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(10.0)),
+      ("b", Some(5.5)),                         // singleton group
+      ("c", Some(-3.0)), ("c", Some(0.0)), ("c", Some(7.0)), ("c", Some(7.0)),
+      ("c", Some(7.0)), ("c", None),            // nulls ignored
+      ("d", Some(2.25)), ("d", Some(2.75)))
+    assertParity(rows.toDF("k", "v"), Seq("k"), "v")
+  }
+
+  test("parity on seeded random data with two grouping keys") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { _ =>
+      (rnd.nextInt(3), rnd.nextInt(2), math.floor(rnd.nextDouble() * 50) / 2.0)
+    }
+    assertParity(rows.toDF("k1", "k2", "v"), Seq("k1", "k2"), "v")
+  }
+
+  test("all-null group vanishes, like the builtin's null result being its only row") {
+    val df = Seq(("a", Option(1.0)), ("z", Option.empty[Double])).toDF("k", "v")
+    val out = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))
+      .orderBy($"k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+    assert(out.head.getDouble(1) == 1.0)
+  }
+
+  test("plan shape: one shuffle of distinct pairs, no full-value buffers") {
+    val df = Seq.tabulate(100)(i => ("g", (i % 10).toDouble)).toDF("k", "v")
+    val plan = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))
+      .queryExecution.executedPlan.toString
+    // the distribution travels as a histogram (partial count before the
+    // exchange), never through percentile's per-group value map
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan)
+    assert(!plan.contains("percentile"), plan)
+  }
+}
