@@ -605,6 +605,40 @@ object CoreQueries {
       .orderBy($"n_regionkey")
   }
 
+  /** Time retention ([[graft.sources.Minion.enforceRetention]] —
+    * `TimeRetentionStrategy.java` + `RetentionManager`): events copied
+    * into day-sliced segments, then segments whose FOOTER end time
+    * (max ts, read without scanning rows) is past the retention window
+    * are deleted whole — a segment straddling the cutoff survives
+    * entirely, which is exactly what distinguishes segment-level
+    * retention from a row filter, and the oracle reproduces that via
+    * the per-day max. `now`/retention derive from the data (max+1,
+    * half the span) so the query is deterministic at every SF. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Minion
+    val tag = TmpTag(dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_retention_$tag"
+    val ev = t(s, dir, "events")
+      .select(expr("unix_micros(ts) div 1000").as("ts_ms"),
+        $"event_type", $"value")
+      .withColumn("day_id", expr("ts_ms div 86400000"))
+    ev.write.mode("overwrite").partitionBy("day_id").parquet(base)
+    val bounds = ev.agg(min($"ts_ms"), max($"ts_ms")).head()
+    val now = bounds.getLong(1) + 1
+    val retentionMs = (now - bounds.getLong(0)) / 2
+    val segs = Option(new java.io.File(base).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("day_id="))
+      .map(_.getAbsolutePath).sorted
+    Minion.enforceRetention(s, segs, "ts_ms",
+      java.util.concurrent.TimeUnit.MILLISECONDS, retentionMs, now)
+    s.read.parquet(base)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"),
+        min($"ts_ms").as("min_ms"), max($"ts_ms").as("max_ms"))
+      .orderBy($"event_type")
+  }
+
   /** ROLLUP grouping sets (SURVEY §2.3: no grouping sets in PQL —
     * Spark's `rollup` exposed as the documented capability bonus):
     * per-(flag, status) groups, per-flag subtotals, and a grand total
@@ -658,6 +692,7 @@ object CoreQueries {
     "q_salted_join" -> qSaltedJoin,
     "q_merge_rollup" -> qMergeRollup,
     "q_purge_segment" -> qPurgeSegment,
+    "q_retention" -> qRetention,
     "q_grouping_sets" -> qGroupingSets)
 
   val oracles: Map[String, String] = Map(
@@ -819,6 +854,20 @@ object CoreQueries {
       """SELECT n_regionkey, count(*) AS cnt, min(lower(n_name)) AS min_name
         |FROM nation WHERE NOT (n_regionkey = 0)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 86400000 AS day_id,
+        |    event_type, "value"
+        |  FROM events),
+        |b AS (SELECT min(ts_ms) AS mn, max(ts_ms) AS mx FROM e),
+        |seg AS (SELECT day_id, max(ts_ms) AS end_ms FROM e GROUP BY 1),
+        |keep AS (
+        |  SELECT day_id FROM seg, b
+        |  WHERE NOT ((mx + 1) - end_ms > ((mx + 1) - mn) // 2))
+        |SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value,
+        |  min(ts_ms) AS min_ms, max(ts_ms) AS max_ms
+        |FROM e JOIN keep USING (day_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS rf,
         |  COALESCE(l_linestatus, '(all)') AS ls,

@@ -109,6 +109,117 @@ object Minion {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Segment END time from parquet footer statistics — the analog of
+    * the reference's `SegmentZKMetadata.getEndTime` (recorded at
+    * segment build, consulted without touching data). Reads only the
+    * footers of the segment's files: max statistic of `timeCol`
+    * across all row groups. None when the column is absent or any
+    * chunk lacks stats (the caller then treats end time as unknown,
+    * mirroring the reference's warn-and-keep).
+    *
+    * Integral time columns only (epoch values — the reference stores
+    * segment times as long epoch values in the configured TimeUnit). */
+  def segmentEndTime(spark: SparkSession, segmentDir: String,
+      timeCol: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(segmentDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    // per file: None = unknown (missing column/stats — poisons the
+    // segment), Some(None) = no rows (contributes nothing),
+    // Some(Some(t)) = known file max
+    val perFile: Seq[Option[Option[Long]]] = files.map { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        val groups = r.getRowGroups.asScala
+        val maxes = groups.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == timeCol)
+            .flatMap { chunk =>
+              val st = chunk.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case l: java.lang.Long => Some(l.longValue())
+                case i: java.lang.Integer => Some(i.longValue())
+                case _ => None // non-integral time column: unknown
+              }
+            }
+        }
+        if (groups.isEmpty) Some(None) // empty file: no constraint
+        // every row group must report stats or the end time is unknown
+        else if (maxes.size == groups.size) Some(Some(maxes.max))
+        else None
+      } finally r.close()
+    }
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val known = perFile.flatten.flatten
+      if (known.isEmpty) None else Some(known.max)
+    }
+  }
+
+  /** Time-based retention (`controller/.../retention/
+    * TimeRetentionStrategy.java:40-59` driven by `RetentionManager`):
+    * a segment is purgeable when `now - endTimeMs > retentionMs`,
+    * with end times outside the reference's sanity window (1971..2071,
+    * `TimeUtils.timeValueInValidRange`) or unknown treated as KEEP —
+    * exactly the reference's warn-and-keep. Purgeable segment dirs
+    * are deleted; the deleted dirs are returned. `now` is a parameter
+    * (not the wall clock) so retention runs are reproducible.
+    *
+    * Scale shape: footer-metadata reads + directory deletes only —
+    * no row is ever scanned, however large the table. */
+  def enforceRetention(spark: SparkSession, segmentDirs: Seq[String],
+      timeCol: String, timeUnit: java.util.concurrent.TimeUnit,
+      retentionMs: Long, nowMs: Long): Seq[String] = {
+    val MinValidTimeMs = java.time.Instant.parse("1971-01-01T00:00:00Z").toEpochMilli
+    val MaxValidTimeMs = java.time.Instant.parse("2071-01-01T00:00:00Z").toEpochMilli
+    segmentDirs.filter { dir =>
+      segmentEndTime(spark, dir, timeCol).exists { endTime =>
+        val endTimeMs = timeUnit.toMillis(endTime)
+        endTimeMs >= MinValidTimeMs && endTimeMs <= MaxValidTimeMs &&
+          nowMs - endTimeMs > retentionMs
+      }
+    }.map { dir =>
+      def delete(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(delete)
+        f.delete(); ()
+      }
+      delete(new java.io.File(dir))
+      dir
+    }
+  }
+
+  /** Realtime→offline segment conversion (`realtime/converter/
+    * RealtimeSegmentConverter.java`): sealed realtime segments become
+    * an offline segment with the offline layout — optional time-column
+    * conversion to the offline granularity (`getUpdatedSchema`'s
+    * outgoing TimeGranularitySpec, via the `dateTimeConvert` format
+    * library), sorted-column ordering, and the offline sink's
+    * bloom-filter option. Map-only per segment group: scan, one
+    * projection, sorted write. */
+  def realtimeToOffline(spark: SparkSession, realtimeDirs: Seq[String],
+      outDir: String, sortedColumn: Option[String] = None,
+      timeConvert: Option[(String, String, String, String)] = None,
+      bloomFilterColumns: Seq[String] = Nil): Unit = {
+    require(realtimeDirs.nonEmpty, "at least one realtime segment required")
+    require(!realtimeDirs.exists(samePath(_, outDir)),
+      "offline segment dir must not be one of the realtime segment dirs")
+    val merged = realtimeDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val converted = timeConvert.fold(merged) {
+      case (timeColName, srcFormat, destFormat, granularity) =>
+        merged.withColumn(timeColName, graft.functions.DateTimeOps.dateTimeConvert(
+          col(timeColName), srcFormat, destFormat, granularity))
+    }
+    Ingest.writeSegment(converted, Ingest.CompoundTransform(Nil), outDir,
+      sortBy = sortedColumn.toSeq, bloomFilterColumns = bloomFilterColumns)
+  }
+
   /** Purge and/or modify a segment's records into a new segment
     * (SegmentPurger.purgeSegment): rows where `purge` evaluates true
     * are dropped (null-safe — a null predicate keeps the row, matching

@@ -71,6 +71,63 @@ class MinionSpec extends SparkSpec {
         "ms", "x", "1:MILLISECONDS:EPOCH", "1:HOURS:EPOCH", "1:HOURS"))
   }
 
+  test("segmentEndTime reads max(timeCol) from footers only; unknown when stats can't say") {
+    Seq((1L, 100L), (2L, 500L)).toDF("id", "t")
+      .repartition(2).write.mode("overwrite").parquet(tmp("et0"))
+    assert(Minion.segmentEndTime(spark, tmp("et0"), "t") === Some(500L))
+    // absent column → unknown
+    assert(Minion.segmentEndTime(spark, tmp("et0"), "nope") === None)
+    // non-integral time column → unknown
+    assert(Minion.segmentEndTime(spark, tmp("et0"), "id").isDefined)
+    Seq(("a", 1.5)).toDF("s", "d").write.mode("overwrite").parquet(tmp("et1"))
+    assert(Minion.segmentEndTime(spark, tmp("et1"), "s") === None)
+    assert(Minion.segmentEndTime(spark, tmp("et1"), "d") === None)
+  }
+
+  test("enforceRetention purges expired segments, keeps straddlers/invalid/unknown") {
+    import java.util.concurrent.TimeUnit
+    val day = 86400000L
+    val now = java.time.Instant.parse("2020-06-15T00:00:00Z").toEpochMilli
+    def seg(name: String, times: Seq[Long]): String = {
+      val p = tmp(s"ret_$name")
+      times.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    val old = seg("old", Seq(now - 40 * day, now - 35 * day))     // wholly expired
+    val straddle = seg("straddle", Seq(now - 40 * day, now - day)) // end time recent
+    val fresh = seg("fresh", Seq(now - day))
+    val invalid = seg("invalid", Seq(-5L))                         // pre-1971: warn-keep
+    val purged = Minion.enforceRetention(spark,
+      Seq(old, straddle, fresh, invalid), "ts", TimeUnit.MILLISECONDS,
+      retentionMs = 30 * day, nowMs = now)
+    assert(purged === Seq(old))
+    assert(!new java.io.File(old).exists())
+    assert(new java.io.File(straddle).exists())
+    assert(new java.io.File(fresh).exists())
+    assert(new java.io.File(invalid).exists())
+    // TimeUnit conversion: same data in DAYS units
+    val oldDays = seg("old_days", Seq((now - 40 * day) / day))
+    assert(Minion.enforceRetention(spark, Seq(oldDays), "ts", TimeUnit.DAYS,
+      30 * day, now) === Seq(oldDays))
+  }
+
+  test("realtimeToOffline: union + time conversion + sorted offline segment") {
+    val rt0 = Seq((3L, 7200000L, "c"), (1L, 0L, "a")).toDF("id", "ms", "s")
+    val rt1 = Seq((2L, 3600000L, "b")).toDF("id", "ms", "s")
+    rt0.write.mode("overwrite").parquet(tmp("rt0"))
+    rt1.write.mode("overwrite").parquet(tmp("rt1"))
+    Minion.realtimeToOffline(spark, Seq(tmp("rt0"), tmp("rt1")), tmp("off"),
+      sortedColumn = Some("id"),
+      timeConvert = Some(("ms", "1:MILLISECONDS:EPOCH", "1:HOURS:EPOCH", "1:HOURS")))
+    val out = spark.read.parquet(tmp("off"))
+    assert(out.columns.toSeq === Seq("id", "ms", "s"))
+    assert(out.orderBy($"id").as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 2L, "c")))
+    intercept[IllegalArgumentException](
+      Minion.realtimeToOffline(spark, Seq(tmp("off")), tmp("off")))
+  }
+
   test("purgeSegment drops purged rows, modifies survivors, needs one of the two") {
     seg.write.mode("overwrite").parquet(tmp("p0"))
     Minion.purgeSegment(spark, tmp("p0"), tmp("pout"),
