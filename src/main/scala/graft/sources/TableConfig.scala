@@ -1,0 +1,178 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** The reference's table configuration — the single JSON document that
+  * drives a table's whole lifecycle (`pinot-common/.../config/
+  * TableConfig.java:43-52`: `tableName`/`tableType`/`segmentsConfig`/
+  * `tenants`/`tableIndexConfig`/`metadata`) — parsed from the same
+  * JSON shape its samples ship (`pinot-tools/.../conf/
+  * sample_offline_table_config.json`, `sample_realtime_table_config
+  * .json`) and mapped onto this library's operations by
+  * [[TableLifecycle]]:
+  *
+  *  - `segmentsConfig.timeColumnName`/`timeType` + `retentionTimeUnit`/
+  *    `retentionTimeValue` (`SegmentsValidationAndRetentionConfig
+  *    .java:36-58`) → [[Minion.enforceRetention]]
+  *  - `tableIndexConfig.sortedColumn` / `bloomFilterColumns`
+  *    (`IndexingConfig.java:47-50`) → the segment sink's sorted write
+  *    and parquet bloom filters; `invertedIndexColumns` need no
+  *    hand-built artifact — parquet dictionary + page stats under
+  *    pushed filters are the scan-side equivalent
+  *  - `tableIndexConfig.streamConfigs` (`IndexingConfig.java:57`) →
+  *    [[graft.streaming.StreamConfig]] for the realtime path
+  *  - `tableIndexConfig.aggregateMetrics` (`IndexingConfig.java:88`)
+  *    → ingest rollup
+  *
+  * Cluster-management fields with no single-library analog (tenants,
+  * replication, segment assignment, load mode) parse and carry
+  * through — Spark's cluster manager owns placement and replication.
+  */
+final case class TableConfig(
+    tableName: String,
+    tableType: TableConfig.TableType,
+    segments: TableConfig.SegmentsConfig,
+    indexing: TableConfig.IndexingConfig,
+    tenants: Map[String, String],
+    customConfigs: Map[String, String]) {
+
+  /** Retention window in millis, when both unit and value are set
+    * (RetentionManager reads the same two fields and skips tables
+    * lacking either). */
+  def retentionMs: Option[Long] = for {
+    unit <- segments.retentionTimeUnit
+    value <- segments.retentionTimeValue
+    v <- value.toLongOption
+  } yield java.util.concurrent.TimeUnit.valueOf(unit.toUpperCase).toMillis(v)
+}
+
+object TableConfig {
+
+  sealed trait TableType
+  case object Offline extends TableType
+  case object Realtime extends TableType
+
+  object TableType {
+    /** Case-insensitive parse (TableType.OFFLINE/REALTIME). */
+    def fromString(s: String): TableType = s.toUpperCase match {
+      case "OFFLINE" => Offline
+      case "REALTIME" => Realtime
+      case other => throw new IllegalArgumentException(s"Invalid table type: $other")
+    }
+  }
+
+  /** `segmentsConfig` (SegmentsValidationAndRetentionConfig.java). */
+  final case class SegmentsConfig(
+      timeColumnName: Option[String],
+      timeType: Option[String],
+      retentionTimeUnit: Option[String],
+      retentionTimeValue: Option[String],
+      segmentPushType: Option[String],
+      schemaName: Option[String],
+      replication: Option[String])
+
+  /** `tableIndexConfig` (IndexingConfig.java:38-88). */
+  final case class IndexingConfig(
+      loadMode: Option[String],
+      invertedIndexColumns: Seq[String],
+      sortedColumn: Seq[String],
+      bloomFilterColumns: Seq[String],
+      noDictionaryColumns: Seq[String],
+      aggregateMetrics: Boolean,
+      streamConfigs: Map[String, String])
+
+  private val mapper = new ObjectMapper
+
+  /** Parse the reference's table-config JSON (TableConfig
+    * .fromJsonString). Unknown fields are ignored, like the
+    * reference's Jackson binding; `tableName` and `tableType` are
+    * required (`TableConfig.java` validation). */
+  def fromJsonString(json: String): TableConfig = {
+    val root = mapper.readTree(json)
+    def opt(n: JsonNode, field: String): Option[String] =
+      Option(n).flatMap(x => Option(x.get(field))).filter(!_.isNull).map(_.asText)
+    def strings(n: JsonNode, field: String): Seq[String] =
+      Option(n).flatMap(x => Option(x.get(field))).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()).toSeq)
+    def stringMap(n: JsonNode): Map[String, String] =
+      Option(n).toSeq.flatMap(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText())).toMap
+
+    val name = opt(root, "tableName").getOrElse(
+      throw new IllegalArgumentException("tableName is required"))
+    val ttype = TableType.fromString(opt(root, "tableType").getOrElse(
+      throw new IllegalArgumentException("tableType is required")))
+    val seg = root.get("segmentsConfig")
+    val idx = root.get("tableIndexConfig")
+    TableConfig(
+      tableName = name,
+      tableType = ttype,
+      segments = SegmentsConfig(
+        timeColumnName = opt(seg, "timeColumnName"),
+        timeType = opt(seg, "timeType"),
+        retentionTimeUnit = opt(seg, "retentionTimeUnit"),
+        retentionTimeValue = opt(seg, "retentionTimeValue"),
+        segmentPushType = opt(seg, "segmentPushType"),
+        schemaName = opt(seg, "schemaName"),
+        replication = opt(seg, "replication")),
+      indexing = IndexingConfig(
+        loadMode = opt(idx, "loadMode"),
+        invertedIndexColumns = strings(idx, "invertedIndexColumns"),
+        sortedColumn = strings(idx, "sortedColumn"),
+        bloomFilterColumns = strings(idx, "bloomFilterColumns"),
+        noDictionaryColumns = strings(idx, "noDictionaryColumns"),
+        aggregateMetrics =
+          opt(idx, "aggregateMetrics").exists(_.equalsIgnoreCase("true")),
+        streamConfigs = stringMap(
+          Option(idx).map(_.get("streamConfigs")).orNull)),
+      tenants = stringMap(root.get("tenants")),
+      customConfigs = stringMap(
+        Option(root.get("metadata")).map(_.get("customConfigs")).orNull))
+  }
+}
+
+/** Config-driven table operations: the controller/server behaviors the
+  * reference derives from a [[TableConfig]], each delegating to the
+  * library operation the config field maps to. */
+object TableLifecycle {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Build an offline segment per the table's indexing config
+    * (SegmentGeneratorConfig built from TableConfig): sorted column +
+    * per-column bloom filters at the sink. */
+  def writeOfflineSegment(config: TableConfig, df: DataFrame,
+      segmentDir: String,
+      transformer: Ingest.RecordTransformer = Ingest.CompoundTransform(Nil)): Unit = {
+    require(config.tableType == TableConfig.Offline,
+      s"offline segment write needs an OFFLINE table config, got ${config.tableType}")
+    Ingest.writeSegment(df, transformer, segmentDir,
+      sortBy = config.indexing.sortedColumn,
+      bloomFilterColumns = config.indexing.bloomFilterColumns)
+  }
+
+  /** Enforce the table's retention policy over its segment dirs
+    * (RetentionManager.manageRetentionForTable: skip when either
+    * retention field is missing, else purge by segment end time in
+    * the table's `timeType` unit). Returns purged dirs. */
+  def enforceRetention(config: TableConfig, spark: SparkSession,
+      segmentDirs: Seq[String], nowMs: Long): Seq[String] =
+    (config.retentionMs, config.segments.timeColumnName,
+        config.segments.timeType) match {
+      case (Some(ret), Some(timeCol), Some(unit)) =>
+        Minion.enforceRetention(spark, segmentDirs, timeCol,
+          java.util.concurrent.TimeUnit.valueOf(unit.toUpperCase), ret, nowMs)
+      case _ => Nil // no/partial retention config: RetentionManager skips
+    }
+
+  /** The realtime path's stream configuration
+    * (`tableIndexConfig.streamConfigs` → StreamConfig, exactly the
+    * property map the reference's RealtimeTableDataManager hands to
+    * its consumer factory). */
+  def streamConfig(config: TableConfig): graft.streaming.StreamConfig = {
+    require(config.tableType == TableConfig.Realtime,
+      s"streamConfigs need a REALTIME table config, got ${config.tableType}")
+    graft.streaming.StreamConfig.fromMap(config.indexing.streamConfigs)
+  }
+}

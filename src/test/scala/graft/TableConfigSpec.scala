@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Minion, TableConfig, TableLifecycle}
+
+/** Table-config-driven lifecycle: the reference's table config JSON
+  * shape parses and each field drives the operation it governs. */
+class TableConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_tableconfig_spec/$name"
+
+  private val offlineJson =
+    """{
+      |  "tableName": "trips",
+      |  "tableType": "OFFLINE",
+      |  "segmentsConfig": {
+      |    "timeColumnName": "ts_days",
+      |    "timeType": "DAYS",
+      |    "retentionTimeUnit": "DAYS",
+      |    "retentionTimeValue": "30",
+      |    "segmentPushType": "APPEND",
+      |    "replication": "3"
+      |  },
+      |  "tenants": {"broker": "brokerOne", "server": "serverOne"},
+      |  "tableIndexConfig": {
+      |    "loadMode": "MMAP",
+      |    "invertedIndexColumns": ["city"],
+      |    "sortedColumn": ["ts_days"],
+      |    "bloomFilterColumns": ["rider_id"],
+      |    "aggregateMetrics": "false"
+      |  },
+      |  "metadata": {"customConfigs": {"owner": "graft"}}
+      |}""".stripMargin
+
+  test("offline config parses every mapped field") {
+    val c = TableConfig.fromJsonString(offlineJson)
+    assert(c.tableName === "trips")
+    assert(c.tableType === TableConfig.Offline)
+    assert(c.segments.timeColumnName === Some("ts_days"))
+    assert(c.retentionMs === Some(30L * 86400000))
+    assert(c.indexing.sortedColumn === Seq("ts_days"))
+    assert(c.indexing.bloomFilterColumns === Seq("rider_id"))
+    assert(c.indexing.invertedIndexColumns === Seq("city"))
+    assert(c.tenants === Map("broker" -> "brokerOne", "server" -> "serverOne"))
+    assert(c.customConfigs === Map("owner" -> "graft"))
+  }
+
+  test("tableName/tableType required; unknown fields ignored") {
+    intercept[IllegalArgumentException](
+      TableConfig.fromJsonString("""{"tableType": "OFFLINE"}"""))
+    intercept[IllegalArgumentException](
+      TableConfig.fromJsonString("""{"tableName": "t"}"""))
+    intercept[IllegalArgumentException](TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "HYBRID"}"""))
+    val c = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "realtime", "quota": {"storage": "10G"}}""")
+    assert(c.tableType === TableConfig.Realtime)
+    assert(c.retentionMs === None)
+  }
+
+  test("writeOfflineSegment applies sortedColumn and bloomFilterColumns") {
+    val c = TableConfig.fromJsonString(offlineJson)
+    val df = Seq((3L, "nyc", 300L), (1L, "sf", 100L), (2L, "nyc", 200L))
+      .toDF("ts_days", "city", "rider_id")
+    val seg = tmp("off")
+    TableLifecycle.writeOfflineSegment(c, df.coalesce(1), seg)
+    // sorted within the file by ts_days
+    val back = spark.read.parquet(seg)
+    assert(back.select($"ts_days").as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // bloom filter present on rider_id
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val f = new java.io.File(seg).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(f.getAbsolutePath), spark.sessionState.newHadoopConf()))
+    try {
+      val block = r.getRowGroups.get(0)
+      val chunk = block.getColumns.asScala
+        .find(_.getPath.toDotString == "rider_id").get
+      assert(r.getBloomFilterDataReader(block).readBloomFilter(chunk) != null)
+    } finally r.close()
+    // REALTIME config refuses the offline sink
+    val rt = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "REALTIME"}""")
+    intercept[IllegalArgumentException](
+      TableLifecycle.writeOfflineSegment(rt, df, tmp("off2")))
+  }
+
+  test("enforceRetention follows segmentsConfig in the table's time unit") {
+    val c = TableConfig.fromJsonString(offlineJson) // 30 DAYS retention, ts in DAYS
+    val nowMs = java.time.Instant.parse("2020-06-15T00:00:00Z").toEpochMilli
+    val nowDays = nowMs / 86400000
+    def seg(name: String, days: Seq[Long]): String = {
+      val p = tmp(s"ret_$name")
+      days.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "ts_days")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    val old = seg("old", Seq(nowDays - 40))
+    val fresh = seg("fresh", Seq(nowDays - 3))
+    assert(TableLifecycle.enforceRetention(c, spark, Seq(old, fresh), nowMs)
+      === Seq(old))
+    assert(new java.io.File(fresh).exists())
+    // a config with no retention fields purges nothing
+    val none = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "OFFLINE"}""")
+    assert(TableLifecycle.enforceRetention(none, spark, Seq(fresh), nowMs) === Nil)
+    assert(new java.io.File(fresh).exists())
+  }
+
+  test("realtime streamConfigs drive the stream configuration") {
+    val c = TableConfig.fromJsonString(
+      """{
+        |  "tableName": "events",
+        |  "tableType": "REALTIME",
+        |  "tableIndexConfig": {
+        |    "streamConfigs": {
+        |      "streamType": "kafka",
+        |      "stream.kafka.consumer.type": "simple",
+        |      "stream.kafka.topic.name": "events-topic",
+        |      "stream.kafka.broker.list": "localhost:9092",
+        |      "stream.kafka.decoder.class.name": "org.apache.pinot.core.realtime.impl.kafka.KafkaJSONMessageDecoder",
+        |      "realtime.segment.flush.threshold.size": "1000"
+        |    }
+        |  }
+        |}""".stripMargin)
+    val sc = TableLifecycle.streamConfig(c)
+    assert(sc.topicName === "events-topic")
+    assert(sc.consumerTypes === Seq("LOWLEVEL")) // 'simple' legacy alias
+    assert(sc.flushThresholdRows === 1000)
+    val opts = sc.kafkaSourceOptions
+    assert(opts("subscribe") === "events-topic")
+    // an OFFLINE table has no stream config
+    intercept[IllegalArgumentException](TableLifecycle.streamConfig(
+      TableConfig.fromJsonString("""{"tableName": "t", "tableType": "OFFLINE"}""")))
+  }
+}
