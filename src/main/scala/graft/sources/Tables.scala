@@ -41,4 +41,49 @@ object Tables {
     * here the catalog does). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Top-level column names of a segment, from parquet FOOTER metadata
+    * only — the `SegmentMetadata.getSchema()` the reference's pruners
+    * consult without touching data. Empty when the dir has no parquet
+    * files. All files of a segment share one schema (single write),
+    * so the first footer speaks for the segment. */
+  def segmentColumns(spark: SparkSession, segmentDir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    Option(new java.io.File(segmentDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).headOption.map { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      }.getOrElse(Set.empty)
+  }
+
+  /** Schema-evolution segment pruning (`query/pruner/
+    * DataSchemaSegmentPruner.java:36-40`): a query over an evolved
+    * table touches only the segments whose schema contains EVERY
+    * queried column — a segment written before a column existed
+    * contributes nothing, it is not padded with nulls. Footer-metadata
+    * decision per segment (no rows read to prune), then one
+    * `unionByName` scan over the covering segments projected to the
+    * queried columns. Returns the surviving scan plus the pruned dirs
+    * (the reference logs the same). */
+  def loadEvolved(spark: SparkSession, segmentDirs: Seq[String],
+      queryColumns: Seq[String]): (Option[DataFrame], Seq[String]) = {
+    require(queryColumns.nonEmpty, "at least one query column required")
+    val (covered, pruned) = segmentDirs.partition { dir =>
+      val cols = segmentColumns(spark, dir)
+      queryColumns.forall(cols.contains)
+    }
+    val df = covered.map { dir =>
+      spark.read.parquet(dir).select(queryColumns.map(
+        org.apache.spark.sql.functions.col): _*)
+    }.reduceOption(_ unionByName _)
+    (df, pruned)
+  }
 }
