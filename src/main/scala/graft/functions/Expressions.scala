@@ -220,6 +220,30 @@ object exprs {
     override def prettyName: String = "text_stats"
   }
 
+  /** One-pass repetition metrics struct (HashOps.repetitionStats —
+    * the Gopher-style repetition quality filters). `delim` is the
+    * unit separator (lines/sentences), fixed at plan time. */
+  case class RepetitionStats(child: Expression, delim: String)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_units", IntegerType, nullable = false),
+      StructField("dup_unit_frac", DoubleType, nullable = false),
+      StructField("dup_unit_char_frac", DoubleType, nullable = false),
+      StructField("top_bigram_char_frac", DoubleType, nullable = false),
+      StructField("dup_5gram_char_frac", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      HashOps.repetitionStats(input.asInstanceOf[UTF8String], delim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val delimRef = ctx.addReferenceObj("delim", delim, "java.lang.String")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.repetitionStats($c, $delimRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+    override def prettyName: String = "repetition_stats"
+  }
+
   /** Composite quality score (HashOps.qualityScore). */
   case class QualityScore(child: Expression)
       extends UnaryExpression with ImplicitCastInputTypes {
@@ -365,6 +389,9 @@ object GraftFunctions {
 
   def qualityScore(text: Column): Column =
     GraftSqlBridge.column(exprs.QualityScore(expr(text)))
+
+  def repetitionStats(text: Column, delim: String): Column =
+    GraftSqlBridge.column(exprs.RepetitionStats(expr(text), delim))
 
   def langId(text: Column): Column =
     GraftSqlBridge.column(exprs.LangId(expr(text)))

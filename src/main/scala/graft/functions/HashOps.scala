@@ -303,6 +303,119 @@ object HashOps {
     round4(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.15 + digitScore * 0.15)
   }
 
+  /** One-pass repetition metrics — the training-pipeline repetition
+    * filters of Rae et al. 2021 (Gopher, §A1.1: duplicate line
+    * fractions; most-frequent-n-gram and duplicated-n-gram character
+    * fractions):
+    *
+    *  - `n_units`: non-empty trimmed units after splitting on `delim`
+    *    (lines for `"\n"`, sentences for `"."`)
+    *  - `dup_unit_frac`: occurrences beyond each unit's first, over
+    *    `n_units`
+    *  - `dup_unit_char_frac`: characters of those repeat occurrences,
+    *    over total unit characters
+    *  - `top_bigram_char_frac`: token characters covered by the most
+    *    frequent token bigram (count × bigram token length, ties to
+    *    the lexicographically smallest; 0 unless it repeats), over
+    *    total token characters
+    *  - `dup_5gram_char_frac`: token characters covered by ANY token
+    *    5-gram occurring more than once (overlaps counted once), over
+    *    total token characters
+    *
+    * All ratios round4 like [[textStats]] so both engine and oracle
+    * state identical values. */
+  def repetitionStats(text: UTF8String, delim: String): InternalRow = {
+    val s = text.toString
+    // unit (line/sentence) repetition
+    val units = s.split(java.util.regex.Pattern.quote(delim), -1)
+      .iterator.map(_.trim).filter(_.nonEmpty).toArray
+    val nUnits = units.length
+    var unitChars = 0L
+    val unitCounts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < nUnits) {
+      unitChars += units(i).length
+      unitCounts.merge(units(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dupUnits = 0L
+    var dupUnitChars = 0L
+    val uit = unitCounts.entrySet().iterator()
+    while (uit.hasNext) {
+      val e = uit.next()
+      if (e.getValue > 1) {
+        dupUnits += e.getValue - 1L
+        dupUnitChars += (e.getValue - 1L) * e.getKey.length
+      }
+    }
+    val dupUnitFrac = if (nUnits > 0) round4(dupUnits.toDouble / nUnits) else 0.0
+    val dupUnitCharFrac =
+      if (unitChars > 0) round4(dupUnitChars.toDouble / unitChars) else 0.0
+
+    // token n-gram repetition over the whole text
+    val toks = tokenizeRaw(text)
+    val nToks = toks.length
+    var tokChars = 0L
+    i = 0
+    while (i < nToks) { tokChars += toks(i).length; i += 1 }
+
+    var topBigramFrac = 0.0
+    if (nToks >= 2 && tokChars > 0) {
+      val bigrams = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < nToks - 1) {
+        bigrams.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        i += 1
+      }
+      var bestCount = 0
+      var bestKey: String = null
+      val bit = bigrams.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        if (e.getValue > bestCount ||
+            (e.getValue == bestCount && e.getKey.compareTo(bestKey) < 0)) {
+          bestCount = e.getValue
+          bestKey = e.getKey
+        }
+      }
+      if (bestCount > 1)
+        topBigramFrac =
+          round4(bestCount.toDouble * (bestKey.length - 1) / tokChars)
+    }
+
+    var dup5Frac = 0.0
+    val N5 = 5
+    if (nToks >= N5 && tokChars > 0) {
+      val grams = new Array[String](nToks - N5 + 1)
+      val gramCounts = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i <= nToks - N5) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + N5) { sb.append(' ').append(toks(j)); j += 1 }
+        grams(i) = sb.toString
+        gramCounts.merge(grams(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      val covered = new Array[Boolean](nToks)
+      i = 0
+      while (i <= nToks - N5) {
+        if (gramCounts.get(grams(i)) > 1) {
+          var j = i
+          while (j < i + N5) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var covChars = 0L
+      i = 0
+      while (i < nToks) { if (covered(i)) covChars += toks(i).length; i += 1 }
+      dup5Frac = round4(covChars.toDouble / tokChars)
+    }
+
+    new GenericInternalRow(Array[Any](
+      nUnits, dupUnitFrac, dupUnitCharFrac, topBigramFrac, dup5Frac))
+  }
+
   /** Language ID — kernel twin of the declarative argmax (profile
     * order breaks ties, "und" when no profile scores > 0). Token
     * profiles use raw tokens; char profiles use substring occurrence

@@ -18,6 +18,12 @@ object SqlFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def doubleLit(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
@@ -38,6 +44,8 @@ object SqlFunctions {
     "lang_id" -> { case Seq(c) => exprs.LangId(c) },
     "quality_score" -> { case Seq(c) => exprs.QualityScore(c) },
     "text_stats" -> { case Seq(c) => exprs.TextStats(c) },
+    "repetition_stats" -> { case Seq(c, d) =>
+      exprs.RepetitionStats(c, stringLit(d, "delim")) },
     "minhash_sig" -> { case Seq(c, n, s) =>
       exprs.MinHashSig(c, intLit(n, "numHashes"), intLit(s, "shingleSize")) },
     "lsh_bucket" -> { case Seq(c, p) => exprs.LshBucket(c, intLit(p, "numPlanes")) },

@@ -149,6 +149,15 @@ object TextAnalysis {
 
   /** Whitespace/case-normalized form used by fingerprints and exact
     * dedup — Pinot's SanitationTransformer analog. */
+  /** Repetition quality metrics (Rae et al. 2021 §A1.1 — the Gopher
+    * repetition filters): duplicate unit (line/sentence) fractions by
+    * count and by characters, most-frequent-bigram character coverage,
+    * duplicated-5-gram character coverage. One codegen'd pass per
+    * document ([[graft.functions.HashOps.repetitionStats]]); split
+    * units on `delim` ("\n" for lines, "." for sentence-ish prose). */
+  def repetitionStats(text: Column, delim: String = "\n"): Column =
+    graft.functions.GraftFunctions.repetitionStats(text, delim)
+
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 

@@ -515,6 +515,34 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Repetition quality metrics ([[TextAnalysis.repetitionStats]] —
+    * the Gopher-style repetition filters) on a constructed 3-line doc
+    * `text\npert\ntext`: the unit (line) metrics are generically
+    * recomputed by the DuckDB oracle (dup occurrences beyond first,
+    * by count and by characters); the n-gram metrics are pinned by
+    * structure — every 5-gram window fully inside any of the three
+    * lines also occurs in another line (text repeats, and pert's
+    * token sequence is a suffix of text's), so EVERY token position
+    * is covered by a duplicated window: `dup_5gram_char_frac` must be
+    * exactly 1.0, and the duplicated text makes every text bigram
+    * repeat, so `top_bigram_char_frac` is in (0, 1]. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = perturbedDocs(s, dir)
+      .select($"doc_id", trim($"text").as("text"), $"pert")
+    base
+      .select($"doc_id", TextAnalysis.repetitionStats(
+        concat_ws("\n", $"text", $"pert", $"text"), "\n").as("r"))
+      .select($"doc_id",
+        $"r.n_units".as("n_units"),
+        $"r.dup_unit_frac".as("dup_unit_frac"),
+        $"r.dup_unit_char_frac".as("dup_unit_char_frac"),
+        ($"r.top_bigram_char_frac" > 0.0 &&
+          $"r.top_bigram_char_frac" <= 1.0).as("top2_ok"),
+        ($"r.dup_5gram_char_frac" === 1.0).as("dup5_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash self-oracle on the perturbed-copy universe: identical
     * text hashes identically (`self_ok`), a 2-token-drop near-dup
     * stays within a generous Hamming radius (`near_ok` — measured max
@@ -559,6 +587,7 @@ object PipelineQueries {
     "q_dedup_cluster" -> qDedupCluster,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_winnow" -> qWinnow,
+    "q_repetition" -> qRepetition,
     "q_simhash" -> qSimhash)
 
   // Shared SQL fragments for the oracles.
@@ -795,6 +824,23 @@ object PipelineQueries {
       s"""SELECT doc_id, TRUE AS self_ok, TRUE AS near_ok, TRUE AS size_ok
          |FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30
          |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, trim(text) AS t,
+         |    array_to_string(($toksSql)[3:], ' ') AS pert
+         |  FROM documents WHERE doc_id < 200 AND len($toksSql) >= 30),
+         |units AS (
+         |  SELECT doc_id, t AS unit FROM base
+         |  UNION ALL SELECT doc_id, pert FROM base
+         |  UNION ALL SELECT doc_id, t FROM base),
+         |g AS (
+         |  SELECT doc_id, unit, count(*) AS c, len(unit) AS len_u
+         |  FROM units GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS INT) AS n_units,
+         |  round(sum(c - 1) / sum(c), 4) AS dup_unit_frac,
+         |  round(sum((c - 1) * len_u) / sum(c * len_u), 4) AS dup_unit_char_frac,
+         |  TRUE AS top2_ok, TRUE AS dup5_ok
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_knn_join" ->
       s"""SELECT query_id, corpus_id, sim, rk FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
