@@ -52,6 +52,38 @@ object BrokerResponse {
   def render(q: Pql.Query, df: DataFrame): String =
     render(q, df, preserveType = false)
 
+  /** The reference's `trace` query option (`TraceContext` per-operator
+    * logs surfaced as `BrokerResponseNative.traceInfo`, a map of
+    * String→String): after execution, each physical operator reports
+    * its SQL metrics (rows, timings, spill/shuffle sizes) keyed by
+    * plan position + node name — Spark's operator metrics are the
+    * native analogue of the reference's per-operator trace entries. */
+  def render(q: Pql.Query, df: DataFrame, preserveType: Boolean,
+      trace: Boolean): String = {
+    val body = render(q, df, preserveType)
+    if (!trace) body
+    else {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // walk THROUGH adaptive wrappers and materialized query stages —
+      // the final (re-planned) operators hold the execution metrics
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case s: QueryStageExec => s +: flatten(s.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val entries = flatten(df.queryExecution.executedPlan).zipWithIndex.map {
+        case (node, i) =>
+          val metrics = node.metrics.toSeq.sortBy(_._1).collect {
+            case (k, m) if m.value > 0 => s"$k=${m.value}"
+          }
+          s"${js(s"$i:${node.nodeName}")}: ${js(metrics.mkString(", "))}"
+      }
+      body.dropRight(1) +
+        s""", "traceInfo": ${entries.mkString("{", ",", "}")}}"""
+    }
+  }
+
   def render(q: Pql.Query, df: DataFrame, preserveType: Boolean): String = {
     val cell: Any => String =
       if (preserveType) typedCell else (v => js(String.valueOf(v)))

@@ -196,6 +196,9 @@ object BrokerServer {
         // the reference's PRESERVE_TYPE query option: native JSON
         // types instead of stringified values
         val preserve = q.options.get("preserveType").exists(_.equalsIgnoreCase("true"))
+        // the reference's TRACE option: per-operator execution metrics
+        // in the response's traceInfo map
+        val trace = q.options.get("trace").exists(_.equalsIgnoreCase("true"))
         // fair-scheduler pool assignment (inheritable local property —
         // the timeout executor thread inherits it too)
         val pool = q.options.get("schedulerPool")
@@ -204,8 +207,8 @@ object BrokerServer {
         try {
           val df = Pql.toDataFrame(q, Tables.load(spark, tableDir, _))
           val body = timeoutMs match {
-            case None => BrokerResponse.render(q, df, preserve)
-            case Some(ms) => renderWithTimeout(spark, q, df, ms, preserve)
+            case None => BrokerResponse.render(q, df, preserve, trace)
+            case Some(ms) => renderWithTimeout(spark, q, df, ms, preserve, trace)
           }
           withTime(body)
         } catch {
@@ -225,7 +228,7 @@ object BrokerServer {
     * tasks; the waiting thread gets a TimeoutException. */
   private def renderWithTimeout(spark: SparkSession, q: Pql.Query,
       df: org.apache.spark.sql.DataFrame, ms: Long,
-      preserveType: Boolean): String = {
+      preserveType: Boolean, trace: Boolean = false): String = {
     val group = s"graft-broker-${java.util.UUID.randomUUID()}"
     val pool = Executors.newSingleThreadExecutor()
     try {
@@ -233,7 +236,7 @@ object BrokerServer {
         def call(): String = {
           spark.sparkContext.setJobGroup(group, s"broker pql (timeout ${ms}ms)",
             interruptOnCancel = true)
-          try BrokerResponse.render(q, df, preserveType)
+          try BrokerResponse.render(q, df, preserveType, trace)
           finally spark.sparkContext.clearJobGroup()
         }
       })

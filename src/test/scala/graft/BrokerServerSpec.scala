@@ -111,6 +111,23 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("OPTION(trace) returns per-operator metrics in traceInfo") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      val out = http("POST", s"http://127.0.0.1:$port/query",
+        Some("""{"pql": "SELECT COUNT(*) FROM nation WHERE n_regionkey > 0 OPTION(trace=true)"}"""))
+      assert(out.contains("\"aggregationResults\""), out.take(300))
+      assert(out.contains("\"traceInfo\""), out.take(500))
+      // a scan operator with its rows metric must appear
+      assert(out.contains("Scan") && out.contains("numOutputRows="), out)
+      // without the option there is no traceInfo
+      val plain = http("POST", s"http://127.0.0.1:$port/query",
+        Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(!plain.contains("traceInfo"))
+    } finally broker.stop()
+  }
+
   test("OPTION(timeoutMs) cancels the job group at the deadline") {
     val broker = new BrokerServer(spark, sfDir)
     val port = broker.start()
