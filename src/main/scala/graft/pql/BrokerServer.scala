@@ -40,9 +40,15 @@ import graft.sources.Tables
   * shares, expressed as pool weights in the Spark scheduler config).
   */
 final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
-    maxConcurrentQueries: Int = 8) {
+    maxConcurrentQueries: Int = 8,
+    tableQuotas: Map[String, Double] = Map.empty) {
   require(maxConcurrentQueries > 0,
     s"maxConcurrentQueries must be positive, got $maxConcurrentQueries")
+  require(tableQuotas.values.forall(_ > 0),
+    s"table QPS quotas must be positive: $tableQuotas")
+
+  private val quotaLimiters: Map[String, BrokerServer.QpsLimiter] =
+    tableQuotas.map { case (t, qps) => t -> new BrokerServer.QpsLimiter(qps) }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val admission =
@@ -78,7 +84,7 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
           .dropRight(1) + """, "timeUsedMs": 0}"""
         case Some(q) =>
           admission.acquire()
-          try BrokerServer.execute(spark, tableDir, q)
+          try BrokerServer.execute(spark, tableDir, q, quotaLimiters)
           finally admission.release()
       }
       val bytes = json.getBytes(StandardCharsets.UTF_8)
@@ -117,11 +123,29 @@ object BrokerMain {
 
 object BrokerServer {
 
-  /** `QueryException.java:38,40,44,49` */
+  /** `QueryException.java:38,40,44,49,56` */
   val JsonParsingErrorCode = 100
   val PqlParsingErrorCode = 150
   val QueryExecutionErrorCode = 200
   val ExecutionTimeoutErrorCode = 250
+  val TooManyRequestsErrorCode = 429
+
+  /** Per-table QPS quota (`QuotaConfig.maxQueriesPerSecond` enforced
+    * by the broker, `BaseBrokerRequestHandler.java:189-197` via
+    * `TableQueryQuotaManager.acquire`): a token bucket refilling at
+    * `qps` with burst capacity max(1, qps). The clock is injectable
+    * so the refill math is testable deterministically. */
+  final class QpsLimiter(qps: Double, nanoTime: () => Long = System.nanoTime) {
+    private val capacity = math.max(1.0, qps)
+    private var available = capacity
+    private var last = nanoTime()
+    def tryAcquire(): Boolean = synchronized {
+      val now = nanoTime()
+      available = math.min(capacity, available + (now - last) * 1e-9 * qps)
+      last = now
+      if (available >= 1.0) { available -= 1.0; true } else false
+    }
+  }
 
   private def js(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -179,7 +203,8 @@ object BrokerServer {
 
   /** Parse, compile, execute, render — one broker request. Returns the
     * response JSON (never throws; errors map to the exceptions list). */
-  def execute(spark: SparkSession, tableDir: String, pql: String): String = {
+  def execute(spark: SparkSession, tableDir: String, pql: String,
+      quotas: Map[String, QpsLimiter] = Map.empty): String = {
     val t0 = System.nanoTime()
     def withTime(json: String): String =
       json.dropRight(1) +
@@ -191,6 +216,11 @@ object BrokerServer {
       }
     parsed match {
       case Left(err) => withTime(err)
+      // QPS quota before any execution work, exactly where the
+      // reference validates it (post-parse, pre-execute)
+      case Right(q) if quotas.get(q.table).exists(!_.tryAcquire()) =>
+        withTime(exceptionJson(TooManyRequestsErrorCode,
+          s"QuotaExceededError: request exceeds query quota for table:${q.table}"))
       case Right(q) =>
         val timeoutMs = q.options.get("timeoutMs").flatMap(_.toLongOption)
         // the reference's PRESERVE_TYPE query option: native JSON

@@ -36,7 +36,8 @@ final case class TableConfig(
     segments: TableConfig.SegmentsConfig,
     indexing: TableConfig.IndexingConfig,
     tenants: Map[String, String],
-    customConfigs: Map[String, String]) {
+    customConfigs: Map[String, String],
+    quota: TableConfig.QuotaConfig = TableConfig.QuotaConfig(None, None)) {
 
   /** Retention window in millis, when both unit and value are set
     * (RetentionManager reads the same two fields and skips tables
@@ -72,6 +73,13 @@ object TableConfig {
       segmentPushType: Option[String],
       schemaName: Option[String],
       replication: Option[String])
+
+  /** `quota` (QuotaConfig.java:40-41): storage bound (cluster-manager
+    * concern, carried through) + per-table max queries per second,
+    * enforced by the broker's [[graft.pql.BrokerServer]]. */
+  final case class QuotaConfig(
+      storage: Option[String],
+      maxQueriesPerSecond: Option[Double])
 
   /** `tableIndexConfig` (IndexingConfig.java:38-88). */
   final case class IndexingConfig(
@@ -129,7 +137,11 @@ object TableConfig {
           Option(idx).map(_.get("streamConfigs")).orNull)),
       tenants = stringMap(root.get("tenants")),
       customConfigs = stringMap(
-        Option(root.get("metadata")).map(_.get("customConfigs")).orNull))
+        Option(root.get("metadata")).map(_.get("customConfigs")).orNull),
+      quota = QuotaConfig(
+        storage = opt(root.get("quota"), "storage"),
+        maxQueriesPerSecond = opt(root.get("quota"), "maxQueriesPerSecond")
+          .flatMap(_.toDoubleOption)))
   }
 }
 

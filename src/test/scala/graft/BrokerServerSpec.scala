@@ -128,6 +128,39 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("QpsLimiter: token-bucket refill at qps with burst max(1, qps)") {
+    var now = 0L
+    val clock = () => now
+    val lim = new BrokerServer.QpsLimiter(2.0, clock) // capacity 2
+    assert(lim.tryAcquire() && lim.tryAcquire(), "burst of 2 admitted")
+    assert(!lim.tryAcquire(), "bucket empty")
+    now += 500000000L // +0.5 s → 1 token refilled
+    assert(lim.tryAcquire())
+    assert(!lim.tryAcquire())
+    now += 10000000000L // +10 s → refill caps at capacity 2, not 20
+    assert(lim.tryAcquire() && lim.tryAcquire())
+    assert(!lim.tryAcquire())
+  }
+
+  test("per-table QPS quota returns 429 QuotaExceededError, other tables unaffected") {
+    // qps so small the bucket never refills within the test: request 1
+    // succeeds on burst capacity 1, every later request is rejected
+    val broker = new BrokerServer(spark, sfDir,
+      tableQuotas = Map("nation" -> 0.001))
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      val first = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(first.contains("\"aggregationResults\""), first.take(300))
+      val second = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(second.contains("\"errorCode\": 429") &&
+        second.contains("QuotaExceededError"), second.take(300))
+      // an unquota'd table still answers
+      val other = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM region"}"""))
+      assert(other.contains("\"aggregationResults\""), other.take(300))
+    } finally broker.stop()
+  }
+
   test("OPTION(timeoutMs) cancels the job group at the deadline") {
     val broker = new BrokerServer(spark, sfDir)
     val port = broker.start()

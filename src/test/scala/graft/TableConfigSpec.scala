@@ -55,9 +55,12 @@ class TableConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableConfig.fromJsonString(
       """{"tableName": "t", "tableType": "HYBRID"}"""))
     val c = TableConfig.fromJsonString(
-      """{"tableName": "t", "tableType": "realtime", "quota": {"storage": "10G"}}""")
+      """{"tableName": "t", "tableType": "realtime",
+        | "quota": {"storage": "10G", "maxQueriesPerSecond": "7.5"}}""".stripMargin)
     assert(c.tableType === TableConfig.Realtime)
     assert(c.retentionMs === None)
+    assert(c.quota.storage === Some("10G"))
+    assert(c.quota.maxQueriesPerSecond === Some(7.5))
   }
 
   test("writeOfflineSegment applies sortedColumn and bloomFilterColumns") {
