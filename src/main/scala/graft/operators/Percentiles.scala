@@ -48,7 +48,8 @@ object Percentiles {
     * DoubleType results. Groups whose every value is null (or empty
     * key combinations) simply do not appear, matching groupBy. */
   def exact(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      fractions: Seq[(Double, String)]): DataFrame = {
+      fractions: Seq[(Double, String)],
+      countColumn: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "at least one grouping column required")
     require(fractions.nonEmpty, "at least one fraction required")
     fractions.foreach { case (f, _) =>
@@ -81,7 +82,7 @@ object Percentiles {
       val vHi = min(when(col("_cum") >= ceil(hRow) + 1, col("_v")))
       val hAgg = (max(col("_n")) - 1) * f
       (vLo + (hAgg - floor(hAgg)) * (vHi - vLo)).as(name)
-    }
+    } ++ countColumn.map(n => max(col("_n")).as(n)) // non-null row count, free
     ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -163,19 +163,21 @@ object ApproxQueries {
       .select($"l_returnflag", $"n_parts", $"n_rows",
         QuantileSketch.estimate($"sk", 0.5).as("p50_est"),
         QuantileSketch.estimate($"sk", 0.95).as("p95_est"))
-    val exact = t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("cnt"),
-        expr("percentile(l_quantity, array(0.45, 0.5, 0.55, 0.9, 0.95, 1.0))").as("_pe"))
+    // exact side via the distributed histogram (l_quantity has ~50
+    // distinct values — the (flag, value) histogram is ~150 pairs,
+    // vs full-distribution buffers through 3 reducers)
+    val exact = graft.operators.Percentiles.exact(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+      Seq(0.45 -> "_p45", 0.5 -> "_p50", 0.55 -> "_p55",
+        0.9 -> "_p90", 0.95 -> "_p95", 1.0 -> "_p100"),
+      countColumn = Some("cnt"))
     merged.join(exact, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_parts",
-        round(element_at($"_pe", 2), 4).as("p50_exact"),
-        round(element_at($"_pe", 5), 4).as("p95_exact"),
+        round($"_p50", 4).as("p50_exact"),
+        round($"_p95", 4).as("p95_exact"),
         ($"n_rows" === $"cnt").as("count_ok"),
-        ($"p50_est" >= element_at($"_pe", 1) &&
-          $"p50_est" <= element_at($"_pe", 3)).as("p50_ok"),
-        ($"p95_est" >= element_at($"_pe", 4) &&
-          $"p95_est" <= element_at($"_pe", 6)).as("p95_ok"))
+        ($"p50_est" >= $"_p45" && $"p50_est" <= $"_p55").as("p50_ok"),
+        ($"p95_est" >= $"_p90" && $"p95_est" <= $"_p100").as("p95_ok"))
       .orderBy($"l_returnflag")
   }
 

@@ -71,6 +71,15 @@ class PercentilesSpec extends SparkSpec {
     assert(out.head.getDouble(1) == 1.0)
   }
 
+  test("countColumn reports the group's non-null value count") {
+    val df = Seq(("a", Option(1.0)), ("a", Option(2.0)), ("a", Option.empty[Double]),
+      ("b", Option(5.0))).toDF("k", "v")
+    val out = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"),
+        countColumn = Some("n"))
+      .orderBy($"k").select($"k", $"n").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("plan shape: one shuffle of distinct pairs, no full-value buffers") {
     val df = Seq.tabulate(100)(i => ("g", (i % 10).toDouble)).toDF("k", "v")
     val plan = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))
