@@ -60,6 +60,21 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
 
   def start(): Int = {
     server.createContext("/query", new QueryHandler)
+    // the broker's other resources (`api/resources/`):
+    // PinotBrokerHealthCheck.java — GET /health → "OK";
+    // PinotBrokerDebug.java — GET /debug/routingTable/{table} (segment
+    // routing snapshot) and GET /debug/timeBoundary/{table}
+    server.createContext("/health", BrokerServer.textHandler(_ => "OK"))
+    server.createContext("/debug/routingTable/",
+      BrokerServer.textHandler { path =>
+        val table = path.stripPrefix("/debug/routingTable/")
+        BrokerServer.routingTableJson(tableDir, table)
+      })
+    server.createContext("/debug/timeBoundary/",
+      BrokerServer.textHandler { path =>
+        val table = path.stripPrefix("/debug/timeBoundary/")
+        BrokerServer.timeBoundaryJson(spark, tableDir, table)
+      })
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
     started = true
@@ -191,6 +206,60 @@ object BrokerServer {
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+
+  /** Plain GET handler: `f(requestPath)` → JSON/text body, 200. */
+  private[pql] def textHandler(f: String => String): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val body =
+        try f(ex.getRequestURI.getPath)
+        catch { case e: Exception =>
+          exceptionJson(QueryExecutionErrorCode,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+
+  /** Routing snapshot (`PinotBrokerDebug.debugRoutingTable` /
+    * `RoutingTable.dumpSnapshot`): which segments answer for the
+    * table. Single-process analog: this broker serves every segment
+    * (parquet part file) of the table's dataset. */
+  def routingTableJson(tableDir: String, table: String): String = {
+    val dir = new java.io.File(s"$tableDir/$table.parquet")
+    if (!dir.exists())
+      exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
+    else {
+      // a table dataset is a directory of part files or one bare file
+      val segs =
+        if (dir.isFile) Seq(dir.getName)
+        else Option(dir.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getName).sorted
+      s"""{${js(table)}: {"localhost": ${segs.map(js).mkString("[", ",", "]")}}}"""
+    }
+  }
+
+  /** Time boundary (`PinotBrokerDebug.debugTimeBoundaryService` /
+    * `TimeBoundaryService.TimeBoundaryInfo`): the table's max time
+    * value, read from segment FOOTER stats only
+    * ([[graft.sources.Minion.segmentEndTime]] — the same
+    * metadata-not-rows rule the reference's service follows). */
+  def timeBoundaryJson(spark: SparkSession, tableDir: String, table: String,
+      timeColumn: String = "ts"): String = {
+    val dir = s"$tableDir/$table.parquet"
+    if (!new java.io.File(dir).exists())
+      exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
+    else graft.sources.Minion.segmentEndTime(spark, dir, timeColumn) match {
+      case Some(end) =>
+        s"""{"timeColumnName": ${js(timeColumn)}, "timeValue": ${js(end.toString)}}"""
+      case None => exceptionJson(QueryExecutionErrorCode,
+        s"no footer time stats for $table.$timeColumn")
+    }
   }
 
   /** First value of `name` in a raw query string. */

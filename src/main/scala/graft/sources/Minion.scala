@@ -126,8 +126,12 @@ object Minion {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val files = Option(new java.io.File(segmentDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val root = new java.io.File(segmentDir)
+    // a segment is a directory of part files, or one bare parquet file
+    val files =
+      if (root.isFile && root.getName.endsWith(".parquet")) Seq(root)
+      else Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (files.isEmpty) return None
     // per file: None = unknown (missing column/stats — poisons the
     // segment), Some(None) = no rows (contributes nothing),

@@ -128,6 +128,23 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("health, routingTable, and timeBoundary endpoints answer") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      assert(http("GET", s"http://127.0.0.1:$port/health") === "OK")
+      val routing = http("GET", s"http://127.0.0.1:$port/debug/routingTable/nation")
+      assert(routing.contains("\"nation\"") && routing.contains("localhost")
+        && routing.contains(".parquet"), routing.take(300))
+      val boundary = http("GET", s"http://127.0.0.1:$port/debug/timeBoundary/events")
+      assert(boundary.contains("\"timeColumnName\": \"ts\"")
+        && boundary.contains("timeValue"), boundary.take(300))
+      // unknown table → reference-style exceptions list
+      val missing = http("GET", s"http://127.0.0.1:$port/debug/routingTable/nope")
+      assert(missing.contains("\"errorCode\": 200"), missing.take(300))
+    } finally broker.stop()
+  }
+
   test("QpsLimiter: token-bucket refill at qps with burst max(1, qps)") {
     var now = 0L
     val clock = () => now
