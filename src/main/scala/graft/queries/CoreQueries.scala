@@ -607,12 +607,12 @@ object CoreQueries {
 
   /** Time retention ([[graft.sources.Minion.enforceRetention]] —
     * `TimeRetentionStrategy.java` + `RetentionManager`): events copied
-    * into day-sliced segments, then segments whose FOOTER end time
+    * into 3-day-sliced segments, then segments whose FOOTER end time
     * (max ts, read without scanning rows) is past the retention window
     * are deleted whole — a segment straddling the cutoff survives
     * entirely, which is exactly what distinguishes segment-level
     * retention from a row filter, and the oracle reproduces that via
-    * the per-day max. `now`/retention derive from the data (max+1,
+    * the per-slice max. `now`/retention derive from the data (max+1,
     * half the span) so the query is deterministic at every SF. */
   def qRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -622,13 +622,13 @@ object CoreQueries {
     val ev = t(s, dir, "events")
       .select(expr("unix_micros(ts) div 1000").as("ts_ms"),
         $"event_type", $"value")
-      .withColumn("day_id", expr("ts_ms div 86400000"))
-    ev.write.mode("overwrite").partitionBy("day_id").parquet(base)
+      .withColumn("slice_id", expr("ts_ms div 259200000")) // 3-day segments
+    ev.write.mode("overwrite").partitionBy("slice_id").parquet(base)
     val bounds = ev.agg(min($"ts_ms"), max($"ts_ms")).head()
     val now = bounds.getLong(1) + 1
     val retentionMs = (now - bounds.getLong(0)) / 2
     val segs = Option(new java.io.File(base).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("day_id="))
+      .filter(f => f.isDirectory && f.getName.startsWith("slice_id="))
       .map(_.getAbsolutePath).sorted
     Minion.enforceRetention(s, segs, "ts_ms",
       java.util.concurrent.TimeUnit.MILLISECONDS, retentionMs, now)
@@ -856,17 +856,17 @@ object CoreQueries {
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_retention" ->
       """WITH e AS (
-        |  SELECT epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 86400000 AS day_id,
+        |  SELECT epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 259200000 AS slice_id,
         |    event_type, "value"
         |  FROM events),
         |b AS (SELECT min(ts_ms) AS mn, max(ts_ms) AS mx FROM e),
-        |seg AS (SELECT day_id, max(ts_ms) AS end_ms FROM e GROUP BY 1),
+        |seg AS (SELECT slice_id, max(ts_ms) AS end_ms FROM e GROUP BY 1),
         |keep AS (
-        |  SELECT day_id FROM seg, b
+        |  SELECT slice_id FROM seg, b
         |  WHERE NOT ((mx + 1) - end_ms > ((mx + 1) - mn) // 2))
         |SELECT event_type, count(*) AS cnt, round(sum("value"), 3) AS sum_value,
         |  min(ts_ms) AS min_ms, max(ts_ms) AS max_ms
-        |FROM e JOIN keep USING (day_id)
+        |FROM e JOIN keep USING (slice_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS rf,
