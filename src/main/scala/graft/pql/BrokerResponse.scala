@@ -63,16 +63,7 @@ object BrokerResponse {
     val body = render(q, df, preserveType)
     if (!trace) body
     else {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // walk THROUGH adaptive wrappers and materialized query stages —
-      // the final (re-planned) operators hold the execution metrics
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
-        case s: QueryStageExec => s +: flatten(s.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
-      val entries = flatten(df.queryExecution.executedPlan).zipWithIndex.map {
+      val entries = flattenPlan(df.queryExecution.executedPlan).zipWithIndex.map {
         case (node, i) =>
           val metrics = node.metrics.toSeq.sortBy(_._1).collect {
             case (k, m) if m.value > 0 => s"$k=${m.value}"
@@ -83,6 +74,29 @@ object BrokerResponse {
         s""", "traceInfo": ${entries.mkString("{", ",", "}")}}"""
     }
   }
+
+  /** Physical operators in plan order, walked THROUGH adaptive
+    * wrappers and materialized query stages — the final (re-planned)
+    * operators hold the execution metrics. */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => a +: flattenPlan(a.executedPlan)
+      case s: QueryStageExec => s +: flattenPlan(s.plan)
+      case other => other +: other.children.flatMap(flattenPlan)
+    }
+  }
+
+  /** `numDocsScanned` for aggregation responses
+    * (`BrokerResponseNative`'s execution stats): total output rows of
+    * the scan operators of the EXECUTED plan — the docs the engine
+    * actually read after segment/row-group pruning. */
+  private def docsScanned(df: DataFrame): Long =
+    flattenPlan(df.queryExecution.executedPlan)
+      .filter(_.nodeName.startsWith("Scan"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      .sum
 
   def render(q: Pql.Query, df: DataFrame, preserveType: Boolean): String = {
     val cell: Any => String =
@@ -100,7 +114,7 @@ object BrokerResponse {
       val aggs = cols.zipWithIndex.map { case (c, i) =>
         s"""{"function": ${js(c)}, "value": ${cell(r.get(i))}}"""
       }.mkString("[", ",", "]")
-      s"""{"aggregationResults": $aggs}"""
+      s"""{"aggregationResults": $aggs, "numDocsScanned": ${docsScanned(df)}}"""
     } else {
       val keyIdx = q.groupBy.indices
       val nKeys = q.groupBy.length
@@ -112,7 +126,7 @@ object BrokerResponse {
         }.mkString("[", ",", "]")
         s"""{"function": ${js(c)}, "groupByColumns": $gbCols, "groupByResult": $groups}"""
       }.mkString("[", ",", "]")
-      s"""{"aggregationResults": $aggs}"""
+      s"""{"aggregationResults": $aggs, "numDocsScanned": ${docsScanned(df)}}"""
     }
   }
 

@@ -125,6 +125,8 @@ class BrokerServerSpec extends SparkSpec {
       val plain = http("POST", s"http://127.0.0.1:$port/query",
         Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
       assert(!plain.contains("traceInfo"))
+      // aggregation responses carry the reference's numDocsScanned stat
+      assert(plain.contains("\"numDocsScanned\""), plain.take(300))
     } finally broker.stop()
   }
 
