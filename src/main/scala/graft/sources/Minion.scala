@@ -111,16 +111,24 @@ object Minion {
 
   /** Segment END time from parquet footer statistics — the analog of
     * the reference's `SegmentZKMetadata.getEndTime` (recorded at
-    * segment build, consulted without touching data). Reads only the
-    * footers of the segment's files: max statistic of `timeCol`
+    * segment build, consulted without touching data). None when the
+    * column is absent or any chunk lacks stats (the caller then
+    * treats end time as unknown, mirroring the reference's
+    * warn-and-keep). */
+  def segmentEndTime(spark: SparkSession, segmentDir: String,
+      timeCol: String): Option[Long] =
+    segmentTimeRange(spark, segmentDir, timeCol).map(_._2)
+
+  /** Segment (start, end) time interval from parquet footer
+    * statistics — `SegmentZKMetadata.getTimeInterval`. Reads only the
+    * footers of the segment's files: min/max statistics of `timeCol`
     * across all row groups. None when the column is absent or any
-    * chunk lacks stats (the caller then treats end time as unknown,
-    * mirroring the reference's warn-and-keep).
+    * chunk lacks stats.
     *
     * Integral time columns only (epoch values — the reference stores
     * segment times as long epoch values in the configured TimeUnit). */
-  def segmentEndTime(spark: SparkSession, segmentDir: String,
-      timeCol: String): Option[Long] = {
+  def segmentTimeRange(spark: SparkSession, segmentDir: String,
+      timeCol: String): Option[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -135,36 +143,126 @@ object Minion {
     if (files.isEmpty) return None
     // per file: None = unknown (missing column/stats — poisons the
     // segment), Some(None) = no rows (contributes nothing),
-    // Some(Some(t)) = known file max
-    val perFile: Seq[Option[Option[Long]]] = files.map { f =>
+    // Some(Some((min, max))) = known file interval
+    val perFile: Seq[Option[Option[(Long, Long)]]] = files.map { f =>
       val r = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
       try {
         val groups = r.getRowGroups.asScala
-        val maxes = groups.flatMap { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == timeCol)
-            .flatMap { chunk =>
-              val st = chunk.getStatistics
-              if (st == null || !st.hasNonNullValue) None
-              else st.genericGetMax match {
-                case l: java.lang.Long => Some(l.longValue())
-                case i: java.lang.Integer => Some(i.longValue())
-                case _ => None // non-integral time column: unknown
+        def stat(get: org.apache.parquet.column.statistics.Statistics[_] => Any) =
+          groups.flatMap { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == timeCol)
+              .flatMap { chunk =>
+                val st = chunk.getStatistics
+                if (st == null || !st.hasNonNullValue) None
+                else get(st) match {
+                  case l: java.lang.Long => Some(l.longValue())
+                  case i: java.lang.Integer => Some(i.longValue())
+                  case _ => None // non-integral time column: unknown
+                }
               }
-            }
-        }
+          }
+        val maxes = stat(_.genericGetMax)
+        val mins = stat(_.genericGetMin)
         if (groups.isEmpty) Some(None) // empty file: no constraint
-        // every row group must report stats or the end time is unknown
-        else if (maxes.size == groups.size) Some(Some(maxes.max))
+        // every row group must report stats or the interval is unknown
+        else if (maxes.size == groups.size && mins.size == groups.size)
+          Some(Some((mins.min, maxes.max)))
         else None
       } finally r.close()
     }
     if (perFile.exists(_.isEmpty)) None
     else {
       val known = perFile.flatten.flatten
-      if (known.isEmpty) None else Some(known.max)
+      if (known.isEmpty) None
+      else Some((known.map(_._1).min, known.map(_._2).max))
     }
+  }
+
+  /** Footer-metadata row count across a segment's files — the
+    * reference's `SegmentZKMetadata.getTotalRawDocs`, never a scan. */
+  def segmentRowCount(spark: SparkSession, segmentDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new java.io.File(segmentDir)
+    val files =
+      if (root.isFile && root.getName.endsWith(".parquet")) Seq(root)
+      else Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    files.map { f =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Result of [[checkSegmentIntervals]]
+    * (`OfflineSegmentIntervalChecker`'s validation gauges). */
+  final case class IntervalReport(
+      numSegments: Int,
+      totalDocs: Long,
+      maxSegmentEndTimeMs: Option[Long],
+      numMissingSegments: Int,
+      segmentsWithInvalidInterval: Seq[String])
+
+  /** Push-frequency name → expected segment interval
+    * (OfflineSegmentIntervalChecker.convertToDuration: invalid or
+    * finer-than-hourly frequencies are treated as daily). */
+  def pushFrequencyMs(name: String): Long = name.toLowerCase match {
+    case "hourly" => 3600000L
+    case "weekly" => 7L * 86400000L
+    case "monthly" => 30L * 86400000L
+    case _ => 86400000L // daily (the reference's default)
+  }
+
+  /** Offline segment interval validation
+    * (`controller/.../validation/OfflineSegmentIntervalChecker
+    * .java:82-197`): per-table gauges from segment METADATA only —
+    * total docs (footer row counts), max segment end time, and the
+    * missing-segment count: intervals sorted by start; a start-to-
+    * start gap spanning ≥2 expected periods counts the skipped
+    * periods as missing, and a long interval advances its effective
+    * start to the last period it covers. Segments whose interval is
+    * unknown or outside the 1971..2071 sanity window are reported
+    * (the reference logs them) and excluded from the gap math. */
+  def checkSegmentIntervals(spark: SparkSession, segmentDirs: Seq[String],
+      timeCol: String, timeUnit: java.util.concurrent.TimeUnit,
+      pushFrequency: String = "daily"): IntervalReport = {
+    val MinValidTimeMs = java.time.Instant.parse("1971-01-01T00:00:00Z").toEpochMilli
+    val MaxValidTimeMs = java.time.Instant.parse("2071-01-01T00:00:00Z").toEpochMilli
+    val withRange = segmentDirs.map(d =>
+      d -> segmentTimeRange(spark, d, timeCol).map { case (s, e) =>
+        (timeUnit.toMillis(s), timeUnit.toMillis(e))
+      })
+    val (valid, invalid) = withRange.partition {
+      case (_, Some((s, e))) =>
+        s >= MinValidTimeMs && s <= MaxValidTimeMs &&
+          e >= MinValidTimeMs && e <= MaxValidTimeMs
+      case _ => false
+    }
+    val intervals = valid.flatMap(_._2).sortBy(_._1)
+    val frequencyMs = pushFrequencyMs(pushFrequency)
+    var numMissing = 0
+    if (intervals.size >= 2) {
+      var lastStart = -1L
+      intervals.foreach { case (start0, end) =>
+        var start = start0
+        if (lastStart != -1L && start - lastStart > frequencyMs)
+          numMissing += ((start - lastStart - frequencyMs) / frequencyMs).toInt
+        while (start + frequencyMs <= end) start += frequencyMs
+        lastStart = math.max(lastStart, start)
+      }
+    }
+    IntervalReport(
+      numSegments = segmentDirs.size,
+      totalDocs = segmentDirs.map(segmentRowCount(spark, _)).sum,
+      maxSegmentEndTimeMs =
+        if (intervals.isEmpty) None else Some(intervals.map(_._2).max),
+      numMissingSegments = numMissing,
+      segmentsWithInvalidInterval = invalid.map(_._1))
   }
 
   /** Time-based retention (`controller/.../retention/

@@ -128,6 +128,47 @@ class MinionSpec extends SparkSpec {
       Minion.realtimeToOffline(spark, Seq(tmp("off")), tmp("off")))
   }
 
+  test("segmentTimeRange and segmentRowCount come from footers") {
+    Seq((1L, 100L), (2L, 700L), (3L, 400L)).toDF("id", "t")
+      .repartition(2).write.mode("overwrite").parquet(tmp("tr0"))
+    assert(Minion.segmentTimeRange(spark, tmp("tr0"), "t") === Some((100L, 700L)))
+    assert(Minion.segmentRowCount(spark, tmp("tr0")) === 3L)
+    assert(Minion.segmentTimeRange(spark, tmp("tr0"), "nope") === None)
+  }
+
+  test("checkSegmentIntervals: missing-segment math, totals, invalid reporting") {
+    import java.util.concurrent.TimeUnit
+    val day = 86400000L
+    val base = java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli
+    def seg(name: String, times: Seq[Long]): String = {
+      val p = tmp(s"iv_$name")
+      times.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    // days 0, 1 — contiguous; then day 4 (days 2, 3 missing); one
+    // invalid-interval segment (pre-1971) excluded from the gap math
+    val s0 = seg("d0", Seq(base, base + day / 2))
+    val s1 = seg("d1", Seq(base + day, base + day + 1000))
+    val s4 = seg("d4", Seq(base + 4 * day, base + 4 * day + 1000))
+    val bad = seg("bad", Seq(-5L))
+    val r = Minion.checkSegmentIntervals(spark, Seq(s0, s1, s4, bad), "ts",
+      TimeUnit.MILLISECONDS, "daily")
+    assert(r.numSegments === 4)
+    assert(r.totalDocs === 7L) // 2 + 2 + 2 + 1 rows, counted from footers
+    assert(r.maxSegmentEndTimeMs === Some(base + 4 * day + 1000))
+    assert(r.numMissingSegments === 2) // days 2 and 3
+    assert(r.segmentsWithInvalidInterval === Seq(bad))
+    // a long interval spanning several periods counts no missing inside it
+    val long = seg("long", Seq(base, base + 3 * day))
+    val r2 = Minion.checkSegmentIntervals(spark, Seq(long, s4), "ts",
+      TimeUnit.MILLISECONDS, "daily")
+    assert(r2.numMissingSegments === 0)
+    // fewer than two valid intervals → nothing can be missing
+    assert(Minion.checkSegmentIntervals(spark, Seq(s0), "ts",
+      TimeUnit.MILLISECONDS).numMissingSegments === 0)
+  }
+
   test("purgeSegment drops purged rows, modifies survivors, needs one of the two") {
     seg.write.mode("overwrite").parquet(tmp("p0"))
     Minion.purgeSegment(spark, tmp("p0"), tmp("pout"),
