@@ -178,6 +178,62 @@ object TableLifecycle {
       case _ => Nil // no/partial retention config: RetentionManager skips
     }
 
+  /** Result of [[checkStorageQuota]]
+    * (StorageQuotaChecker.QuotaCheckerResponse). */
+  final case class QuotaCheck(ok: Boolean, totalBytes: Long,
+      allowedBytes: Option[Long], reason: String)
+
+  /** Storage-size string → bytes (`DataSize.toBytes` as the
+    * reference's QuotaConfig uses it): plain bytes or K/M/G/T
+    * suffixes, case-insensitive. None for unparseable. */
+  def storageBytes(s: String): Option[Long] = {
+    val m = "^(?i)\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([KMGT]?)B?\\s*$".r
+      .findFirstMatchIn(s)
+    m.flatMap { g =>
+      val mult = g.group(2).toUpperCase match {
+        case "" => 1L
+        case "K" => 1L << 10
+        case "M" => 1L << 20
+        case "G" => 1L << 30
+        case "T" => 1L << 40
+      }
+      g.group(1).toDoubleOption.map(v => (v * mult).toLong)
+    }
+  }
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).toSeq.flatten.map(walk).sum
+    walk(new java.io.File(path))
+  }
+
+  /** Storage quota check at segment push
+    * (`controller/.../validation/StorageQuotaChecker
+    * .isSegmentStorageWithinQuota`): the table's size AFTER accepting
+    * the incoming segment (existing segments, minus the one being
+    * replaced, plus the incoming) must stay within `quota.storage`.
+    * No quota configured → always within (the reference returns
+    * success without checking). */
+  def checkStorageQuota(config: TableConfig, existingSegmentDirs: Seq[String],
+      incomingSegmentDir: Option[String] = None): QuotaCheck = {
+    val allowed = config.quota.storage.flatMap(storageBytes)
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    val incoming = incomingSegmentDir.map(canon)
+    val existing = existingSegmentDirs.map(canon).distinct
+      .filterNot(p => incoming.contains(p)) // replacement, not addition
+    val total = existing.map(dirBytes).sum +
+      incomingSegmentDir.map(dirBytes).getOrElse(0L)
+    allowed match {
+      case None => QuotaCheck(ok = true, total, None,
+        s"table ${config.tableName} has no storage quota")
+      case Some(a) if total <= a => QuotaCheck(ok = true, total, Some(a),
+        s"within quota: $total <= $a bytes")
+      case Some(a) => QuotaCheck(ok = false, total, Some(a),
+        s"exceeds quota: $total > $a bytes")
+    }
+  }
+
   /** The realtime path's stream configuration
     * (`tableIndexConfig.streamConfigs` → StreamConfig, exactly the
     * property map the reference's RealtimeTableDataManager hands to

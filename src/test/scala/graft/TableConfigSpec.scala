@@ -116,6 +116,36 @@ class TableConfigSpec extends SparkSpec {
     assert(new java.io.File(fresh).exists())
   }
 
+  test("storage quota: size parsing and push-time check with replacement") {
+    assert(TableLifecycle.storageBytes("1024") === Some(1024L))
+    assert(TableLifecycle.storageBytes("10K") === Some(10L << 10))
+    assert(TableLifecycle.storageBytes("1.5G") === Some((1.5 * (1L << 30)).toLong))
+    assert(TableLifecycle.storageBytes("2TB") === Some(2L << 40))
+    assert(TableLifecycle.storageBytes("huge") === None)
+
+    def seg(name: String, rows: Int): String = {
+      val p = tmp(s"quota_$name")
+      (1 to rows).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    val s1 = seg("s1", 100)
+    val s2 = seg("s2", 100)
+    val tight = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "OFFLINE", "quota": {"storage": "3K"}}""")
+    val within = TableLifecycle.checkStorageQuota(tight, Seq(s1))
+    assert(within.ok, within.reason)
+    val over = TableLifecycle.checkStorageQuota(tight, Seq(s1), Some(s2))
+    assert(!over.ok && over.reason.contains("exceeds"), over.reason)
+    // replacing an existing segment does not double-count it
+    val replace = TableLifecycle.checkStorageQuota(tight, Seq(s1), Some(s1))
+    assert(replace.ok, replace.reason)
+    // no quota → always within
+    val none = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "OFFLINE"}""")
+    assert(TableLifecycle.checkStorageQuota(none, Seq(s1, s2)).ok)
+  }
+
   test("realtime streamConfigs drive the stream configuration") {
     val c = TableConfig.fromJsonString(
       """{
