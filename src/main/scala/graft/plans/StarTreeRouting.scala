@@ -40,12 +40,24 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object StarTreeRegistry {
   final case class Entry(pathPrefix: String, index: StarTree.Index)
 
-  private val entries = new TrieMap[String, Entry]
+  // one table may carry SEVERAL star-trees (the reference's
+  // `IndexingConfig._starTreeIndexConfigs` list — different dimension
+  // subsets/split orders); key = registered path, value = all indexes
+  private val entries = new TrieMap[String, Vector[Entry]]
 
   /** Register a built index for the fact table rooted at `path`
-    * (matched against the scan's root path at rewrite time). */
-  def register(path: String, index: StarTree.Index): Unit =
-    entries.put(path, Entry(path, index))
+    * (matched against the scan's root path at rewrite time).
+    * Registering a second index with the SAME dimension set replaces
+    * it (rebuild); a different dimension set adds a sibling index. */
+  def register(path: String, index: StarTree.Index): Unit = {
+    val e = Entry(path, index)
+    entries.updateWith(path) {
+      case Some(v) =>
+        Some(v.filterNot(_.index.dims.toSet == index.dims.toSet) :+ e)
+      case None => Some(Vector(e))
+    }
+    ()
+  }
 
   def clear(): Unit = entries.clear()
 
@@ -71,12 +83,23 @@ object StarTreeRegistry {
     * registered prefixes match one scan root (a parent directory and
     * the exact table path), the LONGEST normalized prefix wins —
     * deterministic most-specific-wins, not TrieMap iteration order. */
-  def lookup(rootPath: String): Option[Entry] = {
+  def lookup(rootPath: String): Option[Entry] = lookupAll(rootPath).headOption
+
+  /** All indexes registered for the longest matching prefix, SMALLEST
+    * dimension set first — the routing rule tries them in order and
+    * the first index that covers the query's dims/metrics wins, so a
+    * narrower (cheaper, more pre-aggregated) tree is preferred over a
+    * wide one, exactly the reference's choose-the-best-tree behavior
+    * across its starTreeIndexConfigs. */
+  def lookupAll(rootPath: String): Seq[Entry] = {
     val root = normalize(rootPath)
-    entries.values.filter { e =>
-      val pfx = normalize(e.pathPrefix)
+    val matching = entries.toSeq.filter { case (pfx0, _) =>
+      val pfx = normalize(pfx0)
       root == pfx || root.startsWith(pfx + "/")
-    }.maxByOption(e => normalize(e.pathPrefix).length)
+    }
+    matching.maxByOption { case (pfx, _) => normalize(pfx).length }
+      .map(_._2.sortBy(e => (e.index.dims.size, e.index.dims.mkString(","))))
+      .getOrElse(Vector.empty)
   }
 }
 
@@ -88,11 +111,12 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * answers by tree traversal; here it re-applies over the rollup
     * slice. */
   private def peel(plan: LogicalPlan, cond: Option[Expression])
-      : Option[(Option[Expression], StarTreeRegistry.Entry)] = plan match {
+      : Option[(Option[Expression], Seq[StarTreeRegistry.Entry])] = plan match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.headOption
-        .flatMap(p => StarTreeRegistry.lookup(p.toString))
-        .map(e => (cond, e))
+        .map(p => StarTreeRegistry.lookupAll(p.toString))
+        .filter(_.nonEmpty)
+        .map(es => (cond, es))
     case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
       peel(child, cond)
     case Filter(c, child) if cond.isEmpty => peel(child, Some(c))
@@ -238,10 +262,26 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.nonEmpty =>
+      // several indexes may be registered for one table — smallest
+      // dimension set first (lookupAll's order); the first whose
+      // dims/metrics cover the query wins
+      val rewritten = peel(child, None).flatMap { case (cond, candidates) =>
+        candidates.view.flatMap(entry =>
+          tryEntry(agg, groupings, aggExprs, cond, entry)).headOption
+      }
+      rewritten.getOrElse(agg)
+  }
+
+  /** Attempt the rewrite against ONE candidate index; None when the
+    * index does not cover the query (wrong dims, missing metric or
+    * sketch column, non-dim filter) — the caller then tries the next
+    * candidate. */
+  private def tryEntry(agg: Aggregate,
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      cond: Option[Expression],
+      entry: StarTreeRegistry.Entry): Option[LogicalPlan] = {
       val rewritten = for {
-        peeled <- peel(child, None)
-        (cond, entry) = peeled
-        dims = entry.index.dims
+        dims <- Some(entry.index.dims)
         groupAttrs <- Some(groupings).collect {
           case gs if gs.forall {
             case ar: AttributeReference => dims.contains(ar.name)
@@ -288,7 +328,7 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
             aggregateExpressions = newOut,
             child = Filter(newCond, slicePlan))
       }
-      rewritten.getOrElse(agg)
+      rewritten
   }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {

@@ -273,6 +273,54 @@ class ExtensionsSpec extends SparkSpec {
     } finally StarTreeRegistry.clear()
   }
 
+  test("multiple star-trees per table: smallest covering index wins") {
+    Graft.enable(spark)
+    val fact = Tables.load(spark, sfDir, "lineitem")
+    val tmp = Files.createTempDirectory("graft-multi-st").toFile.getAbsolutePath
+    StarTree.build(fact, Seq("l_returnflag"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(s"$tmp/narrow")
+    StarTree.build(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      .rollup.write.mode("overwrite").parquet(s"$tmp/wide")
+    val narrow = StarTree.Index(Seq("l_returnflag"), Seq("l_quantity"),
+      spark.read.parquet(s"$tmp/narrow"))
+    val wide = StarTree.Index(Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+      spark.read.parquet(s"$tmp/wide"))
+
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+    def byFlag() = fact.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s"))
+    def byBoth() = fact.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("s"))
+
+    StarTreeRegistry.clear()
+    val flagDirect = byFlag().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val bothDirect = byBoth().orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    try {
+      StarTreeRegistry.register(factPath, wide)
+      StarTreeRegistry.register(factPath, narrow)
+      // 1-dim group-by: BOTH cover, the narrower (more pre-aggregated)
+      // tree must be chosen
+      val p1 = scanPaths(byFlag())
+      assert(p1.exists(_.contains("/narrow")), s"narrow tree not chosen: $p1")
+      assert(!p1.exists(_.contains("/wide")), s"wide tree used unnecessarily: $p1")
+      assert(byFlag().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+        === flagDirect)
+      // 2-dim group-by: only the wide tree covers
+      val p2 = scanPaths(byBoth())
+      assert(p2.exists(_.contains("/wide")), s"wide tree not chosen: $p2")
+      assert(byBoth().orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toSeq).toSeq === bothDirect)
+      // re-registering the same dimension set replaces, not duplicates
+      StarTreeRegistry.register(factPath, narrow)
+      assert(StarTreeRegistry.lookupAll(factPath).size === 2)
+    } finally StarTreeRegistry.clear()
+  }
+
   test("registry matches only at path-segment boundaries — no substring cross-routing") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
