@@ -81,6 +81,18 @@ object TableConfig {
       storage: Option[String],
       maxQueriesPerSecond: Option[Double])
 
+  /** One star-tree definition (`StarTreeIndexConfig.java:29-38`):
+    * dimension split order + "FUNCTION__column" metric pairs. */
+  final case class StarTreeIndexConfig(
+      dimensionsSplitOrder: Seq[String],
+      functionColumnPairs: Seq[String],
+      maxLeafRecords: Int) {
+    /** Metric columns named by the function-column pairs
+      * (`AggregationFunctionColumnPair`'s `SUM__col` form). */
+    def metricColumns: Seq[String] =
+      functionColumnPairs.map(_.split("__", 2).last).distinct
+  }
+
   /** `tableIndexConfig` (IndexingConfig.java:38-88). */
   final case class IndexingConfig(
       loadMode: Option[String],
@@ -89,7 +101,8 @@ object TableConfig {
       bloomFilterColumns: Seq[String],
       noDictionaryColumns: Seq[String],
       aggregateMetrics: Boolean,
-      streamConfigs: Map[String, String])
+      streamConfigs: Map[String, String],
+      starTreeIndexConfigs: Seq[StarTreeIndexConfig] = Nil)
 
   private val mapper = new ObjectMapper
 
@@ -134,7 +147,17 @@ object TableConfig {
         aggregateMetrics =
           opt(idx, "aggregateMetrics").exists(_.equalsIgnoreCase("true")),
         streamConfigs = stringMap(
-          Option(idx).map(_.get("streamConfigs")).orNull)),
+          Option(idx).map(_.get("streamConfigs")).orNull),
+        starTreeIndexConfigs =
+          Option(idx).flatMap(x => Option(x.get("starTreeIndexConfigs"))).toSeq
+            .flatMap(_.elements().asScala.toSeq)
+            .map { n =>
+              StarTreeIndexConfig(
+                dimensionsSplitOrder = strings(n, "dimensionsSplitOrder"),
+                functionColumnPairs = strings(n, "functionColumnPairs"),
+                maxLeafRecords =
+                  opt(n, "maxLeafRecords").flatMap(_.toIntOption).getOrElse(10000))
+            }),
       tenants = stringMap(root.get("tenants")),
       customConfigs = stringMap(
         Option(root.get("metadata")).map(_.get("customConfigs")).orNull),
@@ -231,6 +254,39 @@ object TableLifecycle {
         s"within quota: $total <= $a bytes")
       case Some(a) => QuotaCheck(ok = false, total, Some(a),
         s"exceeds quota: $total > $a bytes")
+    }
+  }
+
+  /** Build and register every star-tree the table config declares
+    * (`tableIndexConfig.starTreeIndexConfigs` — segment load builds
+    * these in the reference; queries then route to the best covering
+    * tree via [[graft.plans.StarTreeRouting]]'s registry). `fact` is
+    * the table's DataFrame; `registerPath` the scan root queries will
+    * carry. Metrics come from each config's FUNCTION__column pairs;
+    * the rollup materializes the full sum/min/max/cnt family per
+    * metric (a superset of any declared function set). */
+  def buildStarTrees(config: TableConfig, spark: SparkSession,
+      fact: DataFrame, registerPath: String,
+      materializeDir: Option[String] = None): Seq[graft.plans.StarTree.Index] = {
+    // trees persist as their own segments (the reference stores the
+    // tree with the segment) — routing to a live cube plan over the
+    // fact would re-scan the fact it is meant to bypass
+    val base = materializeDir.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_startree_" +
+        registerPath.replaceAll("[^a-zA-Z0-9]", "_") +
+        f"_${registerPath.hashCode & 0xffffffffL}%08x")
+    config.indexing.starTreeIndexConfigs.zipWithIndex.map { case (st, i) =>
+      require(st.dimensionsSplitOrder.nonEmpty,
+        "starTreeIndexConfig needs dimensionsSplitOrder")
+      require(st.metricColumns.nonEmpty,
+        "starTreeIndexConfig needs functionColumnPairs")
+      val built = graft.plans.StarTree.build(
+        fact, st.dimensionsSplitOrder, st.metricColumns)
+      val out = s"$base/st_$i"
+      built.rollup.write.mode("overwrite").parquet(out)
+      val idx = built.copy(rollup = spark.read.parquet(out))
+      graft.plans.StarTreeRegistry.register(registerPath, idx)
+      idx
     }
   }
 

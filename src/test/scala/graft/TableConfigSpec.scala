@@ -146,6 +146,51 @@ class TableConfigSpec extends SparkSpec {
     assert(TableLifecycle.checkStorageQuota(none, Seq(s1, s2)).ok)
   }
 
+  test("starTreeIndexConfigs parse and build registered, routable trees") {
+    import graft.plans.StarTreeRegistry
+    val c = TableConfig.fromJsonString(
+      """{
+        |  "tableName": "li",
+        |  "tableType": "OFFLINE",
+        |  "tableIndexConfig": {
+        |    "starTreeIndexConfigs": [
+        |      {"dimensionsSplitOrder": ["flag"],
+        |       "functionColumnPairs": ["SUM__qty", "MAX__qty"],
+        |       "maxLeafRecords": 5000},
+        |      {"dimensionsSplitOrder": ["flag", "status"],
+        |       "functionColumnPairs": ["SUM__qty"]}
+        |    ]
+        |  }
+        |}""".stripMargin)
+    assert(c.indexing.starTreeIndexConfigs.size === 2)
+    assert(c.indexing.starTreeIndexConfigs.head.metricColumns === Seq("qty"))
+    assert(c.indexing.starTreeIndexConfigs.head.maxLeafRecords === 5000)
+
+    val factDir = tmp("st_fact")
+    Seq(("A", "O", 1.0), ("A", "F", 2.0), ("B", "O", 3.0), ("A", "O", 4.0))
+      .toDF("flag", "status", "qty").write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    Graft.enable(spark)
+    StarTreeRegistry.clear()
+    try {
+      val built = TableLifecycle.buildStarTrees(c, spark, fact, factDir)
+      assert(built.size === 2)
+      assert(StarTreeRegistry.lookupAll(factDir).size === 2)
+      // a covered group-by routes off the fact scan and stays correct
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val q = fact.groupBy($"flag").agg(sum($"qty").as("s"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.contains("graft_startree")),
+        s"fact still scanned: $scans")
+      assert(scans.forall(_.endsWith("/st_0")), s"narrow tree not chosen: $scans")
+      assert(q.orderBy($"flag").as[(String, Double)].collect().toSeq ===
+        Seq(("A", 7.0), ("B", 3.0)))
+    } finally StarTreeRegistry.clear()
+  }
+
   test("realtime streamConfigs drive the stream configuration") {
     val c = TableConfig.fromJsonString(
       """{
