@@ -60,4 +60,31 @@ object PinotSchema {
   /** Empty frame with the schema — enough for plan analysis. */
   def emptyTable(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Field ROLES of a schema JSON (`FieldSpec.java:371-380`'s
+    * DIMENSION/METRIC/TIME split) — what ingest rollup and star-tree
+    * building need beyond the flat StructType. */
+  final case class Roles(dimensions: Seq[String], metrics: Seq[String],
+      timeColumn: Option[String])
+
+  def loadRoles(spark: SparkSession, path: String): Roles = {
+    val row = spark.read.option("multiLine", "true").json(path).head()
+    def names(colName: String): Seq[String] = {
+      val idx = row.schema.fieldNames.indexOf(colName)
+      if (idx < 0 || row.isNullAt(idx)) Nil
+      else row.getSeq[org.apache.spark.sql.Row](idx).map { spec =>
+        spec.get(spec.schema.fieldNames.indexOf("name")).toString
+      }
+    }
+    val time = {
+      val idx = row.schema.fieldNames.indexOf("timeFieldSpec")
+      if (idx < 0 || row.isNullAt(idx)) None
+      else {
+        val spec = row.getStruct(idx)
+        val inc = spec.getStruct(spec.schema.fieldNames.indexOf("incomingGranularitySpec"))
+        Some(inc.getString(inc.schema.fieldNames.indexOf("name")))
+      }
+    }
+    Roles(names("dimensionFieldSpecs"), names("metricFieldSpecs"), time)
+  }
 }

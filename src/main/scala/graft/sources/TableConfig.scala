@@ -299,4 +299,34 @@ object TableLifecycle {
       s"streamConfigs need a REALTIME table config, got ${config.tableType}")
     graft.streaming.StreamConfig.fromMap(config.indexing.streamConfigs)
   }
+
+  /** Start the table's realtime ingestion exactly as its config
+    * declares it (the reference's RealtimeTableDataManager wiring):
+    * decode per `streamConfigs`, and when
+    * `tableIndexConfig.aggregateMetrics` is set, roll each micro-batch
+    * up by the SCHEMA's dimension + time columns with the metric
+    * columns summed (`MutableSegmentImpl`'s aggregateMetrics
+    * semantics) before the segment commits; otherwise publish decoded
+    * rows as-is. `roles` is the schema's DIMENSION/METRIC/TIME split
+    * ([[graft.pql.PinotSchema.loadRoles]]). */
+  def startRealtime(config: TableConfig, raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      roles: graft.pql.PinotSchema.Roles,
+      segmentDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.RealtimeIngest
+    val cfg = streamConfig(config)
+    if (config.indexing.aggregateMetrics) {
+      require(roles.metrics.nonEmpty,
+        "aggregateMetrics needs metric columns in the schema")
+      RealtimeIngest.startWithRollup(cfg.decode(raw, schema),
+        dims = roles.dimensions ++ roles.timeColumn.toSeq,
+        metrics = roles.metrics,
+        segmentDir = segmentDir, checkpointDir = checkpointDir,
+        trigger = trigger)
+    } else RealtimeIngest.startWithConfig(raw, cfg, schema,
+      segmentDir, checkpointDir, trigger)
+  }
 }

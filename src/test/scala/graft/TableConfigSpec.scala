@@ -191,6 +191,57 @@ class TableConfigSpec extends SparkSpec {
     } finally StarTreeRegistry.clear()
   }
 
+  test("startRealtime honors aggregateMetrics: micro-batch rollup by schema roles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pql.PinotSchema
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schemaPath = tmp("rt_schema.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(schemaPath).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(schemaPath),
+      """{
+        |  "schemaName": "events",
+        |  "dimensionFieldSpecs": [{"name": "etype", "dataType": "STRING"}],
+        |  "metricFieldSpecs": [{"name": "v", "dataType": "DOUBLE"}],
+        |  "timeFieldSpec": {"incomingGranularitySpec":
+        |    {"name": "hour", "dataType": "LONG", "timeType": "HOURS"}}
+        |}""".stripMargin)
+    val schema = PinotSchema.load(spark, schemaPath)
+    val roles = PinotSchema.loadRoles(spark, schemaPath)
+    assert(roles === PinotSchema.Roles(Seq("etype"), Seq("v"), Some("hour")))
+
+    val c = TableConfig.fromJsonString(
+      """{
+        |  "tableName": "events",
+        |  "tableType": "REALTIME",
+        |  "tableIndexConfig": {
+        |    "aggregateMetrics": "true",
+        |    "streamConfigs": {
+        |      "streamType": "kafka",
+        |      "stream.kafka.consumer.type": "lowLevel",
+        |      "stream.kafka.topic.name": "events",
+        |      "stream.kafka.decoder.class.name": "org.apache.pinot.core.realtime.impl.kafka.KafkaJSONMessageDecoder"
+        |    }
+        |  }
+        |}""".stripMargin)
+    val source = MemoryStream[String](spark)
+    source.addData(
+      """{"etype": "click", "v": 1.0, "hour": 1}""",
+      """{"etype": "click", "v": 2.0, "hour": 1}""",
+      """{"etype": "view", "v": 5.0, "hour": 1}""",
+      """{"etype": "click", "v": 4.0, "hour": 2}""")
+    val seg = tmp("rt_seg")
+    val q = TableLifecycle.startRealtime(c, source.toDF(), schema, roles,
+      seg, tmp("rt_ckpt"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(seg)
+      .orderBy($"etype", $"hour")
+      .select($"etype", $"hour", $"v", $"_rolled_rows")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      ("click", 1L, 3.0, 2L), ("click", 2L, 4.0, 1L), ("view", 1L, 5.0, 1L)))
+  }
+
   test("realtime streamConfigs drive the stream configuration") {
     val c = TableConfig.fromJsonString(
       """{
