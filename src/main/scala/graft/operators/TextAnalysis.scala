@@ -147,8 +147,6 @@ object TextAnalysis {
     round(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.15 + digitScore * 0.15, 4)
   }
 
-  /** Whitespace/case-normalized form used by fingerprints and exact
-    * dedup — Pinot's SanitationTransformer analog. */
   /** Repetition quality metrics (Rae et al. 2021 §A1.1 — the Gopher
     * repetition filters): duplicate unit (line/sentence) fractions by
     * count and by characters, most-frequent-bigram character coverage,
@@ -158,6 +156,8 @@ object TextAnalysis {
   def repetitionStats(text: Column, delim: String = "\n"): Column =
     graft.functions.GraftFunctions.repetitionStats(text, delim)
 
+  /** Whitespace/case-normalized form used by fingerprints and exact
+    * dedup — Pinot's SanitationTransformer analog. */
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 

@@ -41,7 +41,9 @@ import graft.sources.Tables
   */
 final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
     maxConcurrentQueries: Int = 8,
-    tableQuotas: Map[String, Double] = Map.empty) {
+    tableQuotas: Map[String, Double] = Map.empty,
+    queryResponseLimit: Int = Int.MaxValue,
+    accessControl: BrokerServer.AccessControl = BrokerServer.allowAll) {
   require(maxConcurrentQueries > 0,
     s"maxConcurrentQueries must be positive, got $maxConcurrentQueries")
   require(tableQuotas.values.forall(_ > 0),
@@ -75,7 +77,11 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
         val table = path.stripPrefix("/debug/timeBoundary/")
         BrokerServer.timeBoundaryJson(spark, tableDir, table)
       })
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    // sized from the admission cap plus headroom so queued queries can
+    // never occupy every handler thread and starve /health + /debug
+    // (with a fixed pool <= maxConcurrentQueries the semaphore was
+    // unreachable and the queue blocked the whole server)
+    server.setExecutor(Executors.newFixedThreadPool(maxConcurrentQueries + 2))
     server.start()
     started = true
     boundPort
@@ -98,8 +104,14 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
           BrokerServer.JsonParsingErrorCode, "no 'pql' in request")
           .dropRight(1) + """, "timeUsedMs": 0}"""
         case Some(q) =>
+          // requester identity for the access-control hook — the
+          // reference's HttpRequesterIdentity carries the request URL
+          // and headers (BaseBrokerRequestHandler.java:145); the
+          // Authorization header is the natural single-field analog
+          val identity = Option(ex.getRequestHeaders.getFirst("Authorization"))
           admission.acquire()
-          try BrokerServer.execute(spark, tableDir, q, quotaLimiters)
+          try BrokerServer.execute(spark, tableDir, q, quotaLimiters,
+            queryResponseLimit, accessControl, identity)
           finally admission.release()
       }
       val bytes = json.getBytes(StandardCharsets.UTF_8)
@@ -138,12 +150,25 @@ object BrokerMain {
 
 object BrokerServer {
 
-  /** `QueryException.java:38,40,44,49,56` */
+  /** `QueryException.java:38,40,43,44,49,56,61` */
   val JsonParsingErrorCode = 100
   val PqlParsingErrorCode = 150
+  val AccessDeniedErrorCode = 180
   val QueryExecutionErrorCode = 200
   val ExecutionTimeoutErrorCode = 250
   val TooManyRequestsErrorCode = 429
+  val QueryValidationErrorCode = 700
+
+  /** Pluggable broker access control, the reference's
+    * `AccessControlFactory.create().hasAccess(requesterIdentity,
+    * brokerRequest)` hook (`BaseBrokerRequestHandler.java:72,86,145-152`):
+    * called after parse and before any execution work, with the
+    * requester identity (Authorization header, when present) and the
+    * compiled query. Deny => error code 180, query dropped. */
+  type AccessControl = (Option[String], Pql.Query) => Boolean
+
+  /** The reference's default `AllowAllAccessControlFactory`. */
+  val allowAll: AccessControl = (_, _) => true
 
   /** Per-table QPS quota (`QuotaConfig.maxQueriesPerSecond` enforced
     * by the broker, `BaseBrokerRequestHandler.java:189-197` via
@@ -229,7 +254,15 @@ object BrokerServer {
     * `RoutingTable.dumpSnapshot`): which segments answer for the
     * table. Single-process analog: this broker serves every segment
     * (parquet part file) of the table's dataset. */
+  /** Debug-endpoint table names feed filesystem paths — reject
+    * anything that could traverse outside tableDir (`..`, separators,
+    * URL-encoded or not) before building the path. */
+  private def validTableName(table: String): Boolean =
+    table.matches("[A-Za-z0-9_]+")
+
   def routingTableJson(tableDir: String, table: String): String = {
+    if (!validTableName(table))
+      return exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
     val dir = new java.io.File(s"$tableDir/$table.parquet")
     if (!dir.exists())
       exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
@@ -251,6 +284,8 @@ object BrokerServer {
     * metadata-not-rows rule the reference's service follows). */
   def timeBoundaryJson(spark: SparkSession, tableDir: String, table: String,
       timeColumn: String = "ts"): String = {
+    if (!validTableName(table))
+      return exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
     val dir = s"$tableDir/$table.parquet"
     if (!new java.io.File(dir).exists())
       exceptionJson(QueryExecutionErrorCode, s"unknown table: $table")
@@ -273,7 +308,10 @@ object BrokerServer {
   /** Parse, compile, execute, render — one broker request. Returns the
     * response JSON (never throws; errors map to the exceptions list). */
   def execute(spark: SparkSession, tableDir: String, pql: String,
-      quotas: Map[String, QpsLimiter] = Map.empty): String = {
+      quotas: Map[String, QpsLimiter] = Map.empty,
+      queryResponseLimit: Int = Int.MaxValue,
+      accessControl: AccessControl = allowAll,
+      identity: Option[String] = None): String = {
     val t0 = System.nanoTime()
     def withTime(json: String): String =
       json.dropRight(1) +
@@ -285,6 +323,22 @@ object BrokerServer {
       }
     parsed match {
       case Left(err) => withTime(err)
+      // table access check right after compilation, before any other
+      // work (BaseBrokerRequestHandler.java:145-152; deny => code 180)
+      case Right(q) if !accessControl(identity, q) =>
+        withTime(exceptionJson(AccessDeniedErrorCode,
+          s"AccessDeniedError: permission denied for table:${q.table}"))
+      // broker-side request validation (validateRequest,
+      // BaseBrokerRequestHandler.java:319-335): TOP for group-by and
+      // LIMIT for selection are REJECTED past the configured response
+      // limit — the driver never materializes an over-limit result
+      case Right(q) if q.groupBy.nonEmpty && q.top.exists(_ > queryResponseLimit) =>
+        withTime(exceptionJson(QueryValidationErrorCode,
+          s"Value for 'TOP' (${q.top.get}) exceeds maximum allowed value of $queryResponseLimit"))
+      case Right(q) if !Pql.isAggregationQuery(q) &&
+          q.limit.exists(_._2 > queryResponseLimit) =>
+        withTime(exceptionJson(QueryValidationErrorCode,
+          s"Value for 'LIMIT' (${q.limit.get._2}) exceeds maximum allowed value of $queryResponseLimit"))
       // QPS quota before any execution work, exactly where the
       // reference validates it (post-parse, pre-execute)
       case Right(q) if quotas.get(q.table).exists(!_.tryAcquire()) =>

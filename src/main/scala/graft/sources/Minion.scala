@@ -81,6 +81,16 @@ object Minion {
           "rollup requires group-by columns (the schema's dimensions + time column)")
         val metrics = merged.columns.toSeq.filterNot(groupByCols.contains)
         require(metrics.nonEmpty, "rollup requires at least one metric column")
+        // a metric defaulted to SUM must actually be numeric — the
+        // reference only aggregates schema-declared numeric metrics, so
+        // a string column missing from groupByCols is a caller mistake,
+        // not a column to silently cast-sum into nulls
+        val types = merged.schema.map(f => f.name -> f.dataType).toMap
+        metrics.filterNot(aggTypes.contains).foreach { m =>
+          require(types(m).isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"rollup metric column '$m' is ${types(m).simpleString}, not numeric: " +
+              "list it in groupByCols or give it an explicit aggTypes entry")
+        }
         val aggs = metrics.map(m => valueAgg(aggTypes.getOrElse(m, "SUM"), m))
         merged.groupBy(groupByCols.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)

@@ -46,7 +46,10 @@ final case class TableConfig(
     unit <- segments.retentionTimeUnit
     value <- segments.retentionTimeValue
     v <- value.toLongOption
-  } yield java.util.concurrent.TimeUnit.valueOf(unit.toUpperCase).toMillis(v)
+    // malformed unit => None (skip), matching RetentionManager.java:111-116's
+    // catch-and-warn rather than failing the whole retention pass
+    tu <- scala.util.Try(java.util.concurrent.TimeUnit.valueOf(unit.toUpperCase)).toOption
+  } yield tu.toMillis(v)
 }
 
 object TableConfig {

@@ -180,6 +180,76 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("access control hook: deny drops the query with code 180, allow executes") {
+    // table-scoped ACL keyed on the Authorization header — the
+    // reference's AccessControlFactory.hasAccess(requesterIdentity,
+    // brokerRequest) contract (BaseBrokerRequestHandler.java:145-152)
+    val acl: BrokerServer.AccessControl = (identity, q) =>
+      q.table != "lineitem" || identity.contains("Bearer secret")
+    val broker = new BrokerServer(spark, sfDir, accessControl = acl)
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      // protected table, no credentials → 180, never executed
+      val denied = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM lineitem"}"""))
+      assert(denied.contains("\"errorCode\": 180") &&
+        denied.contains("AccessDeniedError"), denied.take(300))
+      // same query with credentials → answers
+      val conn = new URI(base).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Authorization", "Bearer secret")
+      val os = conn.getOutputStream
+      try os.write("""{"pql": "SELECT COUNT(*) FROM lineitem"}"""
+        .getBytes(StandardCharsets.UTF_8)) finally os.close()
+      val in = conn.getInputStream
+      val allowed = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      assert(allowed.contains("\"aggregationResults\""), allowed.take(300))
+      // unprotected table needs no credentials
+      val open = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(open.contains("\"aggregationResults\""), open.take(300))
+    } finally broker.stop()
+  }
+
+  test("queryResponseLimit rejects over-limit TOP and LIMIT with code 700") {
+    val broker = new BrokerServer(spark, sfDir, queryResponseLimit = 50)
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      // selection LIMIT over the cap → rejected pre-execution
+      // (validateRequest, BaseBrokerRequestHandler.java:319-335)
+      val sel = http("POST", base,
+        Some("""{"pql": "SELECT l_orderkey FROM lineitem LIMIT 1000000"}"""))
+      assert(sel.contains("\"errorCode\": 700") &&
+        sel.contains("exceeds maximum allowed value of 50"), sel.take(300))
+      // group-by TOP over the cap → rejected
+      val top = http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM lineitem GROUP BY l_partkey TOP 100000"}"""))
+      assert(top.contains("\"errorCode\": 700"), top.take(300))
+      // within the cap → answers normally
+      val ok = http("POST", base,
+        Some("""{"pql": "SELECT l_orderkey FROM lineitem LIMIT 50"}"""))
+      assert(ok.contains("\"selectionResults\""), ok.take(300))
+    } finally broker.stop()
+  }
+
+  test("debug endpoints reject path-traversal table names") {
+    val broker = new BrokerServer(spark, sfDir)
+    val port = broker.start()
+    try {
+      val evil = http("GET",
+        s"http://127.0.0.1:$port/debug/routingTable/..%2F..%2Fetc")
+      assert(evil.contains("\"errorCode\": 200") &&
+        evil.contains("unknown table"), evil.take(300))
+      val evil2 = http("GET",
+        s"http://127.0.0.1:$port/debug/timeBoundary/..%2Fsf0.001%2Fevents")
+      assert(evil2.contains("\"errorCode\": 200") &&
+        evil2.contains("unknown table"), evil2.take(300))
+    } finally broker.stop()
+  }
+
   test("OPTION(timeoutMs) cancels the job group at the deadline") {
     val broker = new BrokerServer(spark, sfDir)
     val port = broker.start()

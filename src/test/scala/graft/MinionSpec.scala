@@ -56,6 +56,16 @@ class MinionSpec extends SparkSpec {
       Minion.mergeSegments(spark, Seq(tmp("e0")), tmp("eout"), Minion.Rollup))
   }
 
+  test("rollup names a non-numeric column defaulted to SUM instead of null-summing it") {
+    seg.write.mode("overwrite").parquet(tmp("s0"))
+    // 'etype' is a string column left out of groupByCols: the default
+    // SUM must fail loudly, not cast-sum it into an all-null column
+    val e = intercept[IllegalArgumentException](
+      Minion.mergeSegments(spark, Seq(tmp("s0")), tmp("sout"),
+        Minion.Rollup, groupByCols = Seq("bucket")))
+    assert(e.getMessage.contains("etype"), e.getMessage)
+  }
+
   test("backfillDateTime derives the dateTimeSpec column from the time column") {
     val rows = Seq((1L, 0L), (2L, 900000L), (3L, 3600000L)).toDF("id", "ms")
     rows.write.mode("overwrite").parquet(tmp("b0"))

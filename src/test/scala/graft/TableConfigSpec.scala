@@ -63,6 +63,16 @@ class TableConfigSpec extends SparkSpec {
     assert(c.quota.maxQueriesPerSecond === Some(7.5))
   }
 
+  test("malformed retentionTimeUnit yields None (skip), not a throw") {
+    // RetentionManager.java:111-116 catches the bad unit and skips the
+    // table with a warning; retentionMs mirrors that as None
+    val c = TableConfig.fromJsonString(
+      """{"tableName": "t", "tableType": "OFFLINE",
+        | "segmentsConfig": {"retentionTimeUnit": "FORTNIGHTS",
+        |                    "retentionTimeValue": "2"}}""".stripMargin)
+    assert(c.retentionMs === None)
+  }
+
   test("writeOfflineSegment applies sortedColumn and bloomFilterColumns") {
     val c = TableConfig.fromJsonString(offlineJson)
     val df = Seq((3L, "nyc", 300L), (1L, "sf", 100L), (2L, "nyc", 200L))
