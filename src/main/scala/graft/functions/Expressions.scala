@@ -244,6 +244,32 @@ object exprs {
     override def prettyName: String = "repetition_stats"
   }
 
+  /** Integer top-level JSON field extraction
+    * ([[HashOps.jsonGetLong]]) — nullable: absent / non-integer /
+    * non-object inputs yield null, matching
+    * `CAST(get_json_object(...) AS BIGINT)` for integer fields at a
+    * fraction of the per-row cost (no Jackson parse). */
+  case class JsonGetLong(child: Expression, field: String)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      HashOps.jsonGetLong(input.asInstanceOf[UTF8String], field)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fieldRef = ctx.addReferenceObj("field", field, "java.lang.String")
+      val tmp = ctx.freshName("jsonLong")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |java.lang.Long $tmp = graft.functions.HashOps.jsonGetLong($c, $fieldRef);
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $tmp.longValue(); }
+      """.stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): JsonGetLong =
+      copy(child = newChild)
+    override def prettyName: String = "json_get_long"
+  }
+
   /** Composite quality score (HashOps.qualityScore). */
   case class QualityScore(child: Expression)
       extends UnaryExpression with ImplicitCastInputTypes {
@@ -395,4 +421,7 @@ object GraftFunctions {
 
   def langId(text: Column): Column =
     GraftSqlBridge.column(exprs.LangId(expr(text)))
+
+  def jsonGetLong(json: Column, field: String): Column =
+    GraftSqlBridge.column(exprs.JsonGetLong(expr(json), field))
 }

@@ -701,6 +701,67 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Integer-valued top-level field of a JSON object, or null when the
+    * field is absent, non-integer, or the input isn't an object — a
+    * byte-level scanner with no parser allocation, for the hot path
+    * where a query extracts ONE scalar from a payload column (the
+    * reference evaluates ingest-time JSON paths row-at-a-time through
+    * its `FunctionExpressionEvaluator`; Spark's `from_json` pays a
+    * Jackson parse + struct materialization per row for the same
+    * answer). Tracks object/array depth and in-string state, so a key
+    * spelled inside a string VALUE never matches. */
+  def jsonGetLong(json: UTF8String, field: String): java.lang.Long = {
+    if (json == null) return null
+    val b = json.getBytes
+    val f = field.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var depth = 0
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < b.length &&
+        (b(k) == ' ' || b(k) == '\t' || b(k) == '\n' || b(k) == '\r')) k += 1
+      k
+    }
+    while (i < b.length) {
+      (b(i): @annotation.switch) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          val start = i + 1
+          i = start
+          while (i < b.length && b(i) != '"') {
+            if (b(i) == '\\') i += 2 else i += 1
+          }
+          val end = i
+          i += 1 // past closing quote
+          if (depth == 1) {
+            val j = skipWs(i)
+            // a string token followed by ':' is a top-level key
+            if (j < b.length && b(j) == ':' && end - start == f.length) {
+              var m = 0
+              while (m < f.length && b(start + m) == f(m)) m += 1
+              if (m == f.length) {
+                var k = skipWs(j + 1)
+                var neg = false
+                if (k < b.length && b(k) == '-') { neg = true; k += 1 }
+                if (k >= b.length || b(k) < '0' || b(k) > '9') return null
+                var v = 0L
+                while (k < b.length && b(k) >= '0' && b(k) <= '9') {
+                  v = v * 10L + (b(k) - '0'); k += 1
+                }
+                // fractional / exponent part => not an integer field
+                if (k < b.length && (b(k) == '.' || b(k) == 'e' || b(k) == 'E'))
+                  return null
+                return java.lang.Long.valueOf(if (neg) -v else v)
+              }
+            }
+          }
+        case _ => i += 1
+      }
+    }
+    null
+  }
+
   /** Fraction of equal components between two equal-length MinHash
     * signatures — the MinHash Jaccard estimate. */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {

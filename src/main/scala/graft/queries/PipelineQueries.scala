@@ -206,12 +206,13 @@ object PipelineQueries {
     * bucket events by the JSON payload's k field. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // from_json with a one-field schema instead of get_json_object:
-    // Jackson parses either way, but the narrow schema skips JsonPath
-    // compilation/evaluation and materializes only `k`
+    // single-field codegen kernel instead of from_json/get_json_object:
+    // both of those pay a Jackson parse per row; the byte-level scanner
+    // ([[graft.functions.HashOps.jsonGetLong]]) extracts the one
+    // integer field inside whole-stage codegen with zero allocation
     t(s, dir, "events")
-      .select(floor(from_json($"props", "k INT", Map.empty[String, String])
-        .getField("k") / lit(10)).as("k_bucket"), $"value")
+      .select(floor(graft.functions.GraftFunctions.jsonGetLong($"props", "k")
+        / lit(10)).as("k_bucket"), $"value")
       .groupBy($"k_bucket")
       .agg(count(lit(1)).as("cnt"), round(sum($"value"), 3).as("sum_value"))
       .orderBy($"k_bucket")

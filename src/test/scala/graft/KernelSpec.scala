@@ -24,6 +24,36 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("jsonGetLong matches CAST(get_json_object(...) AS BIGINT) incl. tricky inputs") {
+    val cases = Seq(
+      """{"k": 76}""",                      // the events.props shape
+      """{"k":-12, "x": 3}""",              // negative, no spaces
+      """{ "x" : 1 , "k" : 900719925474 }""", // later key, big value
+      """{"kk": 5, "k": 7}""",              // prefix-colliding key name
+      """{"s": "k", "t": "\"k\": 9"}""",    // key spelled inside string VALUES
+      """{"nested": {"k": 3}, "other": 1}""", // k only at depth 2 => null
+      """{"k": 1.5}""",                     // non-integer => null
+      """{"k": "7"}""",                     // string-typed => null (not an int field)
+      """{"k": 2e3}""",                     // exponent => null
+      """{"x": 1}""",                       // absent => null
+      """not json at all""",
+      """[1, 2, 3]""")
+    val df = cases.toDF("j")
+    val got = df.select(GraftFunctions.jsonGetLong(col("j"), "k")).as[Option[Long]].collect()
+    assert(got.toSeq === Seq(Some(76L), Some(-12L), Some(900719925474L), Some(7L),
+      None, None, None, None, None, None, None, None))
+    // parity with the built-in on the integer-valued cases
+    val builtin = df.select(expr("try_cast(get_json_object(j, '$.k') AS long)")).as[Option[Long]].collect()
+    got.zip(builtin).zip(cases).foreach { case ((g, b), c) =>
+      // the builtin stringifies 1.5/2e3/"7" then casts; ours is stricter
+      // (integer JSON fields only) — agreement is required where we return a value
+      if (g.isDefined) assert(g === b, s"parity broken for $c")
+    }
+    // null input row => null
+    assert(Seq(Option.empty[String]).toDF("j")
+      .select(GraftFunctions.jsonGetLong(col("j"), "k")).as[Option[Long]].head().isEmpty)
+  }
+
   test("vector kernels reject length mismatch and null elements loudly") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
     val e = intercept[Exception] {
