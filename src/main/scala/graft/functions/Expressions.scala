@@ -244,6 +244,26 @@ object exprs {
     override def prettyName: String = "repetition_stats"
   }
 
+  /** Image header metadata ([[MediaOps.imageMeta]]): (format, width,
+    * height) parsed from the blob's leading bytes (PNG IHDR / JPEG
+    * SOFn / GIF screen descriptor); all-null fields when the blob is
+    * not a recognized raster image. */
+  case class ImageMeta(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    override def nullSafeEval(input: Any): Any =
+      MediaOps.imageMeta(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.MediaOps.imageMeta($c)")
+    override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+      copy(child = newChild)
+    override def prettyName: String = "image_meta"
+  }
+
   /** Integer top-level JSON field extraction
     * ([[HashOps.jsonGetLong]]) — nullable: absent / non-integer /
     * non-object inputs yield null, matching
@@ -424,4 +444,7 @@ object GraftFunctions {
 
   def jsonGetLong(json: Column, field: String): Column =
     GraftSqlBridge.column(exprs.JsonGetLong(expr(json), field))
+
+  def imageMeta(content: Column): Column =
+    GraftSqlBridge.column(exprs.ImageMeta(expr(content)))
 }

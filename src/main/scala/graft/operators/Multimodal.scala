@@ -36,16 +36,26 @@ object Multimodal {
     StructField("height", IntegerType)))
 
   /** Pack content + metadata into a media struct column. Width/height
-    * are caller-supplied metadata (from the ingest manifest); -1 =
-    * unknown. */
+    * are parsed from the content's real header bytes
+    * ([[graft.functions.MediaOps.imageMeta]] — PNG IHDR / JPEG SOFn /
+    * GIF screen descriptor, a codegen kernel reading only the leading
+    * bytes); callers may still override with manifest metadata, and
+    * -1 marks non-image or unparseable content. */
   def asMedia(content: Column, mime: Column,
-      width: Column = lit(-1), height: Column = lit(-1)): Column =
+      width: Column = lit(null), height: Column = lit(null)): Column = {
+    val meta = graft.functions.GraftFunctions.imageMeta(content)
     struct(
       content.as("content"),
       mime.as("mime"),
       octet_length(content).cast("long").as("byte_len"),
-      width.cast("int").as("width"),
-      height.cast("int").as("height"))
+      coalesce(width.cast("int"), meta.getField("width"), lit(-1)).as("width"),
+      coalesce(height.cast("int"), meta.getField("height"), lit(-1)).as("height"))
+  }
+
+  /** Header-parsed image metadata as a standalone projection:
+    * (format, width, height), null fields for non-image blobs. */
+  def imageMeta(content: Column): Column =
+    graft.functions.GraftFunctions.imageMeta(content)
 
   /** STUB featurizer: `dim` pseudo-features in [0, 1) derived from
     * seeded xxhash64 over the raw bytes — a deterministic stand-in
@@ -96,4 +106,90 @@ object Multimodal {
       val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
       Array.tabulate(dim)(i => if (i == 0) bytes.length.toDouble else ((sum + i) % 997).toDouble)
     }
+
+  /** REAL image decode extractor for [[batchedFeatures]]: decodes each
+    * blob with the JDK's built-in `javax.imageio` codecs (PNG/JPEG/GIF
+    * — part of every JRE, headless-safe, zero added dependencies) and
+    * emits [width, height, mean R, mean G, mean B]. Blobs ImageIO
+    * cannot decode yield a NaN row rather than failing the batch —
+    * corrupt media must not kill a 100 TB backfill. This replaces the
+    * former "decode is dependency-blocked" stub for still images;
+    * audio/video remain stubbed (the JDK carries no codecs for them). */
+  def imageIoExtractor(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
+    batch.map { bytes =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Array.fill(5)(Double.NaN)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (r, g, b) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Array(w.toDouble, h.toDouble, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+        }
+      } catch { case _: java.io.IOException => Array.fill(5)(Double.NaN) }
+    }
+
+  /** Deterministic PNG fixture encoder (test/ingest tooling, not an
+    * operator): a valid RGB8 PNG of the given dimensions whose pixel
+    * (x, y) carries a seeded byte pattern — built directly from the
+    * PNG spec (signature + IHDR + IDAT[deflate] + IEND with CRC32s)
+    * so fixtures exercise the REAL container layout end to end. */
+  def makePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tagged = tag.getBytes("US-ASCII") ++ body
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      .array()
+    chunk("IHDR", ihdr)
+    // raw scanlines: filter byte 0 + RGB triples
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    var i = 0
+    var y = 0
+    while (y < height) {
+      raw(i) = 0; i += 1
+      var x = 0
+      while (x < width) {
+        raw(i) = ((x * 31 + y * 17 + seed) & 0xff).toByte
+        raw(i + 1) = ((x * 13 + y * 7 + seed * 3) & 0xff).toByte
+        raw(i + 2) = ((x + y + seed * 5) & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val baos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) baos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", baos.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

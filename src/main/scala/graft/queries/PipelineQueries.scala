@@ -80,6 +80,32 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Image-header metadata over a REAL generated-PNG fixture: each row
+    * synthesizes a valid PNG ([[graft.operators.Multimodal.makePng]],
+    * spec-level container: IHDR/IDAT/IEND + CRCs) with dimensions that
+    * are pure functions of doc_id, and the query recovers
+    * (format, width, height) from the BYTES via the header kernel
+    * ([[graft.functions.MediaOps.imageMeta]]) inside asMedia — so the
+    * DuckDB oracle can recompute the expected dims arithmetically and
+    * a hash match proves the byte-level parse, not a copied column.
+    * The encode UDF is fixture plumbing; the operator under test is
+    * the codegen'd header parse. */
+  def qMediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val mkPng = udf((id: Long) =>
+      Multimodal.makePng(1 + (id % 64).toInt, 1 + (id * 7 % 48).toInt, id.toInt))
+    t(s, dir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", Multimodal.asMedia(mkPng($"doc_id"), lit("image/png")).as("media"),
+        Multimodal.imageMeta(mkPng($"doc_id")).as("meta"))
+      .select($"doc_id",
+        $"meta.format".as("format"),
+        $"media.width".as("width"),
+        $"media.height".as("height"))
+      .orderBy($"doc_id")
+  }
+
   /** percentileN-MV / percentileEstN-MV / percentileTDigestN-MV
     * (Percentile{,Est,TDigest}MVAggregationFunction.java): the
     * reference collects every element of the array column into the
@@ -569,6 +595,7 @@ object PipelineQueries {
     "q_mv_range_dc" -> qMvRangeDc,
     "q_mv_percentile" -> qMvPercentile,
     "q_media_features" -> qMediaFeatures,
+    "q_media_meta" -> qMediaMeta,
     "q_text_stats" -> qTextStats,
     "q_token_stats" -> qTokenStats,
     "q_lang_id" -> qLangId,
@@ -727,6 +754,11 @@ object PipelineQueries {
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  TRUE AS dims_ok, TRUE AS range_ok, TRUE AS frames_ok
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + (doc_id * 7) % 48 AS INT) AS height
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // Self-oracles: Spark proves hash-dependent invariants (booleans);
     // DuckDB reproduces the deterministic row universe and expects

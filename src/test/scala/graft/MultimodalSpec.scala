@@ -21,6 +21,65 @@ class MultimodalSpec extends SparkSpec {
     assert(row === (("text/plain", "the quick brown fox é¿".getBytes("UTF-8").length.toLong, 640, 480)))
   }
 
+  test("imageMeta parses PNG/JPEG/GIF headers; cross-checked against the JDK codecs") {
+    import java.io.ByteArrayOutputStream
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // fixtures encoded by the JDK's OWN codecs — an independent
+    // implementation of the container formats our kernel parses
+    def jdkImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 57) & 0xffffff)))
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer?")
+      out.toByteArray
+    }
+    val cases = Seq(
+      ("png", jdkImage(123, 45, "png"), 123, 45),
+      ("jpeg", jdkImage(640, 480, "jpg"), 640, 480),
+      ("gif", jdkImage(7, 300, "gif"), 7, 300),
+      // our own spec-level PNG writer agrees with the kernel too
+      ("png", Multimodal.makePng(64, 48, seed = 9), 64, 48))
+    val got = cases.map(_._2).toDF("blob")
+      .select(Multimodal.imageMeta($"blob").as("m"))
+      .select($"m.format", $"m.width", $"m.height")
+      .as[(String, Option[Int], Option[Int])].collect().toSeq
+    assert(got === cases.map(c => (c._1, Some(c._3), Some(c._4))))
+    // and the JDK can decode our makePng output back to the same dims
+    val round = ImageIO.read(new java.io.ByteArrayInputStream(Multimodal.makePng(31, 17, 2)))
+    assert(round != null && round.getWidth === 31 && round.getHeight === 17,
+      "makePng must emit a VALID png, not just a parseable header")
+    // non-image bytes => all-null metadata, and asMedia falls back to -1
+    val junk = Seq("not an image".getBytes("UTF-8"), Array[Byte](0xff.toByte, 0xd8.toByte))
+      .toDF("blob")
+      .select(Multimodal.asMedia($"blob", lit("application/octet-stream")).as("media"))
+      .select($"media.width", $"media.height").as[(Int, Int)].collect()
+    assert(junk.forall(_ == ((-1, -1))))
+    // explicit manifest dims still override the parse
+    val over = Seq(Multimodal.makePng(10, 10, 1)).toDF("blob")
+      .select(Multimodal.asMedia($"blob", lit("image/png"), lit(99), lit(98)).as("m"))
+      .select($"m.width", $"m.height").as[(Int, Int)].head()
+    assert(over === ((99, 98)))
+  }
+
+  test("imageIoExtractor REALLY decodes: mean channel values match the pixels written") {
+    // a solid-color PNG via the JDK encoder: mean R/G/B must equal the
+    // constant pixel exactly
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, 0x406080)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val feats = Multimodal.imageIoExtractor(Seq(out.toByteArray, "junk".getBytes))
+    assert(feats.head.toSeq === Seq(8.0, 4.0, 0x40.toDouble, 0x60.toDouble, 0x80.toDouble))
+    assert(feats(1).forall(_.isNaN), "undecodable blob yields NaN row, not a throw")
+    // end to end through the partition-batched plumbing
+    val df2 = Seq((1L, out.toByteArray)).toDF("id", "blob")
+    val got = Multimodal.batchedFeatures(df2, "blob", "id", 16, Multimodal.imageIoExtractor)
+      .select($"features").as[Seq[Double]].head()
+    assert(got === Seq(8.0, 4.0, 64.0, 96.0, 128.0))
+  }
+
   test("stubFeatures: fixed dim, [0,1) range, deterministic") {
     val f = df.select($"id", Multimodal.stubFeatures($"blob", 8).as("f"))
     val rows = f.select(size($"f"), forall($"f", x => x >= 0 && x < 1))
