@@ -129,6 +129,50 @@ object ApproxQueries {
       .orderBy($"l_returnflag")
   }
 
+  private val cshllSeg = new SessionCache[String]
+
+  /** FASTHLL over the reference's OWN serialized-HLL string format
+    * ([[graft.functions.ClearspringHll]] — stream-lib byte layout +129
+    * char offset, log2m 8): the fixture segment stores per-
+    * (l_returnflag, l_suppkey) sketches exactly as a reference cluster
+    * would persist a derived `_hll` column; the query then answers the
+    * coarse rollup by DESERIALIZING + register-max MERGING the stored
+    * strings (FastHLLAggregationFunction.aggregate semantics) — rows
+    * are never re-read. DuckDB pins `n_parts`/`dc_exact` and the
+    * estimate must land within the log2m=8 accuracy envelope. */
+  def qClearspringHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ClearspringHll, ClearspringHllCol}
+    val segPath = cshllSeg.getOrElseUpdate(s, s"cshll|$dir") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_cshll_" +
+        TmpTag(dir)
+      val mkSketch = udf((vals: Seq[Long]) => {
+        val h = ClearspringHll.empty()
+        vals.foreach(v => h.offer(v.toString))
+        ClearspringHll.serializeString(h)
+      })
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_suppkey")
+        .agg(collect_set($"l_partkey").as("vals"))
+        .select($"l_returnflag", $"l_suppkey", mkSketch($"vals").as("hll"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val sketches = s.read.parquet(segPath)
+    val exact = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("dc_exact"))
+    sketches
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"),
+        ClearspringHllCol.cardinality(
+          ClearspringHllCol.unionAgg($"hll")).as("dc_merged"))
+      .join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_parts", $"dc_exact",
+        (abs($"dc_merged" - $"dc_exact") <= $"dc_exact" * 0.2).as("merge_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   private val qsketchSeg = new SessionCache[String]
 
   /** Mergeable QUANTILE sketch column ([[graft.functions.QuantileSketch]])
@@ -186,6 +230,7 @@ object ApproxQueries {
     "q_hll_mv" -> qHllMv,
     "q_percentile_approx" -> qPercentileApprox,
     "q_fasthll" -> qFastHll,
+    "q_clearspring_hll" -> qClearspringHll,
     "q_percentile_sketch" -> qPercentileSketch)
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +248,10 @@ object ApproxQueries {
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fasthll" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
+        |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_clearspring_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
         |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

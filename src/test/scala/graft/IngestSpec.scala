@@ -252,4 +252,65 @@ class IngestSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(uid,user_7"), plan)
   }
+
+  test("clearspring HLL codec: serialize/deserialize identity, merge = register max") {
+    import graft.functions.ClearspringHll
+    val h = ClearspringHll.empty()
+    (1 to 500).foreach(i => h.offer(s"item_$i"))
+    // byte round-trip through the reference's string encoding
+    val s = ClearspringHll.serializeString(h)
+    val back = ClearspringHll.deserializeString(s)
+    assert(back.log2m === 8)
+    assert(back.registers.toSeq === h.registers.toSeq, "round-trip must be lossless")
+    // serialized length: 4 (log2m) + 4 (size) + 43 words × 4 for m=256
+    assert(ClearspringHll.fromChars(s).length === 8 + 43 * 4)
+    // chars stay in the +129 offset plane (printable-ish, no \0)
+    assert(s.forall(c => c >= (129 - 128).toChar && c <= (129 + 127).toChar))
+    // merge = elementwise register max, and cardinality of a merge of
+    // disjoint halves ≈ cardinality of the union built directly
+    val a = ClearspringHll.empty(); (1 to 400).foreach(i => a.offer(s"x$i"))
+    val b = ClearspringHll.empty(); (301 to 700).foreach(i => b.offer(s"x$i"))
+    val direct = ClearspringHll.empty(); (1 to 700).foreach(i => direct.offer(s"x$i"))
+    val merged = ClearspringHll.deserializeString(ClearspringHll.serializeString(a))
+      .mergeWith(b)
+    assert(merged.registers.toSeq === direct.registers.toSeq,
+      "merge of overlapping sketches must equal the directly-built union")
+    assert(math.abs(merged.cardinality - 700.0) <= 700 * 0.2,
+      s"estimate ${merged.cardinality} off for n=700")
+    // small-range: a nearly-empty sketch uses linear counting exactly
+    val tiny = ClearspringHll.empty(); tiny.offer("only")
+    assert(tiny.cardinality === 1L)
+    assert(ClearspringHll.empty().cardinality === 0L)
+  }
+
+  test("clearspring-serialized segment round-trips to a green FASTHLL-style union") {
+    import graft.functions.{ClearspringHll, ClearspringHllCol}
+    // a "reference-produced segment": per-(grp, shard) derived _hll
+    // string column over known value universes
+    val rows = for (grp <- Seq("a", "b"); shard <- 0 until 8) yield {
+      val h = ClearspringHll.empty()
+      // shards overlap heavily within a group: union must dedup
+      val vals = (0 until 600).map(i => s"${grp}_v${(i + shard * 37) % 800}")
+      vals.foreach(h.offer)
+      (grp, shard, ClearspringHll.serializeString(h))
+    }
+    val seg = tmp("cshll_seg")
+    rows.toDF("grp", "shard", "views_hll").write.mode("overwrite").parquet(seg)
+    // re-read the segment and answer FASTHLL per group + overall
+    val got = spark.read.parquet(seg)
+      .groupBy($"grp")
+      .agg(ClearspringHllCol.cardinality(
+        ClearspringHllCol.unionAgg($"views_hll")).as("dc"))
+      .orderBy($"grp").as[(String, Long)].collect().toSeq
+    // each group's true distinct universe is exactly 800 values
+    got.foreach { case (g, dc) =>
+      assert(math.abs(dc - 800.0) <= 800 * 0.2, s"group $g estimate $dc vs 800")
+    }
+    // the merged sketch re-serializes into the same reference format
+    // (storable back into a segment and still consumable)
+    val mergedStr = spark.read.parquet(seg)
+      .agg(ClearspringHllCol.unionAgg($"views_hll")).as[String].head()
+    val overall = ClearspringHll.deserializeString(mergedStr).cardinality
+    assert(math.abs(overall - 1600.0) <= 1600 * 0.2, s"overall $overall vs 1600")
+  }
 }
