@@ -26,13 +26,18 @@ object CorpusSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fx = CorpusHarness.fixture(spark)
+    // GRAFT_CORPUS_HYBRID=1: answer the PQL side from the stitched
+    // offline∪realtime hybrid view (HybridClusterIntegrationTest mode)
+    val hybrid = sys.env.get("GRAFT_CORPUS_HYBRID").contains("1")
+    val pqlTable = if (hybrid) CorpusHarness.hybridView(spark) else fx.mv
+    if (hybrid) println("[sweep] HYBRID mode: PQL side reads the stitched view")
     val lines = fx.lines.slice(start, end)
     val out = new java.io.PrintWriter(new java.io.FileWriter(outFile, true))
     val t0 = System.nanoTime()
     try {
       lines.grouped(500).foreach { chunk =>
         val os = CorpusHarness.compareAll(spark, fx, chunk,
-          parallelism = cpus.toInt)
+          parallelism = cpus.toInt, pqlTable = pqlTable)
         os.foreach(o => out.println(
           s"${o.id}\t${o.matched}\t${o.mode}\t${o.reason.replace('\t', ' ').replace('\n', ' ')}"))
         out.flush()

@@ -79,6 +79,37 @@ object CorpusHarness {
     }
   }
 
+  /** HYBRID-table mode — the reference's
+    * `HybridClusterIntegrationTest` dimension (offline segments +
+    * realtime consumption of the SAME data, stitched by the broker's
+    * time boundary): the PQL side answers from
+    * [[graft.streaming.HybridTable.view]] over an offline slice
+    * (rows at or below the median `DaysSinceEpoch` — the "pushed
+    * segments") and a realtime side holding the FULL row stream (the
+    * reference test feeds every Avro row to Kafka, so the sides
+    * overlap on the whole offline range). The boundary stitch must
+    * answer each row EXACTLY once — any leak or double-count breaks
+    * aggregations against the flat twin, which still reads the plain
+    * full table. Cached per (session, numRows) like the base fixture. */
+  @volatile private var cachedHybrid: (SparkSession, Int, DataFrame) = null
+
+  def hybridView(spark: SparkSession, numRows: Int = 8000): DataFrame = {
+    val c = cachedHybrid
+    if (c != null && (c._1 eq spark) && c._2 == numRows) return c._3
+    synchronized {
+      val c2 = cachedHybrid
+      if (c2 != null && (c2._1 eq spark) && c2._2 == numRows) return c2._3
+      val fx = fixture(spark, numRows)
+      val timeCol = "DaysSinceEpoch"
+      val cut = fx.mv.selectExpr(s"percentile($timeCol, 0.5)").head().getDouble(0)
+      val offline = fx.mv.filter(org.apache.spark.sql.functions.col(timeCol) <= cut)
+      val view = graft.streaming.HybridTable.view(offline, fx.mv, timeCol).cache()
+      view.count() // materialize once; micro-queries then scan the cache
+      cachedHybrid = (spark, numRows, view)
+      view
+    }
+  }
+
   // ---- canonical values -------------------------------------------------
 
   /** Scalar cell → canonical string (H2-side getString analog). */
@@ -110,10 +141,17 @@ object CorpusHarness {
 
   final case class Outcome(id: Int, matched: Boolean, mode: String, reason: String)
 
-  def compareLine(spark: SparkSession, fx: Fixture, line: OnTimeCorpus.Line): Outcome = {
+  def compareLine(spark: SparkSession, fx: Fixture, line: OnTimeCorpus.Line): Outcome =
+    compareLine(spark, fx, line, fx.mv)
+
+  /** As [[compareLine]], but the PQL side reads `pqlTable` (the hybrid
+    * stitched view in hybrid mode); the hsql side always reads the
+    * plain flat twin, so a stitch defect cannot cancel out. */
+  def compareLine(spark: SparkSession, fx: Fixture, line: OnTimeCorpus.Line,
+      pqlTable: DataFrame): Outcome = {
     try {
       val q = Pql.parse(line.pql)
-      val pqlDf = Pql.toDataFrame(q, _ => fx.mv)
+      val pqlDf = Pql.toDataFrame(q, _ => pqlTable)
       val selAggs = q.select.filter(Pql.isAggExpr)
       if (selAggs.nonEmpty && q.groupBy.isEmpty) compareAggOnly(spark, line, q, pqlDf, selAggs)
       else if (q.groupBy.nonEmpty) compareGroupBy(spark, line, q, pqlDf, selAggs)
@@ -275,13 +313,15 @@ object CorpusHarness {
     sys.env.get("GRAFT_CORPUS_PAR").map(_.toInt).getOrElse(8)
 
   def compareAll(spark: SparkSession, fx: Fixture,
-      lines: Seq[OnTimeCorpus.Line], parallelism: Int = defaultParallelism): Seq[Outcome] =
+      lines: Seq[OnTimeCorpus.Line], parallelism: Int = defaultParallelism,
+      pqlTable: DataFrame = null): Seq[Outcome] =
     withMicroQueryConf(spark) {
+      val table = if (pqlTable == null) fx.mv else pqlTable
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       try {
         val futures = lines.map { l =>
           pool.submit(new java.util.concurrent.Callable[Outcome] {
-            def call(): Outcome = compareLine(spark, fx, l)
+            def call(): Outcome = compareLine(spark, fx, l, table)
           })
         }
         futures.map(_.get())
@@ -289,11 +329,14 @@ object CorpusHarness {
     }
 
   /** Run a set of corpus lines, returning (line_id, mode, matched,
-    * reason) — the `q_corpus_sample` surface. */
-  def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000): DataFrame = {
+    * reason) — the `q_corpus_sample` surface; `hybrid = true` answers
+    * the PQL side from the stitched offline∪realtime view. */
+  def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000,
+      hybrid: Boolean = false): DataFrame = {
     val fx = fixture(spark, numRows)
     val byId = fx.lines.map(l => l.id -> l).toMap
-    val outcomes = compareAll(spark, fx, ids.map(byId))
+    val table = if (hybrid) hybridView(spark, numRows) else fx.mv
+    val outcomes = compareAll(spark, fx, ids.map(byId), pqlTable = table)
     import spark.implicits._
     outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
       .toDF("line_id", "mode", "matched", "reason")

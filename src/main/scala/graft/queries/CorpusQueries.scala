@@ -33,11 +33,21 @@ object CorpusQueries {
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep))
         .select("line_id", "matched")
         .orderBy("line_id")),
-    "q_corpus_duck" -> ((s, _) => CorpusHarness.duckSlice(s, DuckLines))
+    "q_corpus_duck" -> ((s, _) => CorpusHarness.duckSlice(s, DuckLines)),
+    // the same 250-line sample answered from the HYBRID stitched view
+    // (offline slice + full realtime stream, broker time boundary) —
+    // the HybridClusterIntegrationTest dimension; the hsql twin still
+    // reads the plain table, so a boundary leak or double-count flips
+    // `matched` and fails the hash
+    "q_corpus_hybrid" -> ((s, _) =>
+      CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), hybrid = true)
+        .select("line_id", "matched")
+        .orderBy("line_id"))
   )
 
   def oracles: Map[String, String] = Map(
     "q_corpus_sample" -> CorpusHarness.sampleOracle(SampleStep),
-    "q_corpus_duck" -> CorpusHarness.duckSliceOracle(DuckLines)
+    "q_corpus_duck" -> CorpusHarness.duckSliceOracle(DuckLines),
+    "q_corpus_hybrid" -> CorpusHarness.sampleOracle(SampleStep)
   )
 }

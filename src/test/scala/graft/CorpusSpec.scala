@@ -53,6 +53,29 @@ class CorpusSpec extends SparkSpec {
         .mkString("\n"))
   }
 
+  test("hybrid stitched view is row-identical to the plain table (exactly-once)") {
+    val fx = CorpusHarness.fixture(spark)
+    val hv = CorpusHarness.hybridView(spark)
+    // overlap is real: the realtime side carries ALL rows, the offline
+    // slice is non-empty — yet the stitch loses and duplicates nothing
+    assert(hv.count() === fx.mv.count(), "row count through the boundary")
+    val key = org.apache.spark.sql.functions.xxhash64(
+      fx.mv.columns.map(c => org.apache.spark.sql.functions.col(c).cast("string")): _*)
+    val a = fx.mv.select(key.as("h")).groupBy("h").count()
+    val b = hv.select(key.as("h")).groupBy("h").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "hybrid view must reproduce the exact multiset of rows")
+  }
+
+  test("sampled corpus lines match from the HYBRID view (every 200th line)") {
+    val outcomes = CorpusHarness.runLines(spark, CorpusHarness.sampleIds(200),
+      hybrid = true).collect()
+    val bad = outcomes.filter(!_.getBoolean(2))
+    assert(bad.isEmpty, s"${bad.length}/${outcomes.length} mismatched; first 5:\n" +
+      bad.take(5).map(r => s"  line ${r.getInt(0)} [${r.getString(1)}]: ${r.getString(3)}")
+        .mkString("\n"))
+  }
+
   test("duck slice emits one rounded value per aggregation of the first 40 agg-only lines") {
     val df = CorpusHarness.duckSlice(spark, 5)
     val rows = df.collect()
