@@ -120,6 +120,50 @@ object Bench {
     val hj = harness.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString(""","harness":{""", ",", "}")
 
+    // SCALE section (BASELINE B2/B3/B4 at SF100 = 10M rows): uses the
+    // cached dataset + star-tree segment BenchScale generated; skipped
+    // when absent so the headline bench never pays generation cost.
+    // Full per-query detail + DuckDB ratios live in BENCH_SCALE_r06.json;
+    // this emits a compact live-measured summary.
+    val scaleJson = try {
+      val dir = s"${BenchScale.dataRoot}/scale_sf100"
+      if (!new java.io.File(s"$dir/_DONE").exists()) ""
+      else {
+        val table = spark.read.parquet(s"$dir/ontime.parquet")
+        def t2(f: => Unit): Double = { // 1 warmup + best of 2
+          f
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        def pqlT(name: String): Double = {
+          val pql = BenchScale.workload.find(_._1 == name).get._3
+          val df = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(pql), _ => table)
+          t2(df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect())
+        }
+        val parts = Seq("a1_count", "a4_groupby_1dim", "a6_groupby_3dim",
+          "s1_filter_topn", "h1_hll").map(n => s""""$n":${r3(pqlT(n))}""")
+        val st =
+          if (!new java.io.File(s"$dir/_ST_DONE").exists()) ""
+          else {
+            val idx = BenchScale.ensureStarTree(spark, dir, table)
+            val (routed, ok) = graft.plans.StarTree.route(idx, table,
+              Seq("Origin", "Dest"), "ArrDelay")
+            val fact = table.groupBy(col("Origin"), col("Dest"))
+              .agg(sum(col("ArrDelay")).as("s"), count(lit(1)).as("c"))
+            if (!ok) ""
+            else {
+              val rt = t2(routed.agg(bit_xor(xxhash64(struct(routed.columns.map(col): _*)))).collect())
+              val ft = t2(fact.agg(bit_xor(xxhash64(struct(fact.columns.map(col): _*)))).collect())
+              s""","st_routed":${r3(rt)},"st_scan":${r3(ft)}"""
+            }
+          }
+        s""","sf100":{${parts.mkString(",")}$st}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println("[bench] scale section FAILED"); e.printStackTrace(); ""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -127,7 +171,7 @@ object Bench {
     // ms precision keeps the WHOLE line under the driver's 2000-char
     // stdout tail capture — full-precision doubles overflowed it in
     // r3/r4 and the driver recorded parsed:null
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":${r3(floor)}$hj$ingestJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":${r3(floor)}$hj$ingestJson$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""DuckDB twin of graft.BenchScale (dev tooling, like selfcheck.py):
+runs the same B2/B3/B4 statements over the same generated parquet,
+with the same method (1 warmup + 5 timed reps, p50 = median,
+p95 = max), and merges per-query timings + ratios into the
+BENCH_SCALE report produced by the Spark side.
+
+Usage: python3 tools/scale_duck.py [BENCH_SCALE_r06.json] [bench_data_root]
+"""
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+REPORT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_SCALE_r06.json"
+ROOT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bench_data"
+
+# keep in sync with BenchScale.workload (name -> duck sql)
+QUERIES = {
+    "a1_count": "SELECT count(*) FROM ontime",
+    "a2_agg_1pred": "SELECT sum(ArrDelay), min(DepDelay), max(ArrDelay), avg(DepDelay) FROM ontime WHERE Carrier = 'C03'",
+    "a3_agg_2pred": "SELECT count(*), sum(ArrDelay), avg(ArrDelay) FROM ontime WHERE OriginState = 'S05' AND DepDelay > 10",
+    "a4_groupby_1dim": "SELECT Carrier, count(*) AS c FROM ontime GROUP BY Carrier ORDER BY c DESC LIMIT 20",
+    "a5_groupby_2dim": "SELECT Origin, Dest, avg(ArrDelay) AS a FROM ontime WHERE Cancelled = 0 GROUP BY Origin, Dest ORDER BY a DESC LIMIT 100",
+    "a6_groupby_3dim": "SELECT DaysSinceEpoch, Carrier, OriginState, sum(DepDelay) AS s, count(*) FROM ontime WHERE ArrDelay > 0 GROUP BY DaysSinceEpoch, Carrier, OriginState ORDER BY s DESC LIMIT 100",
+    "s1_filter_topn": "SELECT Origin, Dest, Carrier, ArrDelay FROM ontime WHERE ArrDelay > 300 ORDER BY ArrDelay DESC LIMIT 50",
+    "s2_page": "SELECT DaysSinceEpoch, FlightNum, Origin FROM ontime ORDER BY DaysSinceEpoch, FlightNum LIMIT 100 OFFSET 1000",
+    "s3_point_topn": "SELECT Carrier, DepDelay FROM ontime WHERE Dest = 'A07' ORDER BY DepDelay DESC LIMIT 10",
+    "h1_hll": "SELECT approx_count_distinct(FlightNum) FROM ontime",
+    "h2_pctest": "SELECT approx_quantile(ArrDelay, 0.5), approx_quantile(ArrDelay, 0.95) FROM ontime",
+}
+
+REPS = 5
+
+
+def main():
+    with open(REPORT) as f:
+        report = json.load(f)
+    for tag in ("sf1", "sf100"):
+        sec = report.get(tag)
+        if not sec:
+            continue
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW ontime AS SELECT * FROM read_parquet('{ROOT}/scale_{tag}/ontime.parquet/*.parquet')")
+        for name, sql in QUERIES.items():
+            con.execute(sql).fetchall()  # warmup
+            reps = []
+            for _ in range(REPS):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                reps.append(time.time() - t0)
+            q = sec["queries"].get(name)
+            if q is not None:
+                q["duck_p50"] = round(statistics.median(reps), 3)
+                q["duck_p95"] = round(max(reps), 3)
+                q["duck_reps"] = [round(r, 3) for r in reps]
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # per-class totals + ratios
+        for cls, csec in sec.get("classes", {}).items():
+            qs = [q for q in sec["queries"].values() if q["class"] == cls and "duck_p50" in q]
+            duck_total = sum(q["duck_p50"] for q in qs)
+            csec["duck_total_p50"] = round(duck_total, 3)
+            if duck_total > 0:
+                csec["ratio_p50"] = round(csec["total_p50"] / duck_total, 2)
+        con.close()
+        print(f"[duck] {tag} done")
+    with open(REPORT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[duck] merged into {REPORT}")
+
+
+if __name__ == "__main__":
+    main()
