@@ -125,8 +125,8 @@ object Bench {
     // when absent so the headline bench never pays generation cost.
     // Full per-query detail + DuckDB ratios live in BENCH_SCALE_r06.json;
     // this emits a compact live-measured summary.
-    val scaleJson = try {
-      val dir = s"${BenchScale.dataRoot}/scale_sf100"
+    def scaleSection(tag: String): String = try {
+      val dir = s"${BenchScale.dataRoot}/scale_$tag"
       if (!new java.io.File(s"$dir/_DONE").exists()) ""
       else {
         val table = spark.read.parquet(s"$dir/ontime.parquet")
@@ -158,11 +158,12 @@ object Bench {
               s""","st_routed":${r3(rt)},"st_scan":${r3(ft)}"""
             }
           }
-        s""","sf100":{${parts.mkString(",")}$st}"""
+        s""","$tag":{${parts.mkString(",")}$st}"""
       }
     } catch { case e: Throwable =>
-      System.err.println("[bench] scale section FAILED"); e.printStackTrace(); ""
+      System.err.println(s"[bench] scale section $tag FAILED"); e.printStackTrace(); ""
     }
+    val scaleJson = scaleSection("sf100") + scaleSection("sf1000")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

