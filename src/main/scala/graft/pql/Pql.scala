@@ -404,6 +404,13 @@ object Pql {
       case ("sub", Seq(a, b)) => scalar(a) - scalar(b)
       case ("mult", Seq(a, b)) => scalar(a) * scalar(b)
       case ("div", Seq(a, b)) => scalar(a) / scalar(b)
+      // VALUEIN(mvCol, v1, v2, ...) — keeps the MV entries that appear
+      // in the literal list, duplicates retained in array order
+      // (ValueInTransformFunction.java filters values by dictionary-id
+      // membership while iterating the entry, so repeats survive);
+      // array_intersect would dedup and is therefore wrong here
+      case ("valuein", a +: rest) if rest.nonEmpty =>
+        filter(scalar(a), e => e.isin(rest.map(scalar): _*))
       case ("timeconvert", Seq(c, StrLit(from), StrLit(to))) =>
         DateTimeOps.timeConvert(scalar(c), from, to)
       case ("datetimeconvert", Seq(c, StrLit(in), StrLit(out), StrLit(gran))) =>
@@ -576,13 +583,25 @@ object Pql {
       require(q.groupBy.isEmpty || selAggs.nonEmpty,
         "group-by queries must select at least one aggregation function")
       // Pinot MV group-by: one group entry per array element (multiple
-      // MV keys → cartesian of elements per row) — explode each MV key
-      val mvKeys = q.groupBy.collect {
-        case Ident(n) if filtered.schema.fields.exists(f =>
-            f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType]) => n
+      // MV keys → cartesian of elements per row) — explode each MV key.
+      // A bare array Ident explodes in place; a VALUEIN(...) transform
+      // over an array column explodes its (filtered) result under the
+      // PQL output name, so GROUP BY VALUEIN(mv, ...) groups by each
+      // retained element (ValueInTransformFunction feeding the MV
+      // group-by executor).
+      def isArrayCol(n: String): Boolean = filtered.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType])
+      val mvExpanded: Seq[(String, Column)] = q.groupBy.collect {
+        case Ident(n) if isArrayCol(n) => n -> explode(col(n))
+        case e @ Func("valuein", Ident(n) +: rest) if rest.nonEmpty && isArrayCol(n) =>
+          nameOf(e) -> explode(scalar(e))
       }
-      val grouped = mvKeys.foldLeft(filtered)((d, n) => d.withColumn(n, explode(col(n))))
-      val groupCols = q.groupBy.map(e => scalar(e).as(nameOf(e)))
+      val grouped = mvExpanded.foldLeft(filtered)((d, kv) => d.withColumn(kv._1, kv._2))
+      val expandedNames = mvExpanded.map(_._1).toSet
+      val groupCols = q.groupBy.map { e =>
+        val nm = nameOf(e)
+        if (expandedNames.contains(nm)) col(nm).as(nm) else scalar(e).as(nm)
+      }
       val keyNames = q.groupBy.map(nameOf)
       val havingAggs = q.having.map(collectAggs).getOrElse(Nil)
         .filterNot(e => selAggs.map(nameOf).contains(nameOf(e)))

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions.{col, round, split}
 import graft.pql.Pql
+import graft.sources.Tables
 
 /** The PQL front-end exercised over every documented query shape
   * (`docs/pql_examples.rst`, grammar `PQL2.g4:21-115`) with DuckDB
@@ -77,7 +78,19 @@ object PqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     pql.map { case (name, q) =>
       name -> ((s: SparkSession, dir: String) => Pql.run(s, dir, q))
-    } + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
+    } + ("q_pql_valuein" -> ((s: SparkSession, dir: String) => {
+      // VALUEIN needs an MV column; documents carries none raw, so the
+      // resolver derives `words` = whitespace-split text (the same
+      // derivation the ingest record-transformer would declare)
+      val resolver: String => DataFrame = {
+        case "documents" =>
+          Tables.load(s, dir, "documents").withColumn("words", split(col("text"), " "))
+        case other => Tables.load(s, dir, other)
+      }
+      Pql.toDataFrame(Pql.parse(
+        "SELECT COUNT(*) FROM documents " +
+          "GROUP BY VALUEIN(words, 'scan', 'join', 'filter', 'the') TOP 10"), resolver)
+    })) + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
       Pql.run(s, dir, pqlMvAgg).select(
         col("label"),
         col("countmv_embedding"),
@@ -90,6 +103,15 @@ object PqlQueries {
         col("count_star"))))
 
   val oracles: Map[String, String] = Map(
+    // unnest(list_filter(...)) = explode(filter(...)): duplicates
+    // retained on both sides; TOP 10 = count desc, key asc tiebreak
+    "q_pql_valuein" ->
+      """SELECT word AS valuein_words_scan_join_filter_the,
+        |  count(*) AS count_star
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |    w -> w IN ('scan','join','filter','the'))) AS word
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY count_star DESC, 1 LIMIT 10""".stripMargin,
     "q_pql_count" ->
       "SELECT count(*) AS count_star FROM lineitem",
     "q_pql_agg" ->

@@ -202,6 +202,26 @@ class PqlSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("VALUEIN transform: filters MV entries, duplicates retained, MV group-by key") {
+    val df = Seq(
+      (Seq("a", "b", "a"), 1.0), (Seq("a"), 2.0), (Seq("b", "c"), 3.0), (Seq("z"), 9.0)
+    ).toDF("tags", "v")
+    // selection: VALUEIN projects the filtered array (duplicates kept)
+    val sel = Pql.toDataFrame(
+      Pql.parse("SELECT VALUEIN(tags, 'a', 'b') FROM t LIMIT 10"), _ => df)
+    assert(sel.columns.toSeq === Seq("valuein_tags_a_b"))
+    assert(sel.as[Seq[String]].collect().toSet ===
+      Set(Seq("a", "b", "a"), Seq("a"), Seq("b"), Seq()))
+    // group-by: one group per RETAINED element; 'c'/'z' never appear,
+    // the duplicate 'a' in row 1 counts twice (reference filter-by-
+    // dictionary-id semantics, not set intersection)
+    val out = Pql.toDataFrame(Pql.parse(
+        "SELECT SUM(v), COUNT(*) FROM t GROUP BY VALUEIN(tags, 'a', 'b') TOP 10"), _ => df)
+    assert(out.columns.toSeq === Seq("valuein_tags_a_b", "sum_v", "count_star"))
+    val rows = out.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(rows === Map("a" -> ((4.0, 3L)), "b" -> ((4.0, 2L))))
+  }
+
   test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
     // global aggregation: two fractions, ONE percentile_approx in the plan
     val global = run(
