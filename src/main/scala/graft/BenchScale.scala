@@ -124,6 +124,12 @@ object BenchScale {
     val genSecs = time { ScaleTable.ensure(spark, dir, rows) }
     val table = spark.read.parquet(s"$dir/ontime.parquet")
     val loader: String => DataFrame = _ => table
+    // Warm the OS page cache + JIT with one full-table checksum scan
+    // before timing anything: both engines are measured warm (the
+    // DuckDB twin runs after this process has paged the data in).
+    // Without this the first scan query eats ~1.3 GB of cold reads —
+    // a1_count no longer pays it since it answers from footers.
+    exec(table)
 
     val results = workload.map { case (name, cls, pql, _) =>
       val df = Pql.toDataFrame(Pql.parse(pql), loader)
@@ -189,7 +195,7 @@ object BenchScale {
     // BOTH sides, so the ≤2× bar is finally floor-free. BASELINE B2/B3
     // stop at SF100; this point exists because at SF100 DuckDB still
     // answers everything in ≤0.2 s, which is the floor regime.
-    val sf1000 = runScale(spark, "sf1000", 100000000L, reps = 3)
+    val sf1000 = runScale(spark, "sf1000", 100000000L, reps = 5)
     println("[scale] sf1000 done")
     val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
     val body = s"""{"bench":"scale",$host,$sf1,$sf100,$sf1000}"""

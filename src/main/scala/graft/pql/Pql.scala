@@ -570,6 +570,24 @@ object Pql {
 
     if (selAggs.nonEmpty || q.groupBy.nonEmpty) {
       // ---- aggregation mode ----
+      // Filterless group-by-less COUNT(*) answers from segment
+      // metadata when the table is a bare parquet scan — the
+      // MetadataBasedAggregationOperator plan
+      // (InstancePlanMakerImplV2.java:148-169; numDocsScanned = 0).
+      // Footer row counts are exact; any filter/transform/view falls
+      // through to the ordinary aggregation below.
+      val metaCount: Option[DataFrame] =
+        if (q.where.isEmpty && q.groupBy.isEmpty && !q.distinct &&
+            q.having.isEmpty && q.select == Seq(Func("count", Seq(Star))))
+          graft.sources.Tables.metadataRowCount(base).map { n =>
+            import org.apache.spark.sql.types.{LongType, StructField, StructType}
+            base.sparkSession.createDataFrame(
+              java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(n): org.apache.spark.sql.Row),
+              StructType(Seq(StructField("count_star", LongType, nullable = false))))
+          }
+        else None
+      if (metaCount.isDefined) return metaCount.get
       require(q.orderBy.isEmpty,
         "ORDER BY only works for selection queries; use GROUP BY ... TOP n (pql_examples.rst)")
       require(!q.distinct,

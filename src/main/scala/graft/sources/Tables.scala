@@ -42,6 +42,45 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Exact row count from parquet FOOTER metadata when — and only
+    * when — the frame is a bare unfiltered parquet scan: the
+    * `MetadataBasedAggregationOperator` path (InstancePlanMakerImplV2
+    * .java:148-169 plans filterless group-by-less COUNT(*) against
+    * segment metadata, zero docs scanned). Footer reads are
+    * DISTRIBUTED over executors — at 100 TB a table is 10⁵+ segments
+    * and a driver-side loop would serialize on the driver exactly like
+    * a collect. Any transform, filter, or non-parquet source returns
+    * None and the caller falls back to the ordinary scan-based count. */
+  def metadataRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    df.queryExecution.optimizedPlan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          try {
+            val files = fs.location.inputFiles.filter(_.endsWith(".parquet")).toSeq
+            if (files.isEmpty) Some(0L)
+            else {
+              val spark = df.sparkSession
+              val n = spark.sparkContext
+                .parallelize(files, math.min(files.size, 32))
+                .map { p =>
+                  import org.apache.hadoop.fs.Path
+                  import org.apache.parquet.hadoop.ParquetFileReader
+                  import org.apache.parquet.hadoop.util.HadoopInputFile
+                  val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+                    new Path(p), new org.apache.hadoop.conf.Configuration()))
+                  try r.getRecordCount finally r.close()
+                }.sum()
+              Some(n.toLong)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Top-level column names of a segment, from parquet FOOTER metadata
     * only — the `SegmentMetadata.getSchema()` the reference's pruners
     * consult without touching data. Empty when the dir has no parquet

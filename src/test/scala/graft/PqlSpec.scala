@@ -202,6 +202,24 @@ class PqlSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("filterless COUNT(*) answers from parquet footer metadata, zero scans") {
+    val df = run("SELECT COUNT(*) FROM lineitem")
+    assert(df.columns.toSeq === Seq("count_star"))
+    // the plan must be a local relation — no file scan anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"), plan)
+    // exact agreement with the scan-based count
+    val exact = graft.sources.Tables.load(spark, sfDir, "lineitem").count()
+    assert(df.as[Long].head() === exact)
+    // any filter falls back to the ordinary aggregation path
+    val filtered = run("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0")
+    assert(filtered.queryExecution.executedPlan.toString.contains("Scan"))
+    // a transformed view (events normalizes ts) falls back too
+    val ev = run("SELECT COUNT(*) FROM events")
+    assert(ev.as[Long].head() ===
+      graft.sources.Tables.load(spark, sfDir, "events").count())
+  }
+
   test("VALUEIN transform: filters MV entries, duplicates retained, MV group-by key") {
     val df = Seq(
       (Seq("a", "b", "a"), 1.0), (Seq("a"), 2.0), (Seq("b", "c"), 3.0), (Seq("z"), 9.0)
