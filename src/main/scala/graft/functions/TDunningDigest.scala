@@ -1,0 +1,334 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Binary-compatible reader/merger for the reference's serialized
+  * t-digest BYTES columns, completing the sketch-compatibility story
+  * started by [[ClearspringHll]]: segments produced by an actual
+  * reference cluster carrying `percentileTDigest` intermediates (or
+  * pre-aggregated t-digest metric columns, e.g. the star-tree
+  * `PreAggregatedPercentileTDigestStarTreeV2Test` shape) can be
+  * consumed, MERGED and queried without raw-data re-scans.
+  *
+  * The reference serializes `com.tdunning.math.stats.MergingDigest`
+  * (t-digest 3.2, root `pom.xml:601-604`) via
+  * `ObjectSerDeUtils.TDIGEST_SER_DE`
+  * (`pinot-core/.../common/datatable/ObjectSerDeUtils.java:407-425`):
+  * `serialize` = `tDigest.asBytes(...)` (always the VERBOSE encoding),
+  * `deserialize` = `MergingDigest.fromBytes(...)`. Compression is 100
+  * (`PercentileTDigestAggregationFunction.java:38`), and the BYTES
+  * input path merges stored digests exactly like this file's union agg
+  * (`PercentileTDigestAggregationFunction.java:92-95,152`).
+  *
+  * VERBOSE byte layout (t-digest 3.2 `MergingDigest.asBytes`, published
+  * sources; big-endian): `int 1` (encoding code), `double min`,
+  * `double max`, `double compression`, `int n`, then per centroid
+  * `double weight, double mean` — 32 + 16·n bytes, matching
+  * `byteSize()`. An empty digest carries min=+Inf, max=-Inf, n=0.
+  * The SMALL (delta/float) encoding exists in the library but the
+  * reference serde never writes it; we reject it with a clear error.
+  *
+  * What is bit-level faithful here: the CODEC (decode/encode of the
+  * VERBOSE layout). The MERGE re-clusters concatenated centroid lists
+  * with the 3.2 k1 scale-function pass (`integratedLocation` /
+  * `integratedQ`, `MergingDigest.merge`) and QUANTILE uses the 3.2
+  * midpoint-interpolation rule — but centroid placement in the library
+  * is itself order- and buffering-dependent (two merges of the same
+  * data in different orders give different centroid lists), so
+  * bit-identical centroids are not a meaningful contract even
+  * library-to-library. The contract is the t-digest invariant: k-size
+  * ≤ 1 per centroid, giving rank error ~1% at mid-quantiles and far
+  * tighter at the tails for compression 100 — the same envelope the
+  * reference's own `PercentileTDigestQueriesTest` asserts (±0.05 rank
+  * tolerance).
+  */
+object TDunningDigest {
+
+  val DefaultCompression = 100.0 // PercentileTDigestAggregationFunction.DEFAULT_TDIGEST_COMPRESSION
+
+  private val VerboseEncoding = 1
+  private val SmallEncoding = 2
+
+  /** Decoded digest: centroids sorted by mean. Mutable merge target. */
+  final class Digest(val compression: Double) extends Serializable {
+    var min: Double = Double.PositiveInfinity
+    var max: Double = Double.NegativeInfinity
+    var mean: Array[Double] = new Array[Double](0)
+    var weight: Array[Double] = new Array[Double](0)
+    def n: Int = mean.length
+    def totalWeight: Double = { var s = 0.0; var i = 0; while (i < weight.length) { s += weight(i); i += 1 }; s }
+
+    /** Concatenate-and-recluster merge (MergingDigest.merge's single
+      * pass over mean-sorted centroids, k1 scale function). */
+    def mergeWith(other: Digest): Digest = {
+      if (other.n == 0) return this
+      min = math.min(min, other.min)
+      max = math.max(max, other.max)
+      val m = mean ++ other.mean
+      val w = weight ++ other.weight
+      recluster(m, w)
+      this
+    }
+
+    /** Fixture/build path: add a point (re-clusters immediately when
+      * the pending buffer fills — buffer size is not format-relevant). */
+    private val pendM = scala.collection.mutable.ArrayBuffer.empty[Double]
+    private val pendW = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def add(x: Double, w: Double = 1.0): Unit = {
+      require(!x.isNaN, "cannot add NaN")
+      pendM += x; pendW += w
+      if (x < min) min = x
+      if (x > max) max = x
+      if (pendM.length >= 5 * math.ceil(compression).toInt) flush()
+    }
+    def flush(): Unit = if (pendM.nonEmpty) {
+      recluster(mean ++ pendM, weight ++ pendW)
+      pendM.clear(); pendW.clear()
+    }
+
+    /** The 3.2 merge pass: sort by mean, then greedily absorb
+      * neighbors while the projected cluster stays within the
+      * integratedQ weight limit. */
+    private def recluster(ms: Array[Double], ws: Array[Double]): Unit = {
+      val order = ms.indices.sortBy(i => ms(i))
+      val tw = { var s = 0.0; var i = 0; while (i < ws.length) { s += ws(i); i += 1 }; s }
+      val outM = Array.newBuilder[Double]
+      val outW = Array.newBuilder[Double]
+      var curM = ms(order.head)
+      var curW = ws(order.head)
+      var wSoFar = 0.0
+      var k1 = 0.0
+      var wLimit = tw * integratedQ(k1 + 1)
+      var i = 1
+      while (i < order.length) {
+        val ix = order(i)
+        val proposed = curW + ws(ix)
+        if (wSoFar + proposed <= wLimit) {
+          // merge into the current centroid (weighted-mean update)
+          curM = curM + (ms(ix) - curM) * ws(ix) / proposed
+          curW = proposed
+        } else {
+          // emit and advance the k-limit past the emitted centroid
+          wSoFar += curW
+          k1 = integratedLocation(wSoFar / tw)
+          wLimit = tw * integratedQ(k1 + 1)
+          outM += curM; outW += curW
+          curM = ms(ix); curW = ws(ix)
+        }
+        i += 1
+      }
+      outM += curM; outW += curW
+      mean = outM.result(); weight = outW.result()
+      if (tw > 0) {
+        min = math.min(min, mean.head)
+        max = math.max(max, mean.last)
+      }
+    }
+
+    // k1 scale function (MergingDigest.integratedLocation / integratedQ;
+    // the library's piecewise-asin approximation agrees with Math.asin
+    // to <3e-4, inside the accuracy contract)
+    private def integratedLocation(q: Double): Double =
+      compression * (math.asin(2 * q - 1) + math.Pi / 2) / math.Pi
+    private def integratedQ(k: Double): Double =
+      (math.sin(math.min(k, compression) * math.Pi / compression - math.Pi / 2) + 1) / 2
+
+    /** MergingDigest.quantile: min/max-anchored edges, midpoint
+      * interpolation between centroid means in the interior. */
+    def quantile(q: Double): Double = {
+      require(q >= 0 && q <= 1, s"q should be in [0,1], got $q")
+      flush()
+      if (n == 0) return Double.NaN
+      if (n == 1) return mean(0)
+      val tw = totalWeight
+      val index = q * tw
+      if (index < weight(0) / 2)
+        return min + 2 * index / weight(0) * (mean(0) - min)
+      var weightSoFar = weight(0) / 2
+      var i = 0
+      while (i < n - 1) {
+        val dw = (weight(i) + weight(i + 1)) / 2
+        if (weightSoFar + dw > index) {
+          val z1 = index - weightSoFar
+          val z2 = weightSoFar + dw - index
+          return weightedAverage(mean(i), z2, mean(i + 1), z1)
+        }
+        weightSoFar += dw
+        i += 1
+      }
+      // tail: between the last centroid and max
+      val z1 = index - (tw - weight(n - 1) / 2)
+      val z2 = weight(n - 1) / 2 - z1
+      weightedAverage(mean(n - 1), z2, max, z1)
+    }
+
+    private def weightedAverage(x1: Double, w1: Double, x2: Double, w2: Double): Double = {
+      val (a, aw, b, bw) = if (x1 <= x2) (x1, w1, x2, w2) else (x2, w2, x1, w1)
+      val x = (a * aw + b * bw) / (aw + bw)
+      math.max(a, math.min(x, b))
+    }
+  }
+
+  def empty(compression: Double = DefaultCompression): Digest = new Digest(compression)
+
+  /** VERBOSE-encoding serialization (MergingDigest.asBytes layout). */
+  def toBytes(d: Digest): Array[Byte] = {
+    d.flush()
+    val bb = ByteBuffer.allocate(32 + 16 * d.n) // big-endian default
+    bb.putInt(VerboseEncoding)
+    bb.putDouble(d.min)
+    bb.putDouble(d.max)
+    bb.putDouble(d.compression)
+    bb.putInt(d.n)
+    var i = 0
+    while (i < d.n) { bb.putDouble(d.weight(i)); bb.putDouble(d.mean(i)); i += 1 }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): Digest = {
+    val bb = ByteBuffer.wrap(bytes)
+    val enc = bb.getInt
+    require(enc != SmallEncoding,
+      "t-digest SMALL encoding not supported (the reference serde only writes VERBOSE)")
+    require(enc == VerboseEncoding, s"unknown t-digest encoding code $enc")
+    val mn = bb.getDouble
+    val mx = bb.getDouble
+    val comp = bb.getDouble
+    require(comp > 0 && comp <= 1e6, s"implausible t-digest compression $comp")
+    val n = bb.getInt
+    require(bytes.length == 32 + 16 * n,
+      s"t-digest payload ${bytes.length} B != ${32 + 16 * n} B for $n centroids")
+    val d = new Digest(comp)
+    d.min = mn; d.max = mx
+    d.mean = new Array[Double](n)
+    d.weight = new Array[Double](n)
+    var i = 0
+    while (i < n) { d.weight(i) = bb.getDouble; d.mean(i) = bb.getDouble; i += 1 }
+    d
+  }
+}
+
+object tdigest {
+  import TDunningDigest._
+
+  /** tdigest_union_agg(bytesCol) → merged digest in the reference
+    * VERBOSE byte format — the server-side BYTES-column merge of
+    * `PercentileTDigestAggregationFunction.aggregate`
+    * (deserialize → `tDigest.add(other)`) as a
+    * TypedImperativeAggregate; partials ship ≤ ~1.7 KB centroid lists
+    * at compression 100. */
+  case class TDigestUnionAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Digest] with ImplicitCastInputTypes {
+
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): Digest = empty()
+
+    override def update(buffer: Digest, input: InternalRow): Digest = {
+      val v = child.eval(input)
+      if (v != null) buffer.mergeWith(fromBytes(v.asInstanceOf[Array[Byte]]))
+      else buffer
+    }
+
+    override def merge(buffer: Digest, other: Digest): Digest = buffer.mergeWith(other)
+
+    override def eval(buffer: Digest): Any = toBytes(buffer)
+
+    override def serialize(buffer: Digest): Array[Byte] = toBytes(buffer)
+    override def deserialize(bytes: Array[Byte]): Digest = fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TDigestUnionAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TDigestUnionAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): TDigestUnionAgg =
+      copy(child = newChildren(0))
+    override def prettyName: String = "tdigest_union_agg"
+  }
+
+  /** tdigest_build_agg(doubleCol) → serialized digest of the raw
+    * values (the ingest-side build: `PercentileTDigestAggregationFunction
+    * .aggregate`'s double-column path, `tDigest.add(value)`). */
+  case class TDigestBuildAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Digest] with ImplicitCastInputTypes {
+
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleType)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): Digest = empty()
+
+    override def update(buffer: Digest, input: InternalRow): Digest = {
+      val v = child.eval(input)
+      if (v != null) buffer.add(v.asInstanceOf[Double])
+      buffer
+    }
+
+    override def merge(buffer: Digest, other: Digest): Digest = buffer.mergeWith(other)
+
+    override def eval(buffer: Digest): Any = toBytes(buffer)
+
+    override def serialize(buffer: Digest): Array[Byte] = toBytes(buffer)
+    override def deserialize(bytes: Array[Byte]): Digest = fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TDigestBuildAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TDigestBuildAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): TDigestBuildAgg =
+      copy(child = newChildren(0))
+    override def prettyName: String = "tdigest_build_agg"
+  }
+
+  /** tdigest_quantile(bytes, q) → double — the broker-side
+    * `extractFinalResult` (`tDigest.quantile(percentile/100)`). */
+  case class TDigestQuantile(child: Expression, q: Double)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(q >= 0 && q <= 1, s"quantile fraction $q outside [0,1]")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      TDunningDigest.fromBytes(input.asInstanceOf[Array[Byte]]).quantile(q)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TDunningDigest.fromBytes($c).quantile($q)")
+    override protected def withNewChildInternal(newChild: Expression): TDigestQuantile =
+      copy(child = newChild)
+    override def prettyName: String = "tdigest_quantile"
+  }
+}
+
+/** Column facade for the t-digest compatibility family. */
+object TDigestCol {
+  def buildAgg(value: Column): Column =
+    GraftSqlBridge.column(tdigest.TDigestBuildAgg(
+      GraftSqlBridge.expression(value)).toAggregateExpression())
+
+  def unionAgg(sketch: Column): Column =
+    GraftSqlBridge.column(tdigest.TDigestUnionAgg(
+      GraftSqlBridge.expression(sketch)).toAggregateExpression())
+
+  def quantile(sketch: Column, q: Double): Column =
+    GraftSqlBridge.column(tdigest.TDigestQuantile(
+      GraftSqlBridge.expression(sketch), q))
+}

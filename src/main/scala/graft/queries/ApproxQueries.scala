@@ -173,6 +173,55 @@ object ApproxQueries {
       .orderBy($"l_returnflag")
   }
 
+  private val tdigestSeg = new SessionCache[String]
+
+  /** percentileTDigest over STORED reference-format digests — the
+    * BYTES-column input path of `PercentileTDigestAggregationFunction
+    * .java:92-95,152` (segments carry serialized
+    * `com.tdunning.math.stats.MergingDigest` blobs, the server merges
+    * them and the broker extracts the quantile). Per-(flag, suppkey)
+    * digests of l_quantity are built and round-tripped through the
+    * reference VERBOSE codec ([[graft.functions.TDunningDigest]]), then
+    * the per-flag query UNIONS stored digests — only ≤1.7 KB centroid
+    * lists move, rows are never re-read. Invariants: merged-estimate
+    * rank within ±0.05 of the target (the reference's own
+    * PercentileTDigestQueriesTest tolerance; checked against exact
+    * percentiles at f∓0.05) and exact digest total weight. */
+  def qTdigestCompat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TDigestCol
+    val segPath = tdigestSeg.getOrElseUpdate(s, s"tdigest|$dir") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tdigest_" +
+        TmpTag(dir)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_suppkey")
+        .agg(TDigestCol.buildAgg($"l_quantity".cast("double")).as("td"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val merged = s.read.parquet(segPath)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"), sum($"n").as("n_rows"),
+        TDigestCol.unionAgg($"td").as("td"))
+      .select($"l_returnflag", $"n_parts", $"n_rows",
+        TDigestCol.quantile($"td", 0.5).as("p50_est"),
+        TDigestCol.quantile($"td", 0.95).as("p95_est"))
+    val exact = graft.operators.Percentiles.exact(
+      t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+      Seq(0.45 -> "_p45", 0.5 -> "_p50", 0.55 -> "_p55",
+        0.9 -> "_p90", 0.95 -> "_p95", 1.0 -> "_p100"),
+      countColumn = Some("cnt"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_parts",
+        round($"_p50", 4).as("p50_exact"),
+        round($"_p95", 4).as("p95_exact"),
+        ($"n_rows" === $"cnt").as("count_ok"),
+        ($"p50_est" >= $"_p45" && $"p50_est" <= $"_p55").as("p50_ok"),
+        ($"p95_est" >= $"_p90" && $"p95_est" <= $"_p100").as("p95_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   private val qsketchSeg = new SessionCache[String]
 
   /** Mergeable QUANTILE sketch column ([[graft.functions.QuantileSketch]])
@@ -231,6 +280,7 @@ object ApproxQueries {
     "q_percentile_approx" -> qPercentileApprox,
     "q_fasthll" -> qFastHll,
     "q_clearspring_hll" -> qClearspringHll,
+    "q_tdigest_compat" -> qTdigestCompat,
     "q_percentile_sketch" -> qPercentileSketch)
 
   val oracles: Map[String, String] = Map(
@@ -254,6 +304,12 @@ object ApproxQueries {
     "q_clearspring_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
         |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tdigest_compat" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_exact,
+        |  TRUE AS count_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile_sketch" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
