@@ -43,7 +43,8 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
     maxConcurrentQueries: Int = 8,
     tableQuotas: Map[String, Double] = Map.empty,
     queryResponseLimit: Int = Int.MaxValue,
-    accessControl: BrokerServer.AccessControl = BrokerServer.allowAll) {
+    accessControl: BrokerServer.AccessControl = BrokerServer.allowAll,
+    timeColumns: Map[String, String] = Map.empty) {
   require(maxConcurrentQueries > 0,
     s"maxConcurrentQueries must be positive, got $maxConcurrentQueries")
   require(tableQuotas.values.forall(_ > 0),
@@ -91,14 +92,20 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
 
   private final class QueryHandler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val pql: Option[String] = ex.getRequestMethod.toUpperCase match {
-        case "GET" =>
-          Option(ex.getRequestURI.getRawQuery).flatMap(BrokerServer.queryParam(_, "pql"))
-        case "POST" =>
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          BrokerServer.pqlFromBody(body)
-        case _ => None
-      }
+      // pql + optional debugOptions (`;`-separated k=v string, the
+      // reference's DEBUG_OPTIONS request field)
+      val (pql, debugOpts): (Option[String], Option[String]) =
+        ex.getRequestMethod.toUpperCase match {
+          case "GET" =>
+            val raw = Option(ex.getRequestURI.getRawQuery)
+            (raw.flatMap(BrokerServer.queryParam(_, "pql")),
+              raw.flatMap(BrokerServer.queryParam(_, "debugOptions")))
+          case "POST" =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            (BrokerServer.pqlFromBody(body),
+              BrokerServer.debugOptionsFromBody(body))
+          case _ => (None, None)
+        }
       val json = pql match {
         case None => BrokerServer.exceptionJson(
           BrokerServer.JsonParsingErrorCode, "no 'pql' in request")
@@ -109,9 +116,12 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
           // and headers (BaseBrokerRequestHandler.java:145); the
           // Authorization header is the natural single-field analog
           val identity = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          val debugMap =
+            try debugOpts.map(FilterOptimizer.parseDebugOptions).getOrElse(Map.empty)
+            catch { case _: IllegalArgumentException => Map.empty[String, String] }
           admission.acquire()
           try BrokerServer.execute(spark, tableDir, q, quotaLimiters,
-            queryResponseLimit, accessControl, identity)
+            queryResponseLimit, accessControl, identity, debugMap, timeColumns)
           finally admission.release()
       }
       val bytes = json.getBytes(StandardCharsets.UTF_8)
@@ -208,6 +218,13 @@ object BrokerServer {
     * string escapes. */
   def pqlFromBody(body: String): Option[String] = {
     val m = """"pql"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+    m.map(g => unescape(g.group(1)))
+  }
+
+  /** The optional `debugOptions` string field of the POST body
+    * (`BaseBrokerRequestHandler.java:214-218`). */
+  def debugOptionsFromBody(body: String): Option[String] = {
+    val m = """"debugOptions"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
     m.map(g => unescape(g.group(1)))
   }
 
@@ -311,15 +328,31 @@ object BrokerServer {
       quotas: Map[String, QpsLimiter] = Map.empty,
       queryResponseLimit: Int = Int.MaxValue,
       accessControl: AccessControl = allowAll,
-      identity: Option[String] = None): String = {
+      identity: Option[String] = None,
+      debugOptions: Map[String, String] = Map.empty,
+      timeColumns: Map[String, String] = Map.empty): String = {
     val t0 = System.nanoTime()
     def withTime(json: String): String =
       json.dropRight(1) +
         s""", "timeUsedMs": ${(System.nanoTime() - t0) / 1000000}}"""
-    val parsed =
-      try Right(Pql.parse(pql))
+    // parse, then run the broker-side filter-tree optimizers under the
+    // request's optimizationFlags (BrokerRequestOptimizer.optimize runs
+    // post-parse, pre-routing; a malformed flag list is a request
+    // error, not a server error)
+    val parsed: Either[String, Pql.Query] =
+      (try Right(Pql.parse(pql))
       catch { case e: IllegalArgumentException =>
         Left(exceptionJson(PqlParsingErrorCode, String.valueOf(e.getMessage)))
+      }).flatMap { q0 =>
+        try {
+          val flags = debugOptions.get("optimizationFlags")
+            .filter(_.nonEmpty).map(FilterOptimizer.parseFlags)
+          Right(q0.copy(where = q0.where.map(w =>
+            FilterOptimizer.optimize(w, timeColumns.get(q0.table), flags))))
+        } catch { case e: IllegalArgumentException =>
+          Left(exceptionJson(QueryValidationErrorCode,
+            String.valueOf(e.getMessage)))
+        }
       }
     parsed match {
       case Left(err) => withTime(err)
