@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.ScaleTable
+
+/** Scratch A/B probe for scale-bench optimization candidates.
+  * Not part of the shipped surface; used to measure plan-level levers
+  * before wiring them into the engine.
+  */
+object BenchProbe {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def exec(df: DataFrame): Unit = {
+    df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    ()
+  }
+
+  private def sample(reps: Int)(f: => Unit): Seq[Double] = {
+    f
+    (1 to reps).map(_ => time(f))
+  }
+
+  private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"${BenchScale.dataRoot}/scale_sf1000"
+    ScaleTable.ensure(spark, dir, 100000000L)
+    val t = spark.read.parquet(s"$dir/ontime.parquet")
+    exec(t) // warm page cache
+
+    def run(name: String)(df: => DataFrame): Unit = {
+      val ts = sample(5)(exec(df))
+      println(f"[probe] $name%-40s p50=${p50(ts)}%.3f reps=${ts.map(x => f"$x%.3f").mkString(",")}")
+    }
+
+    val which = if (args.nonEmpty) args(0) else "all"
+
+    if (which == "all" || which == "groupby") {
+      val a4 = () => t.groupBy(col("Carrier"))
+        .agg(count(lit(1)).as("c")).orderBy(col("c").desc).limit(20)
+      val a5 = () => t.filter(col("Cancelled") === 0)
+        .groupBy(col("Origin"), col("Dest"))
+        .agg(avg(col("ArrDelay")).as("a"))
+        .orderBy(col("a").desc).limit(100)
+      val a6 = () => t.filter(col("ArrDelay") > 0)
+        .groupBy(col("DaysSinceEpoch"), col("Carrier"), col("OriginState"))
+        .agg(sum(col("DepDelay")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("s").desc).limit(100)
+      // interleaved A/B: fastmap on vs off, 3 rounds each
+      (1 to 3).foreach { r =>
+        spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "true")
+        run(s"a4 fastmap r$r")(a4()); run(s"a5 fastmap r$r")(a5()); run(s"a6 fastmap r$r")(a6())
+        spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
+        run(s"a4 nofast  r$r")(a4()); run(s"a5 nofast  r$r")(a5()); run(s"a6 nofast  r$r")(a6())
+      }
+      spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "true")
+    }
+
+    if (which == "all" || which == "hll") {
+      run("h1 approx_count_distinct(0.065)")(
+        t.agg(approx_count_distinct(col("FlightNum"), 0.065).as("v")))
+      run("h1 approx_count_distinct(default)")(
+        t.agg(approx_count_distinct(col("FlightNum")).as("v")))
+      run("h1 hll_sketch_agg lgK=8")(
+        t.agg(hll_sketch_estimate(hll_sketch_agg(col("FlightNum"), lit(8))).as("v")))
+      run("h1 hll_sketch_agg lgK=12")(
+        t.agg(hll_sketch_estimate(hll_sketch_agg(col("FlightNum"), lit(12))).as("v")))
+    }
+
+    if (which == "all" || which == "pct") {
+      run("h2 percentile_approx acc=1000")(
+        t.agg(percentile_approx(col("ArrDelay"), array(lit(0.5), lit(0.95)), lit(1000)).as("v")))
+      run("h2 percentile_approx acc=200")(
+        t.agg(percentile_approx(col("ArrDelay"), array(lit(0.5), lit(0.95)), lit(200)).as("v")))
+      // int column with ~400 distinct values: exact histogram path
+      run("h2 exact value-histogram")(
+        t.groupBy(col("ArrDelay")).agg(count(lit(1)).as("c")))
+      run("h2 exact percentile()")(
+        t.agg(percentile(col("ArrDelay"), array(lit(0.5), lit(0.95))).as("v")))
+      // grouped variant: histogram per (group, value) then window
+      run("h2g percentile_approx by Carrier")(
+        t.groupBy(col("Carrier"))
+          .agg(percentile_approx(col("ArrDelay"), array(lit(0.5), lit(0.95)), lit(1000)).as("v")))
+      run("h2g exact histogram by Carrier")(
+        graft.operators.Percentiles.exact(
+          t.select(col("Carrier"), col("ArrDelay").cast("double").as("v")),
+          Seq("Carrier"), "v", Seq(0.5 -> "p50", 0.95 -> "p95")))
+    }
+
+    if (which == "all" || which == "page") {
+      val s2 = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
+        .orderBy(col("DaysSinceEpoch"), col("FlightNum"))
+        .limit(1100)
+      run("s2 baseline limit1100")(s2())
+      // packed single-long sort key: both columns are non-negative ints
+      val packed = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"),
+          (col("DaysSinceEpoch").cast("long") * 1000000L + col("FlightNum")).as("__k"))
+        .orderBy(col("__k")).limit(1100)
+        .select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
+      run("s2 packed-long key")(packed())
+    }
+
+    spark.stop()
+  }
+}

@@ -133,6 +133,12 @@ object BenchScale {
 
     val results = workload.map { case (name, cls, pql, _) =>
       val df = Pql.toDataFrame(Pql.parse(pql), loader)
+      // settle the heap between queries: at 100M rows the group-by
+      // queries otherwise inherit the previous query's garbage and a
+      // full-GC pause lands inside a timed rep (observed 18 s outliers
+      // on a6 with a cold heap; the DuckDB twin runs one statement per
+      // connection and pays no such cross-query tax)
+      System.gc()
       QueryResult(name, cls, sample(reps)(exec(df)))
     }
     val classes = results.groupBy(_.cls).toSeq.sortBy(_._1).map { case (cls, rs) =>

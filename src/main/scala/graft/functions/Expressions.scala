@@ -264,6 +264,48 @@ object exprs {
     override def prettyName: String = "image_meta"
   }
 
+  /** Audio container metadata ([[MediaOps.audioMeta]]): (format,
+    * sample_rate, channels, bits, duration_ms) parsed from the blob's
+    * leading bytes (RIFF/WAVE chunk walk, Sun AU header); all-null
+    * fields when the blob is not recognized audio. */
+  case class AudioMeta(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    override def nullSafeEval(input: Any): Any =
+      MediaOps.audioMeta(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.MediaOps.audioMeta($c)")
+    override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+      copy(child = newChild)
+    override def prettyName: String = "audio_meta"
+  }
+
+  /** Video container metadata ([[MediaOps.videoMeta]]): (format, width,
+    * height, duration_ms) from an ISO-BMFF (MP4/QuickTime) box walk;
+    * all-null fields when the blob is not recognized video. */
+  case class VideoMeta(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    override def nullSafeEval(input: Any): Any =
+      MediaOps.videoMeta(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.MediaOps.videoMeta($c)")
+    override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+      copy(child = newChild)
+    override def prettyName: String = "video_meta"
+  }
+
   /** Integer top-level JSON field extraction
     * ([[HashOps.jsonGetLong]]) — nullable: absent / non-integer /
     * non-object inputs yield null, matching
@@ -447,4 +489,10 @@ object GraftFunctions {
 
   def imageMeta(content: Column): Column =
     GraftSqlBridge.column(exprs.ImageMeta(expr(content)))
+
+  def audioMeta(content: Column): Column =
+    GraftSqlBridge.column(exprs.AudioMeta(expr(content)))
+
+  def videoMeta(content: Column): Column =
+    GraftSqlBridge.column(exprs.VideoMeta(expr(content)))
 }

@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * the project brief). Design constraints at 100 TB:
   *  - content is NEVER interpreted driver-side; every transform is a
   *    Column expression or partition-local batch loop;
-  *  - real codecs (JPEG/PNG decode, audio resample, video demux) are
-  *    NOT in this build's dependency set, so `stubFeatures` /
-  *    `frameSample` are clearly-documented deterministic stand-ins
-  *    with the same shapes (binary → fixed-dim vector, binary →
-  *    array of chunks) a real decoder plugs into — swap the kernel,
-  *    keep the plumbing;
+  *  - still-image decode ([[imageIoExtractor]], `javax.imageio`) and
+  *    PCM-audio decode ([[audioIoExtractor]], `javax.sound.sampled`)
+  *    are REAL via JDK-built-in codecs; video demux has no JDK codec,
+  *    so `stubFeatures` / `frameSample` are clearly-documented
+  *    deterministic stand-ins with the same shapes (binary →
+  *    fixed-dim vector, binary → array of chunks) a real demuxer
+  *    plugs into — swap the kernel, keep the plumbing;
   *  - featurization of a batch of blobs is the expensive step with a
   *    real model; `batchedFeatures` shows the partition-grouped
   *    batching shape (fixed batch size per model invocation) without
@@ -56,6 +57,21 @@ object Multimodal {
     * (format, width, height), null fields for non-image blobs. */
   def imageMeta(content: Column): Column =
     graft.functions.GraftFunctions.imageMeta(content)
+
+  /** Header-parsed audio metadata as a standalone projection:
+    * (format, sample_rate, channels, bits, duration_ms), null fields
+    * for non-audio blobs ([[graft.functions.MediaOps.audioMeta]] —
+    * RIFF/WAVE chunk walk + Sun AU header, a codegen kernel reading
+    * only leading bytes). */
+  def audioMeta(content: Column): Column =
+    graft.functions.GraftFunctions.audioMeta(content)
+
+  /** Box-walk video metadata as a standalone projection:
+    * (format, width, height, duration_ms), null fields for non-video
+    * blobs ([[graft.functions.MediaOps.videoMeta]] — ISO-BMFF
+    * `ftyp`/`moov`/`mvhd`/`tkhd` walk; sample data never read). */
+  def videoMeta(content: Column): Column =
+    graft.functions.GraftFunctions.videoMeta(content)
 
   /** STUB featurizer: `dim` pseudo-features in [0, 1) derived from
     * seeded xxhash64 over the raw bytes — a deterministic stand-in
@@ -114,7 +130,8 @@ object Multimodal {
     * cannot decode yield a NaN row rather than failing the batch —
     * corrupt media must not kill a 100 TB backfill. This replaces the
     * former "decode is dependency-blocked" stub for still images;
-    * audio/video remain stubbed (the JDK carries no codecs for them). */
+    * [[audioIoExtractor]] does the same for audio, leaving only video
+    * stubbed (the JDK carries no video demuxer). */
   def imageIoExtractor(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
     batch.map { bytes =>
       try {
@@ -138,6 +155,140 @@ object Multimodal {
         }
       } catch { case _: java.io.IOException => Array.fill(5)(Double.NaN) }
     }
+
+  /** REAL audio decode extractor for [[batchedFeatures]]: decodes each
+    * blob with the JDK's built-in `javax.sound.sampled` parsers
+    * (PCM WAV / AIFF / AU ship with every JRE — zero added
+    * dependencies) and emits
+    * [sampleRate, channels, frames, durationSec, rms] with RMS
+    * computed over the decoded PCM samples normalized to [-1, 1].
+    * Undecodable blobs yield a NaN row rather than failing the batch —
+    * corrupt media must not kill a 100 TB backfill. Together with
+    * [[imageIoExtractor]] this leaves only video truly stubbed (the
+    * JDK carries no video demuxer). */
+  def audioIoExtractor(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
+    batch.map { bytes =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) Array.fill(5)(Double.NaN)
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / (bits / 8)
+          var sumSq = 0.0
+          var i = 0
+          if (bits == 16) {
+            val be = fmt.isBigEndian
+            while (i < n) {
+              val lo = data(2 * i + (if (be) 1 else 0)) & 0xff
+              val hi = data(2 * i + (if (be) 0 else 1))
+              val s = ((hi << 8) | lo).toShort / 32768.0
+              sumSq += s * s
+              i += 1
+            }
+          } else {
+            val signed = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            while (i < n) {
+              val s = (if (signed) data(i).toDouble
+                       else (data(i) & 0xff) - 128.0) / 128.0
+              sumSq += s * s
+              i += 1
+            }
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Array(fmt.getSampleRate.toDouble, fmt.getChannels.toDouble,
+            frames.toDouble, frames / fmt.getFrameRate.toDouble, rms)
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          Array.fill(5)(Double.NaN)
+        case _: java.io.IOException => Array.fill(5)(Double.NaN)
+      }
+    }
+
+  /** Deterministic PCM16 WAV fixture encoder (test/ingest tooling, not
+    * an operator): a valid RIFF/WAVE container — "fmt " + "data"
+    * chunks, little-endian per the RIFF spec — whose mono samples
+    * follow a seeded integer pattern so decoded statistics (frame
+    * count, duration, RMS) are pure functions of the arguments. */
+  def makeWav(sampleRate: Int, frames: Int, seed: Int): Array[Byte] = {
+    require(sampleRate > 0 && frames >= 0, s"bad wav args $sampleRate/$frames")
+    val dataLen = frames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)               // PCM
+      .putShort(1)               // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)    // byte rate
+      .putShort(2)               // block align
+      .putShort(16)              // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      // seeded sawtooth-ish pattern; bounded well inside Short range
+      buf.putShort((((i * 37 + seed * 101) % 20000) - 10000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic MP4 fixture encoder (test/ingest tooling, not an
+    * operator): a minimal valid ISO-BMFF container — `ftyp` (isom) +
+    * `moov`[`mvhd` v0 + `trak`[`tkhd` v0]] + empty `mdat` — whose
+    * movie header carries the given timescale/duration and whose
+    * single track carries the given 16.16 fixed-point dimensions, so
+    * parsed metadata is a pure function of the arguments. */
+  def makeMp4(width: Int, height: Int, durationMs: Long,
+      timescale: Int = 1000): Array[Byte] = {
+    require(width > 0 && height > 0 && durationMs >= 0 && timescale > 0,
+      s"bad mp4 args ${width}x$height/$durationMs@$timescale")
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      buf.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII")).array())
+    val duration = durationMs * timescale / 1000L
+    require(duration <= 0xffffffffL, "v0 mvhd duration overflows u32")
+    val mvhd = {
+      val buf = java.nio.ByteBuffer.allocate(100)
+      buf.putInt(0)            // version 0 + flags
+        .putInt(0).putInt(0)   // creation/modification
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000)    // rate 1.0
+        .putShort(0x0100)      // volume 1.0
+      buf.position(buf.position() + 10) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(buf.putInt)   // identity matrix
+      buf.position(buf.position() + 24) // predefined
+      buf.putInt(2)            // next track id
+      box("mvhd", buf.array())
+    }
+    val tkhd = {
+      val buf = java.nio.ByteBuffer.allocate(84)
+      buf.putInt(7)            // version 0 + flags: enabled|in-movie|in-preview
+        .putInt(0).putInt(0)   // creation/modification
+        .putInt(1)             // track id
+        .putInt(0)             // reserved
+        .putInt(duration.toInt)
+      buf.position(buf.position() + 16) // reserved/layer/group/volume/reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(buf.putInt)   // identity matrix
+      buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+      box("tkhd", buf.array())
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
+  }
 
   /** Deterministic PNG fixture encoder (test/ingest tooling, not an
     * operator): a valid RGB8 PNG of the given dimensions whose pixel

@@ -41,6 +41,19 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** One requested percentile output: fraction in [0, 1], output
+    * column name, and the rank convention —
+    *  - `nearestRank = false`: linear interpolation between closest
+    *    ranks, the `percentile()` / `quantile_cont` formula
+    *    (DoubleType output);
+    *  - `nearestRank = true`: the ACTUAL data value at 1-indexed rank
+    *    max(ceil(f·n), 1) — the classic nearest-rank definition, an
+    *    exact answer for sketch-contract aggregations
+    *    (PERCENTILEEST's QuantileDigest returns a real long value at
+    *    ≤5% rank error; rank error 0 trivially satisfies it). Output
+    *    keeps the histogram's DoubleType; callers cast. */
+  final case class Spec(fraction: Double, name: String, nearestRank: Boolean)
+
   /** Exact interpolated percentiles of `valueCol` per `keyCols`
     * group, one output column per (fraction, name) — semantics
     * identical to `percentile(valueCol, array(fractions…))`:
@@ -51,38 +64,65 @@ object Percentiles {
       fractions: Seq[(Double, String)],
       countColumn: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "at least one grouping column required")
-    require(fractions.nonEmpty, "at least one fraction required")
-    fractions.foreach { case (f, _) =>
-      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0, 1], got $f")
+    histogramAggs(df, keyCols, valueCol,
+      fractions.map { case (f, n) => Spec(f, n, nearestRank = false) },
+      countColumn, keepNullGroups = false)
+  }
+
+  /** The shared histogram plan behind [[exact]] and the PQL percentile
+    * routing: one distinct-(key, value) shuffle, one window pass, then
+    * every requested [[Spec]] reduces over the same ranked histogram.
+    *
+    * `keyCols` may be empty (global aggregation → always exactly one
+    * output row, aggregate-without-grouping semantics). With
+    * `keepNullGroups` a group whose every value is null still appears,
+    * carrying null percentiles — the behavior of `percentile()` inside
+    * a wider aggregation, needed when this frame is equi-joined back
+    * to other aggregation frames on the group keys. */
+  def histogramAggs(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      specs: Seq[Spec], countColumn: Option[String] = None,
+      keepNullGroups: Boolean = false): DataFrame = {
+    require(specs.nonEmpty, "at least one percentile spec required")
+    specs.foreach { s =>
+      require(s.fraction >= 0.0 && s.fraction <= 1.0,
+        s"fraction must be in [0, 1], got ${s.fraction}")
     }
     val keys = keyCols.map(col)
     val v = col(valueCol).cast("double")
 
     // 1. distinct (key, value) histogram — the only full-data shuffle,
-    //    map-side combined
-    val hist = df
-      .filter(v.isNotNull)
+    //    map-side combined. With keepNullGroups the null value stays
+    //    as a histogram row carrying count 0, so its group survives
+    //    while every rank computation ignores it.
+    val pre = if (keepNullGroups) df else df.filter(v.isNotNull)
+    val hist = pre
       .groupBy(keys :+ v.as("_v"): _*)
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(when(col(valueCol).isNotNull, 1)).as("_c"))
 
     // 2. cumulative and total counts in one window pass per key
+    //    (null histogram rows sort first with _c = 0: cum stays 0
+    //    there and they never satisfy a >= 1 rank threshold)
     val byKey = Window.partitionBy(keys: _*)
     val ranked = hist
       .withColumn("_cum", sum(col("_c")).over(byKey.orderBy(col("_v"))))
       .withColumn("_n", sum(col("_c")).over(byKey))
 
-    // 3. per fraction: values at positions floor(h) and ceil(h),
-    //    h = (n-1)·f, via conditional min over the ranked histogram.
+    // 3. per spec: conditional mins over the ranked histogram.
     //    `_n` is constant within a group: raw inside the conditional
     //    mins (evaluated per histogram row), `max`-wrapped where the
     //    interpolation needs it at the aggregated level.
-    val aggs = fractions.map { case (f, name) =>
-      val hRow = (col("_n") - 1) * f
-      val vLo = min(when(col("_cum") >= floor(hRow) + 1, col("_v")))
-      val vHi = min(when(col("_cum") >= ceil(hRow) + 1, col("_v")))
-      val hAgg = (max(col("_n")) - 1) * f
-      (vLo + (hAgg - floor(hAgg)) * (vHi - vLo)).as(name)
+    val aggs = specs.map {
+      case Spec(f, name, false) =>
+        val hRow = (col("_n") - 1) * f
+        val vLo = min(when(col("_cum") >= floor(hRow) + 1, col("_v")))
+        val vHi = min(when(col("_cum") >= ceil(hRow) + 1, col("_v")))
+        val hAgg = (max(col("_n")) - 1) * f
+        (vLo + (hAgg - floor(hAgg)) * (vHi - vLo)).as(name)
+      case Spec(f, name, true) =>
+        min(when(col("_cum") >= greatest(ceil(col("_n") * f), lit(1)), col("_v")))
+          .as(name)
     } ++ countColumn.map(n => max(col("_n")).as(n)) // non-null row count, free
-    ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    if (keyCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+    else ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

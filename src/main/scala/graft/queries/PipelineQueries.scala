@@ -106,6 +106,60 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Audio-container metadata over a REAL generated-WAV fixture: each
+    * row synthesizes a valid PCM16 RIFF/WAVE blob
+    * ([[graft.operators.Multimodal.makeWav]] — "fmt " + "data" chunks,
+    * spec-level container) with sample rate and frame count that are
+    * pure functions of doc_id, and the query recovers
+    * (format, sample_rate, channels, bits, duration_ms) from the BYTES
+    * via the header kernel ([[graft.functions.MediaOps.audioMeta]]) —
+    * the DuckDB oracle recomputes the expected fields arithmetically
+    * (duration_ms = frames * 1000 / rate for PCM16 mono), so a hash
+    * match proves the byte-level chunk walk. The encode UDF is fixture
+    * plumbing; the operator under test is the codegen'd header parse. */
+  def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val mkWav = udf((id: Long) =>
+      Multimodal.makeWav(8000 + (id % 5).toInt * 4000, 1000 + (id * 13 % 3000).toInt, id.toInt))
+    t(s, dir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", Multimodal.audioMeta(mkWav($"doc_id")).as("meta"))
+      .select($"doc_id",
+        $"meta.format".as("format"),
+        $"meta.sample_rate".as("sample_rate"),
+        $"meta.channels".as("channels"),
+        $"meta.bits".as("bits"),
+        $"meta.duration_ms".as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  /** Video-container metadata over a REAL generated-MP4 fixture: each
+    * row synthesizes a minimal valid ISO-BMFF container
+    * ([[graft.operators.Multimodal.makeMp4]] — ftyp + moov[mvhd +
+    * trak[tkhd]] + mdat) whose dimensions/duration are pure functions
+    * of doc_id, and the query recovers (format, width, height,
+    * duration_ms) from the BYTES via the box-walk kernel
+    * ([[graft.functions.MediaOps.videoMeta]]) — the DuckDB oracle
+    * recomputes the expected fields arithmetically, so a hash match
+    * proves the byte-level box walk. */
+  def qVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val mkMp4 = udf((id: Long) =>
+      Multimodal.makeMp4(16 + (id % 240).toInt * 8, 16 + (id * 3 % 120).toInt * 9,
+        1000L + (id * 77) % 9000))
+    t(s, dir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", Multimodal.videoMeta(mkMp4($"doc_id")).as("meta"))
+      .select($"doc_id",
+        $"meta.format".as("format"),
+        $"meta.width".as("width"),
+        $"meta.height".as("height"),
+        $"meta.duration_ms".as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
   /** percentileN-MV / percentileEstN-MV / percentileTDigestN-MV
     * (Percentile{,Est,TDigest}MVAggregationFunction.java): the
     * reference collects every element of the array column into the
@@ -596,6 +650,8 @@ object PipelineQueries {
     "q_mv_percentile" -> qMvPercentile,
     "q_media_features" -> qMediaFeatures,
     "q_media_meta" -> qMediaMeta,
+    "q_audio_meta" -> qAudioMeta,
+    "q_video_meta" -> qVideoMeta,
     "q_text_stats" -> qTextStats,
     "q_token_stats" -> qTokenStats,
     "q_lang_id" -> qLangId,
@@ -759,6 +815,19 @@ object PipelineQueries {
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 64 AS INT) AS width,
         |  CAST(1 + (doc_id * 7) % 48 AS INT) AS height
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+        |  CAST((1000 * (1000 + (doc_id * 13) % 3000))
+        |       // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(16 + (doc_id % 240) * 8 AS INT) AS width,
+        |  CAST(16 + ((doc_id * 3) % 120) * 9 AS INT) AS height,
+        |  CAST(1000 + (doc_id * 77) % 9000 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // Self-oracles: Spark proves hash-dependent invariants (booleans);
     // DuckDB reproduces the deterministic row universe and expects

@@ -240,6 +240,56 @@ class PqlSpec extends SparkSpec {
     assert(rows === Map("a" -> ((4.0, 3L)), "b" -> ((4.0, 2L))))
   }
 
+  test("integral-column percentiles route to the exact histogram plan") {
+    // l_linenumber is int32 → NO sketch in the plan: both the exact
+    // and the EST flavors answer from the distributed value histogram
+    val global = run(
+      "SELECT PERCENTILEEST50(l_linenumber), PERCENTILE50(l_linenumber) FROM lineitem")
+    assert(global.columns.toSeq ===
+      Seq("percentileest50_l_linenumber", "percentile50_l_linenumber"))
+    val plan = global.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile_approx"), s"sketch found in plan:\n$plan")
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val exact50 = li.select(percentile($"l_linenumber", lit(0.5)))
+      .as[Double].head()
+    val row = global.head()
+    // exact flavor: identical to percentile(); EST flavor: the actual
+    // long value at nearest rank (reference QuantileDigest domain)
+    assert(row.getDouble(1) === exact50)
+    assert(row.schema(0).dataType.typeName === "long")
+    assert(math.abs(row.getLong(0) - exact50) <= 1.0)
+    // grouped, mixed with a sketch-path double column and COUNT(*):
+    // histogram frame joins back on the group keys; the double column
+    // still builds its percentile_approx sketch
+    val grouped = run(
+      "SELECT PERCENTILE75(l_linenumber), PERCENTILEEST25(l_linenumber), " +
+        "PERCENTILEEST50(l_extendedprice), COUNT(*) " +
+        "FROM lineitem GROUP BY l_returnflag TOP 10")
+    val gplan = grouped.queryExecution.optimizedPlan.toString
+    assert("percentile_approx".r.findAllIn(gplan).size === 1,
+      s"double column stays on the sketch path:\n$gplan")
+    val expect = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_linenumber", lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    grouped.collect().foreach { r =>
+      val (p75, n) = expect(r.getString(0))
+      assert(r.getDouble(1) === p75, s"group ${r.getString(0)}")
+      assert(r.getLong(4) === n, s"group ${r.getString(0)}")
+    }
+    // an all-null-value group must still appear, carrying nulls —
+    // percentile() inside a wider aggregation keeps the group
+    val df = Seq(("a", Some(1), 1.0), ("a", Some(3), 2.0), ("b", None, 3.0))
+      .toDF("k", "v", "m")
+    val keepNull = Pql.toDataFrame(Pql.parse(
+      "SELECT PERCENTILE50(v), PERCENTILEEST50(v), SUM(m) FROM t GROUP BY k TOP 10"), _ => df)
+    val rows = keepNull.collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))).toMap
+    // est = nearest-rank: value at rank ceil(0.5·2) = 1 → 1
+    assert(rows("a") === ((Some(2.0), Some(1L), 3.0)))
+    assert(rows("b") === ((None, None, 3.0)))
+  }
+
   test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
     // global aggregation: two fractions, ONE percentile_approx in the plan
     val global = run(
