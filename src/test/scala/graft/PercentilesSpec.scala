@@ -80,6 +80,51 @@ class PercentilesSpec extends SparkSpec {
     assert(out === Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("histogramAggs: nearest-rank spec returns actual data values") {
+    import graft.operators.Percentiles.Spec
+    val df = Seq(1, 2, 3, 4, 10).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val out = Percentiles.histogramAggs(df, Seq("k"), "v", Seq(
+        Spec(0.5, "nr50", nearestRank = true),
+        Spec(0.5, "li50", nearestRank = false),
+        Spec(0.0, "nr0", nearestRank = true),
+        Spec(1.0, "nr100", nearestRank = true)))
+      .head()
+    // rank ceil(0.5·5) = 3 → value 3 (a real value, no interpolation)
+    assert(out.getDouble(1) === 3.0)
+    assert(out.getDouble(2) === 3.0) // interpolated p50 of odd n = median
+    assert(out.getDouble(3) === 1.0) // f=0 → rank max(0,1) = 1 → min
+    assert(out.getDouble(4) === 10.0) // f=1 → rank n → max
+  }
+
+  test("histogramAggs: empty keys = global aggregate, always one row") {
+    import graft.operators.Percentiles.Spec
+    val df = Seq(5.0, 1.0, 3.0).toDF("v")
+    val out = Percentiles.histogramAggs(df, Nil, "v",
+      Seq(Spec(0.5, "p50", nearestRank = false)))
+    assert(out.count() === 1)
+    assert(out.head().getDouble(0) === 3.0)
+    // empty input still yields exactly one (null) row — aggregate
+    // without grouping semantics
+    val empty = Percentiles.histogramAggs(df.filter($"v" > 100), Nil, "v",
+      Seq(Spec(0.5, "p50", nearestRank = false)))
+    assert(empty.count() === 1)
+    assert(empty.head().isNullAt(0))
+  }
+
+  test("histogramAggs: keepNullGroups keeps all-null groups with null results") {
+    import graft.operators.Percentiles.Spec
+    val df = Seq(("a", Option(1.0)), ("a", Option(2.0)), ("z", Option.empty[Double]))
+      .toDF("k", "v")
+    val out = Percentiles.histogramAggs(df, Seq("k"), "v",
+        Seq(Spec(0.5, "li", nearestRank = false), Spec(0.5, "nr", nearestRank = true)),
+        countColumn = Some("n"), keepNullGroups = true)
+      .orderBy($"k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "z"))
+    assert(out(0).getDouble(1) === 1.5 && out(0).getDouble(2) === 1.0 &&
+      out(0).getLong(3) === 2L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).getLong(3) === 0L)
+  }
+
   test("plan shape: one shuffle of distinct pairs, no full-value buffers") {
     val df = Seq.tabulate(100)(i => ("g", (i % 10).toDouble)).toDF("k", "v")
     val plan = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))

@@ -59,6 +59,15 @@ def main():
                 q["duck_reps"] = [round(r, 3) for r in reps]
                 if q["duck_p50"] > 0:
                     q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # star-tree-routed reruns reuse the same duck statement by name
+        for name, q in sec.get("routed", {}).items():
+            if not isinstance(q, dict) or name not in QUERIES:
+                continue
+            base = sec["queries"].get(name, {})
+            if "duck_p50" in base:
+                q["duck_p50"] = base["duck_p50"]
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
         # per-class totals + ratios
         for cls, csec in sec.get("classes", {}).items():
             qs = [q for q in sec["queries"].values() if q["class"] == cls and "duck_p50" in q]
