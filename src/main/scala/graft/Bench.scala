@@ -142,7 +142,7 @@ object Bench {
           t2(df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect())
         }
         val parts = Seq("a1_count", "a4_groupby_1dim", "a6_groupby_3dim",
-          "s1_filter_topn", "h1_hll").map(n => s""""$n":${r3(pqlT(n))}""")
+          "s1_filter_topn", "h1_hll", "h2_pctest").map(n => s""""$n":${r3(pqlT(n))}""")
         val st =
           if (!new java.io.File(s"$dir/_ST_DONE").exists()) ""
           else {

@@ -56,6 +56,15 @@ object PqlQueries {
     "q_pql_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus LIMIT 20""".stripMargin,
+    // r6: integral-column percentiles — the exact-histogram routing
+    // (Pql histFrames): PERCENTILE = interpolated double, identical to
+    // quantile_cont; PERCENTILEEST = exact nearest-rank LONG, which
+    // DuckDB's quantile_disc reproduces value-for-value (verified:
+    // both pick the value at 1-indexed rank max(ceil(f*n), 1))
+    "q_pql_percentile" ->
+      """SELECT PERCENTILE50(l_linenumber), PERCENTILEEST50(l_linenumber),
+        |PERCENTILEEST90(l_linenumber), COUNT(*)
+        |FROM lineitem GROUP BY l_returnflag TOP 10""".stripMargin,
     // round-4 grammar tail: backtick identifiers, IS [NOT] NULL
     // evaluated (not parse-and-ignore), OPTION(...) carried as
     // advisory — one query exercising all three through the oracle
@@ -157,6 +166,14 @@ object PqlQueries {
       """SELECT o_orderpriority, count(*) AS count_star FROM orders
         |GROUP BY o_orderpriority HAVING count(*) > 100
         |ORDER BY count_star DESC, o_orderpriority LIMIT 10""".stripMargin,
+    "q_pql_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_linenumber AS DOUBLE), 0.5) AS percentile50_l_linenumber,
+        |  CAST(quantile_disc(l_linenumber, 0.5) AS BIGINT) AS percentileest50_l_linenumber,
+        |  CAST(quantile_disc(l_linenumber, 0.9) AS BIGINT) AS percentileest90_l_linenumber,
+        |  count(*) AS count_star
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY percentile50_l_linenumber DESC, l_returnflag LIMIT 10""".stripMargin,
     "q_pql_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_quantity + l_linenumber AS add_l_quantity_l_linenumber

@@ -59,6 +59,23 @@ def main():
                 q["duck_reps"] = [round(r, 3) for r in reps]
                 if q["duck_p50"] > 0:
                     q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # sorted-layout section: same statements over the sorted copy
+        if sec.get("sorted"):
+            con.execute(
+                f"CREATE VIEW ontime_sorted AS SELECT * FROM read_parquet('{ROOT}/scale_{tag}/ontime_sorted.parquet/*.parquet')")
+            for name, q in sec["sorted"].items():
+                if not isinstance(q, dict) or name not in QUERIES:
+                    continue
+                sql = QUERIES[name].replace("FROM ontime", "FROM ontime_sorted")
+                con.execute(sql).fetchall()  # warmup
+                reps = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    reps.append(time.time() - t0)
+                q["duck_p50"] = round(statistics.median(reps), 3)
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
         # star-tree-routed reruns reuse the same duck statement by name
         for name, q in sec.get("routed", {}).items():
             if not isinstance(q, dict) or name not in QUERIES:
