@@ -79,6 +79,9 @@ object MediaOps {
       while (i + 8 <= b.length && (dataLen < 0 || rate == 0)) {
         val id = new String(b, i, 4, "US-ASCII")
         val len = le32(b, i + 4)
+        // malformed: a chunk longer than the blob (also prevents the
+        // u32→int wrap stalling the walk on adversarial lengths)
+        if (len > b.length.toLong - i - 8) return unknownAudio
         if (id == "fmt " && i + 24 <= b.length) {
           ch = le16(b, i + 10)
           rate = le32(b, i + 12).toInt
@@ -167,7 +170,7 @@ object MediaOps {
             walk(p, (i + size).toInt, depth + 1)
           case "mvhd" if p + 20 <= to =>
             val v = b(p) & 0xff
-            if (v == 1 && p + 28 <= to) {
+            if (v == 1 && p + 32 <= to) {
               timescale = be32(b, p + 20).toLong & 0xffffffffL
               duration = be64(b, p + 24)
             } else if (v == 0) {

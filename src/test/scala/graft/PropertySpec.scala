@@ -68,6 +68,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media header kernels never throw on arbitrary bytes, and fixtures round-trip") {
+    import graft.functions.MediaOps
+    import graft.operators.Multimodal
+    val bytes = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+      // adversarial: real magic numbers followed by garbage lengths
+      Gen.zip(Gen.oneOf(
+          "RIFFxxxxWAVE", ".sndxxxxxxxxxxxxxxxxxxxx",
+          "\u0000\u0000\u0000\u0010ftypisom",
+          "\u0089PNG\r\n\u001a\n", "GIF89a"),
+        Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)))
+        .map { case (pfx, tail) => pfx.getBytes("ISO-8859-1") ++ tail.toArray })
+    val noThrow = Prop.forAll(bytes) { b =>
+      // total functions: any byte blob yields a row (possibly all-null)
+      MediaOps.imageMeta(b) != null &&
+        MediaOps.audioMeta(b) != null &&
+        MediaOps.videoMeta(b) != null
+    }
+    check("mediaFuzz", noThrow, minTests = 500)
+    val wavRoundTrip = Prop.forAll(
+      Gen.chooseNum(1, 192000), Gen.chooseNum(0, 4096), Gen.chooseNum(Int.MinValue, Int.MaxValue)) {
+      (rate, frames, seed) =>
+        val m = MediaOps.audioMeta(Multimodal.makeWav(rate, frames, seed))
+        m.getUTF8String(0).toString == "wav" && m.getInt(1) == rate &&
+          m.getInt(2) == 1 && m.getInt(3) == 16 &&
+          m.getLong(4) == frames.toLong * 1000 / rate
+    }
+    check("wavRoundTrip", wavRoundTrip)
+    val mp4RoundTrip = Prop.forAll(
+      Gen.chooseNum(1, 8192), Gen.chooseNum(1, 8192), Gen.chooseNum(0L, 86400000L)) {
+      (w, h, durMs) =>
+        val m = MediaOps.videoMeta(Multimodal.makeMp4(w, h, durMs))
+        m.getUTF8String(0).toString == "mp4" && m.getInt(1) == w &&
+          m.getInt(2) == h && m.getLong(3) == durMs
+    }
+    check("mp4RoundTrip", mp4RoundTrip)
+  }
+
   test("PQL parser never throws anything but IllegalArgumentException under fuzz") {
     val junk = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar,
