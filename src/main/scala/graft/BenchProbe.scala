@@ -99,6 +99,32 @@ object BenchProbe {
           Seq("Carrier"), "v", Seq(0.5 -> "p50", 0.95 -> "p95")))
     }
 
+    if (which == "sorted") {
+      // why does the sorted-layout a2 gain lag DuckDB's? A/B the file
+      // count: pruning skips row groups per task, so 64 near-empty
+      // tasks still pay scheduling+footer cost
+      val base = t.filter(col("Carrier") === "C03")
+        .agg(sum(col("ArrDelay")).as("s"), min(col("DepDelay")).as("mn"),
+          max(col("ArrDelay")).as("mx"), avg(col("DepDelay")).as("a"))
+      run("a2 unsorted")(base)
+      Seq(64, 16, 8).foreach { n =>
+        val p = s"$dir/ontime_sorted_$n.parquet"
+        if (!new java.io.File(s"$dir/_SORTED${n}_DONE").exists()) {
+          t.repartitionByRange(n, col("Carrier"), col("FlightNum"))
+            .sortWithinPartitions(col("Carrier"))
+            .write.mode("overwrite").parquet(p)
+          java.nio.file.Files.write(new java.io.File(s"$dir/_SORTED${n}_DONE").toPath,
+            java.util.Arrays.asList("ok"))
+        }
+        val s = spark.read.parquet(p)
+        exec(s)
+        val q = s.filter(col("Carrier") === "C03")
+          .agg(sum(col("ArrDelay")).as("s"), min(col("DepDelay")).as("mn"),
+            max(col("ArrDelay")).as("mx"), avg(col("DepDelay")).as("a"))
+        run(s"a2 sorted files=$n")(q)
+      }
+    }
+
     if (which == "all" || which == "page") {
       val s2 = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
         .orderBy(col("DaysSinceEpoch"), col("FlightNum"))

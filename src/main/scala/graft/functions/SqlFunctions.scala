@@ -58,6 +58,12 @@ object SqlFunctions {
     "ngram_jaccard" -> { case Seq(a, b, n) =>
       exprs.NGramJaccard(a, b, intLit(n, "shingleSize")) },
     "sorted_jaccard" -> { case Seq(a, b) => exprs.SortedJaccard(a, b) },
+    "json_get_long" -> { case Seq(c, f) =>
+      exprs.JsonGetLong(c, stringLit(f, "field")) },
+    // media header kernels (binary → typed metadata structs)
+    "image_meta" -> { case Seq(c) => exprs.ImageMeta(c) },
+    "audio_meta" -> { case Seq(c) => exprs.AudioMeta(c) },
+    "video_meta" -> { case Seq(c) => exprs.VideoMeta(c) },
     // aggregates: the analyzer wraps a returned AggregateFunction in
     // its AggregateExpression, same as Spark's own registry builders
     "quantile_sketch_agg" -> { case Seq(c, e) =>

@@ -51,6 +51,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(q >= 1.0 && q <= 4.0, s"p50=$q")
   }
 
+  test("round-6 SQL functions: media metadata kernels + json_get_long") {
+    Graft.enable(spark)
+    import graft.operators.Multimodal
+    val fixtures = Seq((Multimodal.makePng(12, 7, 1), Multimodal.makeWav(8000, 4000, 2),
+      Multimodal.makeMp4(320, 240, 5000L), """{"a": 42, "b": "x"}"""))
+      .toDF("png", "wav", "mp4", "js")
+    fixtures.createOrReplaceTempView("media_fixture")
+    val r = spark.sql(
+      """SELECT image_meta(png).width AS iw, image_meta(png).height AS ih,
+        |  audio_meta(wav).sample_rate AS ar, audio_meta(wav).duration_ms AS ad,
+        |  video_meta(mp4).width AS vw, video_meta(mp4).duration_ms AS vd,
+        |  json_get_long(js, 'a') AS ja
+        |FROM media_fixture""".stripMargin).head()
+    assert((r.getInt(0), r.getInt(1)) === ((12, 7)))
+    assert((r.getInt(2), r.getLong(3)) === ((8000, 500L)))
+    assert((r.getInt(4), r.getLong(5)) === ((320, 5000L)))
+    assert(r.getLong(6) === 42L)
+  }
+
   test("star-tree routing rule answers covered aggregates from the rollup, not the fact scan") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
