@@ -277,6 +277,17 @@ class PqlSpec extends SparkSpec {
       assert(r.getDouble(1) === p75, s"group ${r.getString(0)}")
       assert(r.getLong(4) === n, s"group ${r.getString(0)}")
     }
+    // HAVING over a non-selected histogram-routed percentile: the
+    // hidden aggregation computes in the histogram frame and filters
+    val having = run(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag " +
+        "HAVING PERCENTILE50(l_linenumber) > 2 TOP 10")
+    val p50ByFlag = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_linenumber", lit(0.5)).as("p"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val keep = p50ByFlag.filter(_._2._1 > 2)
+    assert(having.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      keep.view.mapValues(_._2).toMap)
     // an all-null-value group must still appear, carrying nulls —
     // percentile() inside a wider aggregation keeps the group
     val df = Seq(("a", Some(1), 1.0), ("a", Some(3), 2.0), ("b", None, 3.0))
