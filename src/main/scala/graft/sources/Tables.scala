@@ -21,17 +21,24 @@ object Tables {
     * declarative so Catalyst pushes filters/projections into the
     * parquet reader (PushedFilters / ReadSchema in explain output).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (as an
-    * epoch-nanos LongType). We normalize it back to a TimestampType
-    * with integer division (`div 1000`) — no double round-trip, so no
-    * precision loss on ~1.7e18 nano epochs. */
+    * `events.ts` has appeared in two physical encodings across
+    * test-data generations: TIMESTAMP(NANOS) — which Spark 4 only
+    * reads via `spark.sql.legacy.parquet.nanosAsLong`, as an
+    * epoch-nanos LongType — and TIMESTAMP(MICROS, isAdjustedToUTC =
+    * false), which reads as TIMESTAMP_NTZ. Either way queries see one
+    * session-zone TimestampType column: nanos normalize with integer
+    * division (`div 1000`, no double round-trip, so no precision loss
+    * on ~1.7e18 nano epochs) and NTZ casts wall-clock-preserving under
+    * the UTC session zone every entry point sets. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType)) {
+    val tsType = df.schema.fields.find(_.name == "ts").map(_.dataType)
+    if (name == "events" && tsType.contains(org.apache.spark.sql.types.LongType)) {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else if (name == "events" &&
+        tsType.contains(org.apache.spark.sql.types.TimestampNTZType)) {
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
     } else df
   }
 
