@@ -29,8 +29,20 @@ object CorpusSweep {
     // GRAFT_CORPUS_HYBRID=1: answer the PQL side from the stitched
     // offline∪realtime hybrid view (HybridClusterIntegrationTest mode)
     val hybrid = sys.env.get("GRAFT_CORPUS_HYBRID").contains("1")
-    val pqlTable = if (hybrid) CorpusHarness.hybridView(spark) else fx.mv
+    // GRAFT_CORPUS_STARTREE=1: mined star-tree rollups registered and
+    // the routing rule active; routable lines answer from rollups
+    val startree = sys.env.get("GRAFT_CORPUS_STARTREE").contains("1")
+    val pqlTable =
+      if (hybrid) CorpusHarness.hybridView(spark)
+      else if (startree) {
+        graft.Graft.enable(spark)
+        val specs = CorpusHarness.registerCorpusTrees(spark, fx)
+        specs.foreach(s => println(s"[sweep] tree dims=${s.dims.mkString("+")} " +
+          s"metrics=${s.metrics.size} mined-cover=${s.minedCover}"))
+        spark.read.parquet(CorpusHarness.stFactDir())
+      } else fx.mv
     if (hybrid) println("[sweep] HYBRID mode: PQL side reads the stitched view")
+    if (startree) println("[sweep] STARTREE mode: routing rule active over the fact segment")
     val lines = fx.lines.slice(start, end)
     val out = new java.io.PrintWriter(new java.io.FileWriter(outFile, true))
     val t0 = System.nanoTime()
@@ -44,6 +56,16 @@ object CorpusSweep {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[sweep] ${chunk.last.id + 1}%5d done, " +
           f"${os.count(_.matched)}%3d/${os.size} matched in chunk, $secs%.0f s")
+      }
+      if (startree) {
+        // routed census: how many of the swept lines the optimizer
+        // actually answered from a rollup (plan-level, no execution)
+        val routed = lines.count(l =>
+          (try Some(graft.pql.Pql.parse(l.pql))
+          catch { case _: IllegalArgumentException => None })
+            .exists(CorpusHarness.isRouted(_, pqlTable)))
+        println(s"[sweep] routed $routed/${lines.size} swept lines " +
+          "answered from star-tree rollups")
       }
     } finally out.close()
     spark.stop()

@@ -66,10 +66,9 @@ object CorpusHarness {
       // otherwise ship them — with thousands of harness statements
       // that serialization dominated wall time ("task of very large
       // size" warnings). Re-read, each plan is a plain 4-file scan.
-      val segDir = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_fx_$numRows"
       OnTimeCorpus.synthesize(spark, schema, pools, numRows)
-        .write.mode("overwrite").parquet(segDir)
-      val mv = spark.read.parquet(segDir).cache()
+        .write.mode("overwrite").parquet(segDir(numRows))
+      val mv = spark.read.parquet(segDir(numRows)).cache()
       val flat = OnTimeCorpus.flatten(mv).cache()
       flat.createOrReplaceTempView("mytable")
       flat.count() // materialize both caches once
@@ -109,6 +108,195 @@ object CorpusHarness {
       view
     }
   }
+
+  // ---- star-tree routed mode --------------------------------------------
+
+  /** Parquet dump backing the fixture — the "segment directory" the
+    * star-tree registry keys routing on. */
+  def segDir(numRows: Int = 8000): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_corpus_fx_$numRows"
+
+  /** One mined star-tree: the dimensionsSplitOrder + metric columns a
+    * reference table config would declare for this workload, plus how
+    * many corpus lines the mining pass assigned to it. */
+  final case class TreeSpec(dims: Seq[String], metrics: Seq[String], minedCover: Int) {
+    def covers(need: (Set[String], Set[String])): Boolean =
+      need._1.subsetOf(dims.toSet) && need._2.subsetOf(metrics.toSet)
+  }
+
+  private def exprCols(e: Pql.Expr): Set[String] = e match {
+    case Pql.Ident(n) => Set(n)
+    case Pql.Func(_, args) => args.flatMap(exprCols).toSet
+    case _ => Set.empty
+  }
+
+  private def predCols(p: Pql.Pred): Set[String] = p match {
+    case Pql.Cmp(e, _, v) => exprCols(e) ++ exprCols(v)
+    case Pql.Between(e, lo, hi) => exprCols(e) ++ exprCols(lo) ++ exprCols(hi)
+    case Pql.In(e, vs, _) => exprCols(e) ++ vs.flatMap(exprCols)
+    case Pql.IsNull(e, _) => exprCols(e)
+    case Pql.RegexpLike(e, _) => exprCols(e)
+    case Pql.AndP(ps) => ps.flatMap(predCols).toSet
+    case Pql.OrP(ps) => ps.flatMap(predCols).toSet
+  }
+
+  private val TreeAggs = Set("count", "sum", "min", "max", "avg")
+
+  /** (dims-needed, metrics-needed) when the line is a star-tree-
+    * routable group-by aggregation: non-DISTINCT, no HAVING, grouped
+    * on plain scalar columns, every select item a plain
+    * COUNT/SUM/MIN/MAX/AVG over a numeric column (or COUNT(*)), and
+    * every WHERE-referenced column scalar. Mirrors exactly what
+    * [[graft.plans.StarTreeRoutingRule]] can rewrite, so prediction
+    * and plan behavior can be equated in tests. */
+  private def routableNeed(q: Pql.Query, scalarCols: Set[String],
+      numericCols: Set[String]): Option[(Set[String], Set[String])] = {
+    if (q.groupBy.isEmpty || q.distinct || q.having.nonEmpty) return None
+    val gcols = q.groupBy.map {
+      case Pql.Ident(n) => n
+      case _ => return None
+    }
+    var metrics = Set.empty[String]
+    q.select.foreach {
+      case Pql.Ident(n) if gcols.contains(n) => ()
+      case Pql.Func(f, args) if TreeAggs.contains(f.toLowerCase) => args match {
+        case Seq(Pql.Star) if f.toLowerCase == "count" => ()
+        case Seq(Pql.Ident(m)) => metrics += m
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val dims = gcols.toSet ++ q.where.map(predCols).getOrElse(Set.empty)
+    if (!dims.subsetOf(scalarCols)) return None
+    if (!metrics.subsetOf(numericCols)) return None
+    if (metrics.exists(dims.contains)) return None
+    Some((dims, metrics))
+  }
+
+  private def colSets(fx: Fixture): (Set[String], Set[String]) = {
+    val fields = fx.mv.schema.fields
+    (fields.filterNot(_.dataType.isInstanceOf[ArrayType]).map(_.name).toSet,
+      fields.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name).toSet)
+  }
+
+  private def minedNeeds(fx: Fixture): Seq[(Int, (Set[String], Set[String]))] = {
+    val (scalarCols, numericCols) = colSets(fx)
+    fx.lines.flatMap { l =>
+      (try Some(Pql.parse(l.pql))
+      catch { case _: IllegalArgumentException => None })
+        .flatMap(routableNeed(_, scalarCols, numericCols))
+        .map(l.id -> _)
+    }
+  }
+
+  /** Mine star-tree configs for the corpus workload: greedy set cover —
+    * each round grows a dimension set (preferring the column that
+    * completes the most one-dim-short lines, then the most-demanded
+    * column), takes every still-uncovered line it can answer, and
+    * declares the union of their aggregation columns as the tree's
+    * metrics. Deterministic: ties break on column name, the corpus and
+    * schema are fixed inputs. The corpus draws columns uniformly from
+    * an ~80-column schema, so no small tree family covers everything —
+    * the point is a sizable, *predictable* routed subset whose answers
+    * must be bit-identical to the scan plans. */
+  def starTreeSpecs(fx: Fixture, maxTrees: Int = 6, maxDims: Int = 8): Seq[TreeSpec] = {
+    var remaining = minedNeeds(fx).map(_._2)
+    val out = Seq.newBuilder[TreeSpec]
+    var t = 0
+    while (t < maxTrees && remaining.nonEmpty) {
+      var dims = Set.empty[String]
+      var d = 0
+      while (d < maxDims) {
+        val gain = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        val freq = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        remaining.foreach { case (ds, _) =>
+          val miss = ds -- dims
+          if (miss.size == 1) gain(miss.head) += 1
+          miss.foreach(c => freq(c) += 1)
+        }
+        val pick =
+          if (gain.nonEmpty) Some(gain.toSeq.maxBy { case (c, g) => (g, c) }._1)
+          else if (freq.nonEmpty) Some(freq.toSeq.maxBy { case (c, g) => (g, c) }._1)
+          else None
+        pick match {
+          case Some(c) => dims += c; d += 1
+          case None => d = maxDims
+        }
+      }
+      val spec0 = TreeSpec(dims.toSeq.sorted, Nil, 0)
+      def coveredBy(n: (Set[String], Set[String])): Boolean =
+        n._1.subsetOf(dims) && !n._2.exists(dims.contains)
+      val cov = remaining.filter(coveredBy)
+      if (cov.nonEmpty)
+        out += spec0.copy(
+          metrics = cov.flatMap(_._2).distinct.sorted,
+          minedCover = cov.size)
+      remaining = remaining.filterNot(coveredBy)
+      t += 1
+    }
+    out.result()
+  }
+
+  /** Line ids the mining model predicts WILL route given the built
+    * trees — equated with actual plan shape in CorpusStarTreeSpec. */
+  def predictedRoutedIds(fx: Fixture, specs: Seq[TreeSpec]): Set[Int] =
+    minedNeeds(fx).collect {
+      case (id, need) if specs.exists(_.covers(need)) => id
+    }.toSet
+
+  /** Fact-segment copy used by star-tree mode. The base fixture's
+    * parquet is CACHED (`fixture` calls `.cache()`), and Spark's cache
+    * manager substitutes the InMemoryRelation for ANY read of the same
+    * path — which would bypass the routing rule (it matches file
+    * scans) and make the whole mode vacuous. A distinct path defeats
+    * the fragment match, so star-tree queries really hit a
+    * `LogicalRelation` the rule can rewrite. */
+  def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact"
+
+  /** Build, persist (parquet — queries then column-prune the rollup
+    * scan like any segment), and register the mined trees for the
+    * star-tree fact segment ([[stFactDir]], also written here). Caller
+    * owns cleanup: `StarTreeRegistry.unregister(stFactDir(numRows))`. */
+  def registerCorpusTrees(spark: SparkSession, fx: Fixture,
+      numRows: Int = 8000, maxTrees: Int = 6, maxDims: Int = 8): Seq[TreeSpec] = {
+    fx.mv.write.mode("overwrite").parquet(stFactDir(numRows))
+    val specs = starTreeSpecs(fx, maxTrees, maxDims)
+    specs.zipWithIndex.foreach { case (s, i) =>
+      val path = s"${segDir(numRows)}_startree_$i"
+      graft.plans.StarTree.build(fx.mv, s.dims, s.metrics).rollup
+        .write.mode("overwrite").parquet(path)
+      graft.plans.StarTreeRegistry.register(stFactDir(numRows),
+        graft.plans.StarTree.Index(s.dims, s.metrics, spark.read.parquet(path)))
+    }
+    specs
+  }
+
+  /** (answered-from-rollup, still-scans-fact) for one line's optimized
+    * plan. "Routed" means the plan READS a registered rollup — absence
+    * of the fact scan alone is not routing: `LIMIT 0` and
+    * contradictory predicates constant-fold the scan away entirely,
+    * and a global `COUNT(*)` takes the metadata-only plan, all without
+    * touching a rollup. A plan may legitimately be neither. */
+  def routeCensus(q: Pql.Query, pqlTable: DataFrame,
+      numRows: Int = 8000): (Boolean, Boolean) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = Pql.toDataFrame(q, _ => pqlTable).queryExecution.optimizedPlan
+    var routed = false
+    var scansFact = false
+    plan.foreach {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val roots = fs.location.rootPaths.map(_.toString)
+        if (roots.exists(_.contains(s"${segDir(numRows)}_startree_"))) routed = true
+        if (roots.exists(_.contains(stFactDir(numRows)))) scansFact = true
+      case _ => ()
+    }
+    (routed, scansFact)
+  }
+
+  /** Was this line answered from a registered rollup? */
+  def isRouted(q: Pql.Query, pqlTable: DataFrame, numRows: Int = 8000): Boolean =
+    routeCensus(q, pqlTable, numRows)._1
 
   // ---- canonical values -------------------------------------------------
 
@@ -330,16 +518,28 @@ object CorpusHarness {
 
   /** Run a set of corpus lines, returning (line_id, mode, matched,
     * reason) — the `q_corpus_sample` surface; `hybrid = true` answers
-    * the PQL side from the stitched offline∪realtime view. */
+    * the PQL side from the stitched offline∪realtime view;
+    * `starTree = true` reads the fact from its (uncached) parquet
+    * segment with the mined rollup trees registered, so routable lines
+    * are answered by [[graft.plans.StarTreeRoutingRule]] — a routing
+    * defect then flips `matched` against the plain-table hsql twin. */
   def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000,
-      hybrid: Boolean = false): DataFrame = {
+      hybrid: Boolean = false, starTree: Boolean = false): DataFrame = {
     val fx = fixture(spark, numRows)
     val byId = fx.lines.map(l => l.id -> l).toMap
-    val table = if (hybrid) hybridView(spark, numRows) else fx.mv
-    val outcomes = compareAll(spark, fx, ids.map(byId), pqlTable = table)
-    import spark.implicits._
-    outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
-      .toDF("line_id", "mode", "matched", "reason")
+    val table =
+      if (hybrid) hybridView(spark, numRows)
+      else if (starTree) {
+        graft.Graft.enable(spark)
+        registerCorpusTrees(spark, fx, numRows)
+        spark.read.parquet(stFactDir(numRows))
+      } else fx.mv
+    try {
+      val outcomes = compareAll(spark, fx, ids.map(byId), pqlTable = table)
+      import spark.implicits._
+      outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
+        .toDF("line_id", "mode", "matched", "reason")
+    } finally if (starTree) graft.plans.StarTreeRegistry.unregister(stFactDir(numRows))
   }
 
   /** Deterministic sample: every `step`-th line id. */

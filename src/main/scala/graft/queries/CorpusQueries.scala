@@ -42,12 +42,22 @@ object CorpusQueries {
     "q_corpus_hybrid" -> ((s, _) =>
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), hybrid = true)
         .select("line_id", "matched")
+        .orderBy("line_id")),
+    // the same 250-line sample with the mined star-tree rollups
+    // registered and the routing rule active (StarTreeClusterIntegration
+    // shape): routable lines answer from pre-aggregated rollups, the
+    // hsql twin still reads the plain table — any routing rewrite that
+    // changes an answer flips `matched` and fails the hash
+    "q_corpus_startree" -> ((s, _) =>
+      CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), starTree = true)
+        .select("line_id", "matched")
         .orderBy("line_id"))
   )
 
   def oracles: Map[String, String] = Map(
     "q_corpus_sample" -> CorpusHarness.sampleOracle(SampleStep),
     "q_corpus_duck" -> CorpusHarness.duckSliceOracle(DuckLines),
-    "q_corpus_hybrid" -> CorpusHarness.sampleOracle(SampleStep)
+    "q_corpus_hybrid" -> CorpusHarness.sampleOracle(SampleStep),
+    "q_corpus_startree" -> CorpusHarness.sampleOracle(SampleStep)
   )
 }
