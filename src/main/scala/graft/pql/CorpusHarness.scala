@@ -251,8 +251,14 @@ object CorpusHarness {
     * path — which would bypass the routing rule (it matches file
     * scans) and make the whole mode vacuous. A distinct path defeats
     * the fragment match, so star-tree queries really hit a
-    * `LogicalRelation` the rule can rewrite. */
-  def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact"
+    * `LogicalRelation` the rule can rewrite. Tagged with the JVM pid:
+    * unlike the base fixture (which each process rewrites once before
+    * reading), these dirs are written and read while OTHER harness
+    * JVMs may be doing the same, and two writers corrupt each other's
+    * `_temporary` commit dirs. */
+  private val jvmTag: Long = java.lang.ProcessHandle.current().pid()
+
+  def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact_$jvmTag"
 
   /** Build, persist (parquet — queries then column-prune the rollup
     * scan like any segment), and register the mined trees for the
@@ -263,7 +269,7 @@ object CorpusHarness {
     fx.mv.write.mode("overwrite").parquet(stFactDir(numRows))
     val specs = starTreeSpecs(fx, maxTrees, maxDims)
     specs.zipWithIndex.foreach { case (s, i) =>
-      val path = s"${segDir(numRows)}_startree_$i"
+      val path = s"${segDir(numRows)}_startree_${jvmTag}_$i"
       graft.plans.StarTree.build(fx.mv, s.dims, s.metrics).rollup
         .write.mode("overwrite").parquet(path)
       graft.plans.StarTreeRegistry.register(stFactDir(numRows),
