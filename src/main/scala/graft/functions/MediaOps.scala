@@ -82,7 +82,10 @@ object MediaOps {
         // malformed: a chunk longer than the blob (also prevents the
         // u32→int wrap stalling the walk on adversarial lengths)
         if (len > b.length.toLong - i - 8) return unknownAudio
-        if (id == "fmt " && i + 24 <= b.length) {
+        // fields live INSIDE the declared chunk: a fmt chunk shorter
+        // than the canonical 16 bytes must not read the next chunk's
+        // header bytes as format metadata
+        if (id == "fmt " && len >= 16 && i + 24 <= b.length) {
           ch = le16(b, i + 10)
           rate = le32(b, i + 12).toInt
           byteRate = le32(b, i + 16)
@@ -177,7 +180,7 @@ object MediaOps {
               timescale = be32(b, p + 12).toLong & 0xffffffffL
               duration = be32(b, p + 16).toLong & 0xffffffffL
             }
-          case "tkhd" =>
+          case "tkhd" if p < to =>
             val v = b(p) & 0xff
             val off = if (v == 1) 88 else 76
             if (p + off + 8 <= to) {
@@ -193,11 +196,18 @@ object MediaOps {
     }
     walk(0, b.length, 0)
     if (format == null || timescale <= 0 || duration < 0) return unknownVideo
+    // ISO-BMFF reserves all-ones mvhd duration as "unknown" (v0
+    // 0xFFFFFFFF; v1 all-ones parses as -1 and is caught above);
+    // overflow-guard the ms conversion too — a bogus huge duration
+    // must surface as null, not a negative wrapped long
+    val durMs: Any =
+      if (duration == 0xffffffffL || duration > Long.MaxValue / 1000L) null
+      else java.lang.Long.valueOf(duration * 1000L / timescale)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(format),
       if (width > 0) width else null,
       if (height > 0) height else null,
-      duration * 1000L / timescale))
+      durMs))
   }
 
   /** (format, width, height) from the blob's header bytes, or an

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *   1. `groupBy(keys :+ value).count()` — map-side combine shrinks
   *      each partition to its distinct (key, value) pairs; the one
   *      real shuffle carries only the global distinct pairs.
-  *   2. A window over each key ordered by value turns counts into
-  *      cumulative ranks (and the unbounded sum gives the group
-  *      total in the same pass — no second scan or join).
+  *   2. Counts become cumulative ranks via a two-level prefix sum:
+  *      per-(key, value-bucket) offsets, then a running sum inside
+  *      each bucket — so the rank pass is parallel across buckets and
+  *      no task ever holds more than one bucket's distinct values,
+  *      even for a global percentile over a near-unique column.
   *   3. The value at 0-indexed position p is the first value whose
   *      cumulative count reaches p+1, so each requested fraction f
   *      reduces to two conditional `min`s (positions floor(h) and
@@ -99,13 +101,37 @@ object Percentiles {
       .groupBy(keys :+ v.as("_v"): _*)
       .agg(count(when(col(valueCol).isNotNull, 1)).as("_c"))
 
-    // 2. cumulative and total counts in one window pass per key
-    //    (null histogram rows sort first with _c = 0: cum stays 0
-    //    there and they never satisfy a >= 1 rank threshold)
+    // 2. cumulative and total counts, TWO-LEVEL: per-(key, bucket)
+    //    offsets first, then a running sum within each bucket. A
+    //    single window per key would funnel a group's ENTIRE histogram
+    //    through one task — for a global percentile over a
+    //    near-unique int column that is one task sorting ~n rows, a
+    //    real 100 TB cliff. Bucketing by floor(_v / 65536) caps every
+    //    window task at one bucket's distinct values (≤65536 rows for
+    //    any integral column; floor is monotonic, so bucket order IS
+    //    value order) and the bucket-offset window itself handles at
+    //    most 65536 bucket rows per group. Null histogram rows (the
+    //    keepNullGroups count-0 carriers) land in the null bucket,
+    //    which sorts first with _bc = 0 — cum stays 0 there and they
+    //    never satisfy a >= 1 rank threshold.
     val byKey = Window.partitionBy(keys: _*)
-    val ranked = hist
-      .withColumn("_cum", sum(col("_c")).over(byKey.orderBy(col("_v"))))
-      .withColumn("_n", sum(col("_c")).over(byKey))
+    val histB = hist.withColumn("_b", floor(col("_v") / 65536.0d))
+    val bCum = histB
+      .groupBy(keys :+ col("_b").as("_jb"): _*)
+      .agg(sum(col("_c")).as("_bc"))
+      .withColumn("_boff",
+        sum(col("_bc")).over(byKey.orderBy(col("_jb").asc_nulls_first)) - col("_bc"))
+      .withColumn("_n", sum(col("_bc")).over(byKey))
+      .drop("_bc")
+    // null-safe equi-join back on (keys, bucket): null group keys and
+    // the null bucket are real join keys
+    val bCumR = keyCols.foldLeft(bCum)((d, k) => d.withColumnRenamed(k, s"_bk_$k"))
+    val joinCond = (keyCols.map(k => histB(k) <=> bCumR(s"_bk_$k")) :+
+      (histB("_b") <=> bCumR("_jb"))).reduce(_ && _)
+    val ranked = histB.join(bCumR, joinCond)
+      .drop("_jb").drop(keyCols.map(k => s"_bk_$k"): _*)
+      .withColumn("_cum", col("_boff") +
+        sum(col("_c")).over(Window.partitionBy(keys :+ col("_b"): _*).orderBy(col("_v"))))
 
     // 3. per spec: conditional mins over the ranked histogram.
     //    `_n` is constant within a group: raw inside the conditional

@@ -175,9 +175,13 @@ object CorpusHarness {
 
   private def colSets(fx: Fixture): (Set[String], Set[String]) = {
     val fields = fx.mv.schema.fields
+    // DecimalType is excluded to mirror the rule exactly: rollupExpr/
+    // reAggExpr refuse AVG over decimals (re-summing widens precision)
     (fields.filterNot(_.dataType.isInstanceOf[ArrayType]).map(_.name).toSet,
-      fields.filter(_.dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name).toSet)
+      fields.filter(f => f.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        .map(_.name).toSet)
   }
 
   private def minedNeeds(fx: Fixture): Seq[(Int, (Set[String], Set[String]))] = {

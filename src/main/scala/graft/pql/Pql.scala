@@ -443,9 +443,19 @@ object Pql {
     case Func(PercentileRe(kind, pct), Seq(a)) =>
       val q = percentileFraction(pct)
       if (kind == "percentile") percentile(scalar(a), lit(q))
-      else percentile_approx(scalar(a), lit(q), lit(EstAccuracy))
+      else estResult(kind, percentile_approx(scalar(a), lit(q), lit(EstAccuracy)))
     case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
   }
+
+  /** Result domain of the approximate percentile flavors, applied on
+    * every path (sketch, fused sketch, exact histogram, MV twins):
+    * PERCENTILEEST returns LONG — the reference's QuantileDigest
+    * consumes and returns longs regardless of the input column type
+    * (`PercentileEstAggregationFunction.java`) — while
+    * PERCENTILETDIGEST returns DOUBLE (`com.tdunning` digests hold
+    * doubles, `PercentileTDigestAggregationFunction`). */
+  private def estResult(kind: String, c: Column): Column =
+    if (kind == "percentileest") c.cast("long") else c.cast("double")
 
   /** PERCENTILEEST/PERCENTILETDIGEST sketch accuracy (rank error =
     * 1/accuracy). The reference's QuantileDigest runs at 5% max rank
@@ -480,7 +490,7 @@ object Pql {
     case Func(PercentileMvRe(kind, pct), Seq(_)) =>
       val q = percentileFraction(pct)
       if (kind == "percentile") percentile(elem, lit(q))
-      else percentile_approx(elem, lit(q), lit(EstAccuracy))
+      else estResult(kind, percentile_approx(elem, lit(q), lit(EstAccuracy)))
     case _ => throw new IllegalArgumentException(s"not an MV aggregation: $e")
   }
 
@@ -680,11 +690,14 @@ object Pql {
             frame.select(
               (if (q.groupBy.isEmpty) Nil else keyNames.map(col)) ++
                 items.map { case (e, nm) =>
-                  val isEst = e match {
-                    case Func(PercentileRe(kind, _), _) => kind != "percentile"
+                  e match {
+                    // EST → LONG, TDIGEST → DOUBLE (estResult's
+                    // reference domains); exact PERCENTILE keeps the
+                    // histogram's interpolated double as-is
+                    case Func(PercentileRe(kind, _), _) if kind != "percentile" =>
+                      estResult(kind, col(nm)).as(nm)
+                    case _ => col(nm)
                   }
-                  // EST answers are the reference's LONG domain
-                  if (isEst) col(nm).cast("long").as(nm) else col(nm)
                 }: _*)
           }
       val svFrame: Option[DataFrame] =
@@ -731,7 +744,8 @@ object Pql {
                 estArg((e, nm)).filter(fused.contains) match {
                   case Some(argName) =>
                     val idx = fused(argName).indexWhere(_._2 == nm)
-                    element_at(col(s"_pa_$argName"), idx + 1).as(nm)
+                    val kind = e match { case Func(PercentileRe(k, _), _) => k }
+                    estResult(kind, element_at(col(s"_pa_$argName"), idx + 1)).as(nm)
                   case None => col(nm)
                 }
               }: _*)

@@ -157,6 +157,28 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.forall(identity))
   }
 
+  test("media kernels survive malformed edges: empty tkhd tail, unknown mvhd duration, short fmt chunk") {
+    import graft.functions.MediaOps
+    // empty 8-byte tkhd box ending the blob: size==header admits it,
+    // the payload read must bounds-check instead of throwing AIOOBE
+    val emptyTkhdTail = Array[Byte](0, 0, 0, 8, 't', 'k', 'h', 'd')
+    assert(MediaOps.videoMeta(emptyTkhdTail) != null) // total, no throw
+    // ISO-BMFF reserves all-ones mvhd duration as "unknown": the row
+    // keeps format but duration_ms must be null, not ~49.7 days
+    val unknownDur = Multimodal.makeMp4(320, 240, 0xffffffffL)
+    val r = MediaOps.videoMeta(unknownDur)
+    assert(r.getUTF8String(0).toString === "mp4" && r.isNullAt(3))
+    // a fmt chunk declaring len<16 must not read the NEXT chunk's
+    // bytes as format fields: the wav falls to unknown, all-null
+    val wav = Multimodal.makeWav(8000, 256, 1)
+    val lenField = java.nio.ByteBuffer.wrap(wav, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(lenField.getInt === 16) // canonical fmt length in our fixture
+    val short = wav.clone()
+    short(16) = 0 // fmt len := 0
+    assert(MediaOps.audioMeta(short).isNullAt(0))
+  }
+
   test("stubFeatures: fixed dim, [0,1) range, deterministic") {
     val f = df.select($"id", Multimodal.stubFeatures($"blob", 8).as("f"))
     val rows = f.select(size($"f"), forall($"f", x => x >= 0 && x < 1))
