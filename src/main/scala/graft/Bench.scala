@@ -43,10 +43,13 @@ object Bench {
     }
 
     // correctness HARNESSES, not throughput queries: each runs
-    // hundreds of sub-second corpus statements and would dominate (and
-    // distort) the headline total whose baseline counterpart does no
-    // comparable work. Timed separately, once, under "harness".
-    val harnessNames = Set("q_corpus_sample", "q_corpus_duck")
+    // hundreds of sub-second corpus statements (the hybrid/star-tree
+    // variants additionally stitch views or build rollup trees) and
+    // would dominate (and distort) the headline total whose baseline
+    // counterpart does no comparable work. Timed separately, once,
+    // under "harness".
+    val harnessNames =
+      Set("q_corpus_sample", "q_corpus_duck", "q_corpus_hybrid", "q_corpus_startree")
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(harnessNames).sorted
     val failed = scala.collection.mutable.ArrayBuffer[String]()

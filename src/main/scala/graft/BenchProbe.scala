@@ -97,6 +97,20 @@ object BenchProbe {
         graft.operators.Percentiles.exact(
           t.select(col("Carrier"), col("ArrDelay").cast("double").as("v")),
           Seq("Carrier"), "v", Seq(0.5 -> "p50", 0.95 -> "p95")))
+      // the rank-pass cliff case: a NEAR-UNIQUE int (~10^8 distinct
+      // hash values over 100M rows). A single global window would sort
+      // the whole ~100M-row histogram in one task; the two-level
+      // bucketed prefix sum keeps every task at one bucket (~3K
+      // values). This is the worst case for the EXACT path — the
+      // sketch is the intended tool here — probed to show it degrades
+      // to bounded-parallel work, not a one-task sort.
+      run("h2u near-unique exact histogram")(
+        graft.operators.Percentiles.histogramAggs(
+          t.select(pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+            lit(1L << 31)).cast("double").as("v")),
+          Nil, "v", Seq(
+            graft.operators.Percentiles.Spec(0.5, "p50", nearestRank = false),
+            graft.operators.Percentiles.Spec(0.95, "p95", nearestRank = false))))
     }
 
     if (which == "sorted") {

@@ -83,7 +83,11 @@ object ClearspringHll {
       }
       val count = m
       val estimate = alphaMM(log2m) * (1.0 / registerSum)
-      if (estimate <= 2.5 * count && zeros > 0)
+      // bit-faithful to stream-lib 2.7.0: the small-range branch has NO
+      // zeros-guard there, so all-registers-nonzero with estimate still
+      // ≤2.5m computes log(m/0) = ∞ → Long.MaxValue, and parity with a
+      // reference cluster's FASTHLL answer matters more than prettiness
+      if (estimate <= 2.5 * count)
         math.round(count * math.log(count / zeros))
       else math.round(estimate)
     }
@@ -229,12 +233,26 @@ object cshll {
 
     override def update(buffer: Hll, input: InternalRow): Hll = {
       val v = child.eval(input)
-      if (v != null)
-        buffer.mergeWith(deserializeString(v.asInstanceOf[UTF8String].toString))
-      else buffer
+      if (v == null) buffer
+      else {
+        val in = deserializeString(v.asInstanceOf[UTF8String].toString)
+        adoptOrMerge(buffer, in)
+      }
     }
 
-    override def merge(buffer: Hll, other: Hll): Hll = buffer.mergeWith(other)
+    override def merge(buffer: Hll, other: Hll): Hll = adoptOrMerge(buffer, other)
+
+    /** A pristine (never-updated, all-zero) buffer ADOPTS the incoming
+      * sketch's log2m instead of requiring the default: fromBytes
+      * accepts any log2m a reference cluster was configured with, and
+      * the union must too. Mixed log2m between two non-empty sketches
+      * still fails loudly (registers witness different bucket splits —
+      * no lossless merge exists). */
+    private def adoptOrMerge(buffer: Hll, in: Hll): Hll =
+      if (in.log2m == buffer.log2m) buffer.mergeWith(in)
+      else if (buffer.registers.forall(_ == 0)) in
+      else if (in.registers.forall(_ == 0)) buffer
+      else buffer.mergeWith(in) // throws the mixed-log2m error
 
     override def eval(buffer: Hll): Any =
       UTF8String.fromString(serializeString(buffer))

@@ -745,14 +745,23 @@ object HashOps {
                 var neg = false
                 if (k < b.length && b(k) == '-') { neg = true; k += 1 }
                 if (k >= b.length || b(k) < '0' || b(k) > '9') return null
+                // accumulate the NEGATIVE magnitude (it holds
+                // Long.MinValue, which a positive accumulator cannot);
+                // overflow ⇒ null, matching try_cast(... AS BIGINT) —
+                // a wrapped garbage long must never bucket a row
                 var v = 0L
+                var overflow = false
                 while (k < b.length && b(k) >= '0' && b(k) <= '9') {
-                  v = v * 10L + (b(k) - '0'); k += 1
+                  val d = b(k) - '0'
+                  if (v < (Long.MinValue + d) / 10L) overflow = true
+                  else v = v * 10L - d
+                  k += 1
                 }
                 // fractional / exponent part => not an integer field
                 if (k < b.length && (b(k) == '.' || b(k) == 'e' || b(k) == 'E'))
                   return null
-                return java.lang.Long.valueOf(if (neg) -v else v)
+                if (overflow || (!neg && v == Long.MinValue)) return null
+                return java.lang.Long.valueOf(if (neg) v else -v)
               }
             }
           }

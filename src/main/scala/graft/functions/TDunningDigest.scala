@@ -69,6 +69,11 @@ object TDunningDigest {
     /** Concatenate-and-recluster merge (MergingDigest.merge's single
       * pass over mean-sorted centroids, k1 scale function). */
     def mergeWith(other: Digest): Digest = {
+      // flush BOTH pending buffers first: points still sitting in a
+      // below-threshold add() buffer are part of the digest's state,
+      // and skipping them here would silently drop them (an all-pending
+      // digest has n == 0 but is not empty)
+      flush(); other.flush()
       if (other.n == 0) return this
       min = math.min(min, other.min)
       max = math.max(max, other.max)

@@ -135,6 +135,7 @@ object Multimodal {
   def imageIoExtractor(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
     batch.map { bytes =>
       try {
+        if (bytes == null) throw new java.io.IOException("null blob")
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) Array.fill(5)(Double.NaN)
         else {
@@ -153,7 +154,13 @@ object Multimodal {
           val n = w.toLong * h
           Array(w.toDouble, h.toDouble, r.toDouble / n, g.toDouble / n, b.toDouble / n)
         }
-      } catch { case _: java.io.IOException => Array.fill(5)(Double.NaN) }
+      } catch {
+        // ImageIO throws RuntimeExceptions (CMMException, IIOException
+        // wrappers, index errors) on truncated/corrupt images, not just
+        // IOException — ANY decode failure must yield the NaN row, or a
+        // single bad blob fails the task 4x and kills the backfill
+        case scala.util.control.NonFatal(_) => Array.fill(5)(Double.NaN)
+      }
     }
 
   /** REAL audio decode extractor for [[batchedFeatures]]: decodes each
@@ -204,9 +211,9 @@ object Multimodal {
             frames.toDouble, frames / fmt.getFrameRate.toDouble, rms)
         }
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException =>
-          Array.fill(5)(Double.NaN)
-        case _: java.io.IOException => Array.fill(5)(Double.NaN)
+        // same contract as imageIoExtractor: any decode failure (null
+        // blob, truncated stream, codec RuntimeException) → NaN row
+        case scala.util.control.NonFatal(_) => Array.fill(5)(Double.NaN)
       }
     }
 

@@ -78,11 +78,14 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
         val table = path.stripPrefix("/debug/timeBoundary/")
         BrokerServer.timeBoundaryJson(spark, tableDir, table)
       })
-    // sized from the admission cap plus headroom so queued queries can
-    // never occupy every handler thread and starve /health + /debug
-    // (with a fixed pool <= maxConcurrentQueries the semaphore was
-    // unreachable and the queue blocked the whole server)
-    server.setExecutor(Executors.newFixedThreadPool(maxConcurrentQueries + 2))
+    // a CACHED pool, not a fixed one: /health + /debug must always
+    // find a thread even when maxConcurrentQueries queries execute AND
+    // more sit in the admission queue — with any fixed size N, N
+    // concurrent query requests still park every handler thread on
+    // admission.tryAcquire and starve the probes. Thread growth is
+    // bounded in practice by the bounded admission wait (excess
+    // queries 429 out after AdmissionWaitMs).
+    server.setExecutor(Executors.newCachedThreadPool())
     server.start()
     started = true
     boundPort
@@ -116,13 +119,33 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
           // and headers (BaseBrokerRequestHandler.java:145); the
           // Authorization header is the natural single-field analog
           val identity = Option(ex.getRequestHeaders.getFirst("Authorization"))
-          val debugMap =
-            try debugOpts.map(FilterOptimizer.parseDebugOptions).getOrElse(Map.empty)
-            catch { case _: IllegalArgumentException => Map.empty[String, String] }
-          admission.acquire()
-          try BrokerServer.execute(spark, tableDir, q, quotaLimiters,
-            queryResponseLimit, accessControl, identity, debugMap, timeColumns)
-          finally admission.release()
+          // a malformed debugOptions string is a REQUEST error (the
+          // same contract as a malformed optimizationFlags value), not
+          // something to silently drop — the client must learn their
+          // option never applied
+          val debugMap: Either[String, Map[String, String]] =
+            try Right(debugOpts.map(FilterOptimizer.parseDebugOptions).getOrElse(Map.empty))
+            catch { case e: IllegalArgumentException =>
+              Left(BrokerServer.exceptionJson(BrokerServer.QueryValidationErrorCode,
+                String.valueOf(e.getMessage))
+                .dropRight(1) + """, "timeUsedMs": 0}""")
+            }
+          debugMap match {
+            case Left(err) => err
+            case Right(dm) =>
+              // bounded admission wait: saturation answers 429 instead
+              // of parking handler threads forever
+              if (!admission.tryAcquire(BrokerServer.AdmissionWaitMs,
+                  TimeUnit.MILLISECONDS))
+                BrokerServer.exceptionJson(BrokerServer.TooManyRequestsErrorCode,
+                  "admission queue wait exceeded " +
+                    s"${BrokerServer.AdmissionWaitMs} ms")
+                  .dropRight(1) + """, "timeUsedMs": 0}"""
+              else
+                try BrokerServer.execute(spark, tableDir, q, quotaLimiters,
+                  queryResponseLimit, accessControl, identity, dm, timeColumns)
+                finally admission.release()
+          }
       }
       val bytes = json.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -168,6 +191,11 @@ object BrokerServer {
   val ExecutionTimeoutErrorCode = 250
   val TooManyRequestsErrorCode = 429
   val QueryValidationErrorCode = 700
+
+  /** Max time a query may wait in the admission queue before the
+    * broker answers 429 — bounds both client latency and handler
+    * thread growth under saturation. */
+  val AdmissionWaitMs = 10000L
 
   /** Pluggable broker access control, the reference's
     * `AccessControlFactory.create().hasAccess(requesterIdentity,

@@ -264,20 +264,41 @@ object CorpusHarness {
 
   def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact_$jvmTag"
 
+  @volatile private var builtTrees: (SparkSession, Int, Seq[TreeSpec]) = null
+
   /** Build, persist (parquet — queries then column-prune the rollup
     * scan like any segment), and register the mined trees for the
     * star-tree fact segment ([[stFactDir]], also written here). Caller
-    * owns cleanup: `StarTreeRegistry.unregister(stFactDir(numRows))`. */
+    * owns cleanup: `StarTreeRegistry.unregister(stFactDir(numRows))`.
+    * The expensive part (mining + 6 cube builds + parquet writes) runs
+    * once per (session, numRows) under the default shape; repeat calls
+    * only re-register the already-persisted rollups. */
   def registerCorpusTrees(spark: SparkSession, fx: Fixture,
       numRows: Int = 8000, maxTrees: Int = 6, maxDims: Int = 8): Seq[TreeSpec] = {
-    fx.mv.write.mode("overwrite").parquet(stFactDir(numRows))
-    val specs = starTreeSpecs(fx, maxTrees, maxDims)
+    def treePath(i: Int) = s"${segDir(numRows)}_startree_${jvmTag}_$i"
+    val defaultShape = maxTrees == 6 && maxDims == 8
+    val cached = builtTrees
+    val specs =
+      if (defaultShape && cached != null && (cached._1 eq spark) && cached._2 == numRows)
+        cached._3
+      else synchronized {
+        val c2 = builtTrees
+        if (defaultShape && c2 != null && (c2._1 eq spark) && c2._2 == numRows) c2._3
+        else {
+          fx.mv.write.mode("overwrite").parquet(stFactDir(numRows))
+          val built = starTreeSpecs(fx, maxTrees, maxDims)
+          built.zipWithIndex.foreach { case (s, i) =>
+            graft.plans.StarTree.build(fx.mv, s.dims, s.metrics).rollup
+              .write.mode("overwrite").parquet(treePath(i))
+          }
+          if (defaultShape) builtTrees = (spark, numRows, built)
+          built
+        }
+      }
     specs.zipWithIndex.foreach { case (s, i) =>
-      val path = s"${segDir(numRows)}_startree_${jvmTag}_$i"
-      graft.plans.StarTree.build(fx.mv, s.dims, s.metrics).rollup
-        .write.mode("overwrite").parquet(path)
       graft.plans.StarTreeRegistry.register(stFactDir(numRows),
-        graft.plans.StarTree.Index(s.dims, s.metrics, spark.read.parquet(path)))
+        graft.plans.StarTree.Index(s.dims, s.metrics,
+          spark.read.parquet(treePath(i))))
     }
     specs
   }

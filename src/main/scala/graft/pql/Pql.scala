@@ -580,6 +580,14 @@ object Pql {
 
     if (selAggs.nonEmpty || q.groupBy.nonEmpty) {
       // ---- aggregation mode ----
+      // validations FIRST: whether a query is legal PQL must not
+      // depend on whether its table happens to be a bare parquet scan
+      // (the metadata fast path below would otherwise accept e.g.
+      // COUNT(*) ... ORDER BY that the ordinary path rejects)
+      require(q.orderBy.isEmpty,
+        "ORDER BY only works for selection queries; use GROUP BY ... TOP n (pql_examples.rst)")
+      require(!q.distinct,
+        "SELECT DISTINCT is a selection query; use DISTINCTCOUNT for aggregations")
       // Filterless group-by-less COUNT(*) answers from segment
       // metadata when the table is a bare parquet scan — the
       // MetadataBasedAggregationOperator plan
@@ -587,7 +595,7 @@ object Pql {
       // Footer row counts are exact; any filter/transform/view falls
       // through to the ordinary aggregation below.
       val metaCount: Option[DataFrame] =
-        if (q.where.isEmpty && q.groupBy.isEmpty && !q.distinct &&
+        if (q.where.isEmpty && q.groupBy.isEmpty &&
             q.having.isEmpty && q.select == Seq(Func("count", Seq(Star))))
           graft.sources.Tables.metadataRowCount(base).map { n =>
             import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -598,10 +606,6 @@ object Pql {
           }
         else None
       if (metaCount.isDefined) return metaCount.get
-      require(q.orderBy.isEmpty,
-        "ORDER BY only works for selection queries; use GROUP BY ... TOP n (pql_examples.rst)")
-      require(!q.distinct,
-        "SELECT DISTINCT is a selection query; use DISTINCTCOUNT for aggregations")
       val nonAgg = q.select.filterNot(isAgg).filterNot(_ == Star)
       require(nonAgg.forall(e => q.groupBy.map(nameOf).contains(nameOf(e))),
         s"non-aggregate select columns must appear in GROUP BY: ${nonAgg.map(nameOf)}")

@@ -58,6 +58,9 @@ object Tables {
     * and a driver-side loop would serialize on the driver exactly like
     * a collect. Any transform, filter, or non-parquet source returns
     * None and the caller falls back to the ordinary scan-based count. */
+  private val footerCountCache =
+    new scala.collection.concurrent.TrieMap[Seq[String], Long]
+
   def metadataRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -65,10 +68,19 @@ object Tables {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
           try {
-            val files = fs.location.inputFiles.filter(_.endsWith(".parquet")).toSeq
+            // ALL files the scan would read — filtering by a ".parquet"
+            // suffix here would silently undercount tables whose part
+            // files carry other names (Hive/Impala writers), a wrong
+            // answer rather than a fallback
+            val files = fs.location.inputFiles.toSeq.sorted
             if (files.isEmpty) Some(0L)
-            else {
+            else footerCountCache.get(files).orElse {
               val spark = df.sparkSession
+              // the session's hadoop conf, not a blank Configuration —
+              // object-store credentials/filesystems live there
+              val confBc = spark.sparkContext.broadcast(
+                new org.apache.spark.util.SerializableConfiguration(
+                  spark.sessionState.newHadoopConf()))
               val n = spark.sparkContext
                 .parallelize(files, math.min(files.size, 32))
                 .map { p =>
@@ -76,10 +88,16 @@ object Tables {
                   import org.apache.parquet.hadoop.ParquetFileReader
                   import org.apache.parquet.hadoop.util.HadoopInputFile
                   val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-                    new Path(p), new org.apache.hadoop.conf.Configuration()))
+                    new Path(p), confBc.value.value))
                   try r.getRecordCount finally r.close()
-                }.sum()
-              Some(n.toLong)
+                }.sum().toLong
+              // memoize per immutable file set: segments are immutable
+              // and rewrites produce fresh part-file names, so the path
+              // set is a sound key — repeated COUNT(*) must not re-open
+              // 10^5 footers per query
+              if (footerCountCache.size > 256) footerCountCache.clear()
+              footerCountCache.put(files, n)
+              Some(n)
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         case _ => None

@@ -159,6 +159,11 @@ class FilterOptimizerSpec extends SparkSpec {
       val bad = http("POST", base, Some(
         s"""{"pql": "$pql", "debugOptions": "optimizationFlags=oops"}"""))
       assert(bad.contains("\"errorCode\": 700"), bad.take(300))
+      // a malformed debugOptions STRING (entry without '=') is the
+      // same request error, not silently dropped options
+      val badStr = http("POST", base, Some(
+        s"""{"pql": "$pql", "debugOptions": "optimizationFlags+oops"}"""))
+      assert(badStr.contains("\"errorCode\": 700"), badStr.take(300))
       // time-range merge path via GET debugOptions param
       val ranged = http("GET", s"$base?pql=" + java.net.URLEncoder.encode(
         "SELECT count(*) FROM lineitem WHERE l_linenumber >= 2 AND l_linenumber <= 5 AND l_linenumber >= 3",

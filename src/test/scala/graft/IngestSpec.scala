@@ -283,6 +283,32 @@ class IngestSpec extends SparkSpec {
     assert(ClearspringHll.empty().cardinality === 0L)
   }
 
+  test("clearspring union agg adopts a non-default log2m from the stream") {
+    import graft.functions.ClearspringHll
+    // a cluster configured with hll.log2m=12 produces 4096-register
+    // sketches; the union must consume them, not demand the default 8
+    val h12 = ClearspringHll.empty(log2m = 12)
+    (1 to 1000).foreach(i => h12.offer(s"v$i"))
+    val col12 = Seq(ClearspringHll.serializeString(h12)).toDF("s")
+    val merged = col12
+      .select(graft.functions.ClearspringHllCol.unionAgg(col("s")).as("m"))
+      .as[String].head()
+    val back = ClearspringHll.deserializeString(merged)
+    assert(back.log2m === 12)
+    assert(back.registers.toSeq === h12.registers.toSeq)
+    // mixed log2m within one column still fails loudly
+    val h8 = ClearspringHll.empty()
+    h8.offer("x")
+    val mixed = Seq(ClearspringHll.serializeString(h12),
+      ClearspringHll.serializeString(h8)).toDF("s")
+    val e = intercept[org.apache.spark.SparkException] {
+      mixed.repartition(1)
+        .select(graft.functions.ClearspringHllCol.unionAgg(col("s"))).collect()
+    }
+    assert(e.getMessage.contains("cannot merge") ||
+      String.valueOf(e.getCause).contains("cannot merge"))
+  }
+
   test("clearspring-serialized segment round-trips to a green FASTHLL-style union") {
     import graft.functions.{ClearspringHll, ClearspringHllCol}
     // a "reference-produced segment": per-(grp, shard) derived _hll

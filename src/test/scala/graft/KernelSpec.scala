@@ -37,11 +37,16 @@ class KernelSpec extends SparkSpec {
       """{"k": 2e3}""",                     // exponent => null
       """{"x": 1}""",                       // absent => null
       """not json at all""",
-      """[1, 2, 3]""")
+      """[1, 2, 3]""",
+      """{"k": 99999999999999999999}""",   // > Long.MaxValue => null, never a wrapped long
+      """{"k": -99999999999999999999}""",  // < Long.MinValue => null
+      """{"k": 9223372036854775807}""",    // Long.MaxValue exactly
+      """{"k": -9223372036854775808}""")   // Long.MinValue exactly
     val df = cases.toDF("j")
     val got = df.select(GraftFunctions.jsonGetLong(col("j"), "k")).as[Option[Long]].collect()
     assert(got.toSeq === Seq(Some(76L), Some(-12L), Some(900719925474L), Some(7L),
-      None, None, None, None, None, None, None, None))
+      None, None, None, None, None, None, None, None,
+      None, None, Some(Long.MaxValue), Some(Long.MinValue)))
     // parity with the built-in on the integer-valued cases
     val builtin = df.select(expr("try_cast(get_json_object(j, '$.k') AS long)")).as[Option[Long]].collect()
     got.zip(builtin).zip(cases).foreach { case ((g, b), c) =>

@@ -93,6 +93,21 @@ class TDigestSpec extends SparkSpec {
     assert(merged.n <= 2 * 100 + 20, s"centroids=${merged.n}")
   }
 
+  test("mergeWith flushes pending add() buffers on both sides") {
+    // an all-pending digest has n == 0 but is NOT empty: merge must
+    // flush it, not early-return and silently drop its points
+    val a = TDunningDigest.empty()
+    val b = TDunningDigest.empty()
+    b.add(5.0)
+    assert(!a.mergeWith(b).quantile(0.5).isNaN)
+    assert(a.quantile(0.5) === 5.0)
+    // and the receiver's own pending points survive a merge too
+    val c = TDunningDigest.empty(); c.add(1.0)
+    val d = TDunningDigest.empty(); d.add(3.0)
+    c.mergeWith(d)
+    assert(c.totalWeight === 2.0)
+  }
+
   test("union agg over a stored digest column = build agg over raw rows") {
     val rows = (1 to 20000).map(i => (i % 5, i % 40, (i % 1000).toDouble))
       .toDF("g", "sub", "v")
