@@ -234,8 +234,15 @@ object BenchScale {
               }
             }
           }
-          ((gotM.keySet diff expM.keySet).toSeq.map(gotM) ++
-            (expM.keySet diff gotM.keySet).toSeq.map(expM)).foreach { r =>
+          val symDiff = (gotM.keySet diff expM.keySet).toSeq.map(gotM) ++
+            (expM.keySet diff gotM.keySet).toSeq.map(expM)
+          // exact measures (no double columns) admit NO legal
+          // membership drift at all — the boundary tolerance only
+          // exists because scan-side Average accumulates doubles
+          if (dblIdx.isEmpty)
+            require(symDiff.isEmpty,
+              s"$name TOP membership differs on exact measures: ${symDiff.take(3)}")
+          symDiff.foreach { r =>
             dblIdx.foreach { i =>
               require(close(r.getDouble(i), cutoff(i)),
                 s"$name TOP membership differs beyond the cutoff boundary: $r")

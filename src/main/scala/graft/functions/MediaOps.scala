@@ -146,7 +146,7 @@ object MediaOps {
     // recognition requires BOTH a valid ftyp brand and a parsed mvhd —
     // random bytes cannot satisfy both, so no magic-number false hits
     var format: String = null
-    var timescale = 0L; var duration = -1L
+    var timescale = 0L; var duration = -1L; var durKnown = false
     var width = 0; var height = 0
 
     def walk(from: Int, to: Int, depth: Int): Unit = {
@@ -173,12 +173,20 @@ object MediaOps {
             walk(p, (i + size).toInt, depth + 1)
           case "mvhd" if p + 20 <= to =>
             val v = b(p) & 0xff
+            // the reserved all-ones duration means "unknown" in BOTH
+            // versions, but the marker is version-specific: u32
+            // 0xFFFFFFFF for v0, u64 all-ones (parses as -1) for v1 —
+            // a v1 duration of exactly 0xFFFFFFFF ticks is a real,
+            // known value. Decide here, where the version is in hand.
             if (v == 1 && p + 32 <= to) {
               timescale = be32(b, p + 20).toLong & 0xffffffffL
               duration = be64(b, p + 24)
+              durKnown = duration >= 0
+              if (!durKnown) duration = 0
             } else if (v == 0) {
               timescale = be32(b, p + 12).toLong & 0xffffffffL
               duration = be32(b, p + 16).toLong & 0xffffffffL
+              durKnown = duration != 0xffffffffL
             }
           case "tkhd" if p < to =>
             val v = b(p) & 0xff
@@ -195,13 +203,13 @@ object MediaOps {
       }
     }
     walk(0, b.length, 0)
-    if (format == null || timescale <= 0 || duration < 0) return unknownVideo
-    // ISO-BMFF reserves all-ones mvhd duration as "unknown" (v0
-    // 0xFFFFFFFF; v1 all-ones parses as -1 and is caught above);
-    // overflow-guard the ms conversion too — a bogus huge duration
-    // must surface as null, not a negative wrapped long
+    if (format == null || timescale <= 0) return unknownVideo
+    // unknown duration nulls ONLY duration_ms (format/dims are still
+    // known facts — both versions, consistently); overflow-guard the
+    // ms conversion too — a bogus huge duration must surface as null,
+    // not a negative wrapped long
     val durMs: Any =
-      if (duration == 0xffffffffL || duration > Long.MaxValue / 1000L) null
+      if (!durKnown || duration > Long.MaxValue / 1000L) null
       else java.lang.Long.valueOf(duration * 1000L / timescale)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(format),

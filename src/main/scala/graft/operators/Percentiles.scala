@@ -115,7 +115,15 @@ object Percentiles {
     //    which sorts first with _bc = 0 — cum stays 0 there and they
     //    never satisfy a >= 1 rank threshold.
     val byKey = Window.partitionBy(keys: _*)
-    val histB = hist.withColumn("_b", floor(col("_v") / 65536.0d))
+    // the bucket must preserve _v's TOTAL order including NaN: Spark
+    // sorts NaN greater than every double, but floor(NaN).cast(long)
+    // is 0 — which would rank NaN rows mid-distribution. A NaN bucket
+    // (NaN groups with itself and sorts last in Spark) keeps bucket
+    // order == value order; ±Inf is handled by the long cast's
+    // saturation to Long.Min/MaxValue at the bucket ends.
+    val histB = hist.withColumn("_b",
+      when(isnan(col("_v")), lit(Double.NaN))
+        .otherwise(floor(col("_v") / 65536.0d).cast("double")))
     val bCum = histB
       .groupBy(keys :+ col("_b").as("_jb"): _*)
       .agg(sum(col("_c")).as("_bc"))

@@ -78,14 +78,20 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
         val table = path.stripPrefix("/debug/timeBoundary/")
         BrokerServer.timeBoundaryJson(spark, tableDir, table)
       })
-    // a CACHED pool, not a fixed one: /health + /debug must always
-    // find a thread even when maxConcurrentQueries queries execute AND
-    // more sit in the admission queue — with any fixed size N, N
-    // concurrent query requests still park every handler thread on
-    // admission.tryAcquire and starve the probes. Thread growth is
-    // bounded in practice by the bounded admission wait (excess
-    // queries 429 out after AdmissionWaitMs).
-    server.setExecutor(Executors.newCachedThreadPool())
+    // an ELASTIC BUT BOUNDED pool: with any fixed pool of size N, N
+    // concurrent query requests park every handler thread on
+    // admission.tryAcquire and starve /health + /debug; a fully
+    // unbounded cached pool lets a request flood grow threads without
+    // limit. Core threads cover the admission cap + probes; the pool
+    // stretches to a hard max under bursts (each parked thread holds
+    // its slot ≤ AdmissionWaitMs before 429ing out, so the bound is
+    // also a latency bound on probes under saturation), and a flood
+    // beyond the max gets connection-level rejection rather than
+    // taking the JVM down.
+    server.setExecutor(new java.util.concurrent.ThreadPoolExecutor(
+      maxConcurrentQueries + 2, maxConcurrentQueries * 4 + 16,
+      30L, TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable]))
     server.start()
     started = true
     boundPort
@@ -193,9 +199,10 @@ object BrokerServer {
   val QueryValidationErrorCode = 700
 
   /** Max time a query may wait in the admission queue before the
-    * broker answers 429 — bounds both client latency and handler
-    * thread growth under saturation. */
-  val AdmissionWaitMs = 10000L
+    * broker answers 429 — bounds client latency, handler-thread
+    * residency (and with the bounded pool, total thread count) under
+    * saturation. */
+  val AdmissionWaitMs = 2000L
 
   /** Pluggable broker access control, the reference's
     * `AccessControlFactory.create().hasAccess(requesterIdentity,

@@ -264,7 +264,7 @@ object CorpusHarness {
 
   def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact_$jvmTag"
 
-  @volatile private var builtTrees: (SparkSession, Int, Seq[TreeSpec]) = null
+  @volatile private var builtTrees: (SparkSession, (Int, Int, Int), Seq[TreeSpec]) = null
 
   /** Build, persist (parquet — queries then column-prune the rollup
     * scan like any segment), and register the mined trees for the
@@ -275,15 +275,19 @@ object CorpusHarness {
     * only re-register the already-persisted rollups. */
   def registerCorpusTrees(spark: SparkSession, fx: Fixture,
       numRows: Int = 8000, maxTrees: Int = 6, maxDims: Int = 8): Seq[TreeSpec] = {
-    def treePath(i: Int) = s"${segDir(numRows)}_startree_${jvmTag}_$i"
-    val defaultShape = maxTrees == 6 && maxDims == 8
+    // paths carry the mining SHAPE too: a non-default-shape call must
+    // never overwrite files a cached default-shape registration will
+    // re-read (shape-blind paths + shape-keyed cache = poisoned pairs)
+    def treePath(i: Int) =
+      s"${segDir(numRows)}_startree_${jvmTag}_${maxTrees}x${maxDims}_$i"
+    val key = (numRows, maxTrees, maxDims)
     val cached = builtTrees
     val specs =
-      if (defaultShape && cached != null && (cached._1 eq spark) && cached._2 == numRows)
+      if (cached != null && (cached._1 eq spark) && cached._2 == key)
         cached._3
       else synchronized {
         val c2 = builtTrees
-        if (defaultShape && c2 != null && (c2._1 eq spark) && c2._2 == numRows) c2._3
+        if (c2 != null && (c2._1 eq spark) && c2._2 == key) c2._3
         else {
           fx.mv.write.mode("overwrite").parquet(stFactDir(numRows))
           val built = starTreeSpecs(fx, maxTrees, maxDims)
@@ -291,7 +295,7 @@ object CorpusHarness {
             graft.plans.StarTree.build(fx.mv, s.dims, s.metrics).rollup
               .write.mode("overwrite").parquet(treePath(i))
           }
-          if (defaultShape) builtTrees = (spark, numRows, built)
+          builtTrees = (spark, key, built)
           built
         }
       }

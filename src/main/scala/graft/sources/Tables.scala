@@ -72,9 +72,15 @@ object Tables {
             // suffix here would silently undercount tables whose part
             // files carry other names (Hive/Impala writers), a wrong
             // answer rather than a fallback
-            val files = fs.location.inputFiles.toSeq.sorted
+            val statuses = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            val files = statuses.map(_.getPath.toString).sorted
+            // cache key carries size+mtime (free — the FileIndex has
+            // the statuses cached): an in-place overwrite that reuses
+            // part-file names must not serve a stale count
+            val cacheKey = statuses
+              .map(f => s"${f.getPath}@${f.getLen}:${f.getModificationTime}").sorted
             if (files.isEmpty) Some(0L)
-            else footerCountCache.get(files).orElse {
+            else footerCountCache.get(cacheKey).orElse {
               val spark = df.sparkSession
               // the session's hadoop conf, not a blank Configuration —
               // object-store credentials/filesystems live there
@@ -91,12 +97,10 @@ object Tables {
                     new Path(p), confBc.value.value))
                   try r.getRecordCount finally r.close()
                 }.sum().toLong
-              // memoize per immutable file set: segments are immutable
-              // and rewrites produce fresh part-file names, so the path
-              // set is a sound key — repeated COUNT(*) must not re-open
-              // 10^5 footers per query
+              // memoize per (path, size, mtime) file set — repeated
+              // COUNT(*) must not re-open 10^5 footers per query
               if (footerCountCache.size > 256) footerCountCache.clear()
-              footerCountCache.put(files, n)
+              footerCountCache.put(cacheKey, n)
               Some(n)
             }
           } catch { case scala.util.control.NonFatal(_) => None }

@@ -125,6 +125,24 @@ class PercentilesSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).getLong(3) === 0L)
   }
 
+  test("NaN values rank LAST (Spark sort order), across bucket boundaries") {
+    import graft.operators.Percentiles.Spec
+    // floor(NaN) would bucket NaN at 0 and rank it mid-distribution;
+    // the NaN bucket must sort after every finite bucket — including
+    // values >= 65536 that live outside NaN's would-be bucket 0
+    val df = Seq(70000.0, Double.NaN, 1.0, 80000.0).map(("g", _)).toDF("k", "v")
+    val out = Percentiles.histogramAggs(df, Seq("k"), "v",
+      Seq(Spec(0.5, "nr", nearestRank = true), Spec(1.0, "top", nearestRank = true)))
+      .head()
+    // builtin parity: percentile() also sorts NaN last
+    assert(out.getDouble(1) === 70000.0, s"p50 got ${out.getDouble(1)}")
+    assert(out.getDouble(2).isNaN, "p100 is the NaN (sorts greatest)")
+    // and the global (empty-keys) path agrees
+    val g = Percentiles.histogramAggs(df.select($"v"), Nil, "v",
+      Seq(Spec(0.5, "nr", nearestRank = true))).head()
+    assert(g.getDouble(0) === 70000.0)
+  }
+
   test("plan shape: one shuffle of distinct pairs, no full-value buffers") {
     val df = Seq.tabulate(100)(i => ("g", (i % 10).toDouble)).toDF("k", "v")
     val plan = Percentiles.exact(df, Seq("k"), "v", Seq(0.5 -> "p50"))
