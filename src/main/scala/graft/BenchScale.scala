@@ -242,11 +242,16 @@ object BenchScale {
           if (dblIdx.isEmpty)
             require(symDiff.isEmpty,
               s"$name TOP membership differs on exact measures: ${symDiff.take(3)}")
+          // a flipped boundary row is legal when the ORDER BY measure
+          // sits at the TOP cutoff — but its OTHER double columns
+          // (unrelated avgs) carry that group's own values, nowhere
+          // near those columns' minima. Requiring every double to sit
+          // at its own column cutoff would spuriously fail legal
+          // flips; requiring at least one keeps real routing bugs
+          // (rows nowhere near any boundary) loud.
           symDiff.foreach { r =>
-            dblIdx.foreach { i =>
-              require(close(r.getDouble(i), cutoff(i)),
-                s"$name TOP membership differs beyond the cutoff boundary: $r")
-            }
+            require(dblIdx.exists(i => close(r.getDouble(i), cutoff(i))),
+              s"$name TOP membership differs beyond the cutoff boundary: $r")
           }
           System.gc()
           QueryResult(name, "agg", sample(reps)(exec(df)))

@@ -44,9 +44,12 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
     tableQuotas: Map[String, Double] = Map.empty,
     queryResponseLimit: Int = Int.MaxValue,
     accessControl: BrokerServer.AccessControl = BrokerServer.allowAll,
-    timeColumns: Map[String, String] = Map.empty) {
+    timeColumns: Map[String, String] = Map.empty,
+    admissionWaitMs: Long = BrokerServer.AdmissionWaitMs) {
   require(maxConcurrentQueries > 0,
     s"maxConcurrentQueries must be positive, got $maxConcurrentQueries")
+  require(admissionWaitMs > 0,
+    s"admissionWaitMs must be positive, got $admissionWaitMs")
   require(tableQuotas.values.forall(_ > 0),
     s"table QPS quotas must be positive: $tableQuotas")
 
@@ -88,10 +91,26 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
     // also a latency bound on probes under saturation), and a flood
     // beyond the max gets connection-level rejection rather than
     // taking the JVM down.
+    // Past the hard max, the default AbortPolicy would throw
+    // RejectedExecutionException inside the httpserver dispatcher,
+    // which only logs — the flooded client's connection then hangs
+    // open until timeout. Instead, rejected exchanges drain through a
+    // single overflow thread; QueryHandler recognizes that thread and
+    // answers 429 immediately (no admission wait — the pool being at
+    // its hard max IS saturation), so every flooded request still gets
+    // a prompt response and its connection closed.
+    val overflowDrain = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, BrokerServer.OverflowThreadName)
+        t.setDaemon(true)
+        t
+      })
     server.setExecutor(new java.util.concurrent.ThreadPoolExecutor(
       maxConcurrentQueries + 2, maxConcurrentQueries * 4 + 16,
       30L, TimeUnit.SECONDS,
-      new java.util.concurrent.SynchronousQueue[Runnable]))
+      new java.util.concurrent.SynchronousQueue[Runnable],
+      (r: Runnable, pool: java.util.concurrent.ThreadPoolExecutor) =>
+        if (!pool.isShutdown) overflowDrain.execute(r)))
     server.start()
     started = true
     boundPort
@@ -140,12 +159,18 @@ final class BrokerServer(spark: SparkSession, tableDir: String, port: Int = 0,
             case Left(err) => err
             case Right(dm) =>
               // bounded admission wait: saturation answers 429 instead
-              // of parking handler threads forever
-              if (!admission.tryAcquire(BrokerServer.AdmissionWaitMs,
+              // of parking handler threads forever. On the overflow
+              // drain thread (pool already at hard max) skip the wait
+              // entirely — serial 2 s parks there would stack up and
+              // re-create the hang the drain exists to prevent.
+              val onOverflow =
+                Thread.currentThread().getName == BrokerServer.OverflowThreadName
+              if (onOverflow || !admission.tryAcquire(admissionWaitMs,
                   TimeUnit.MILLISECONDS))
                 BrokerServer.exceptionJson(BrokerServer.TooManyRequestsErrorCode,
-                  "admission queue wait exceeded " +
-                    s"${BrokerServer.AdmissionWaitMs} ms")
+                  if (onOverflow) "broker thread pool saturated"
+                  else "admission queue wait exceeded " +
+                    s"$admissionWaitMs ms")
                   .dropRight(1) + """, "timeUsedMs": 0}"""
               else
                 try BrokerServer.execute(spark, tableDir, q, quotaLimiters,
@@ -203,6 +228,10 @@ object BrokerServer {
     * residency (and with the bounded pool, total thread count) under
     * saturation. */
   val AdmissionWaitMs = 2000L
+
+  /** Name of the single overflow-drain thread that runs exchanges the
+    * bounded pool rejected; QueryHandler answers 429 immediately on it. */
+  val OverflowThreadName = "graft-broker-overflow-drain"
 
   /** Pluggable broker access control, the reference's
     * `AccessControlFactory.create().hasAccess(requesterIdentity,

@@ -87,16 +87,22 @@ object Tables {
               val confBc = spark.sparkContext.broadcast(
                 new org.apache.spark.util.SerializableConfiguration(
                   spark.sessionState.newHadoopConf()))
-              val n = spark.sparkContext
-                .parallelize(files, math.min(files.size, 32))
-                .map { p =>
-                  import org.apache.hadoop.fs.Path
-                  import org.apache.parquet.hadoop.ParquetFileReader
-                  import org.apache.parquet.hadoop.util.HadoopInputFile
-                  val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-                    new Path(p), confBc.value.value))
-                  try r.getRecordCount finally r.close()
-                }.sum().toLong
+              val n =
+                try spark.sparkContext
+                  .parallelize(files, math.min(files.size, 32))
+                  .map { p =>
+                    import org.apache.hadoop.fs.Path
+                    import org.apache.parquet.hadoop.ParquetFileReader
+                    import org.apache.parquet.hadoop.util.HadoopInputFile
+                    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+                      new Path(p), confBc.value.value))
+                    try r.getRecordCount finally r.close()
+                  }.sum().toLong
+                // the broadcast only serves this one job — destroy it
+                // eagerly; caching the count while leaving the conf
+                // broadcast alive would accumulate driver+executor
+                // memory across a long-lived session's cache misses
+                finally confBc.destroy()
               // memoize per (path, size, mtime) file set — repeated
               // COUNT(*) must not re-open 10^5 footers per query
               if (footerCountCache.size > 256) footerCountCache.clear()

@@ -83,19 +83,62 @@ class BrokerServerSpec extends SparkSpec {
   }
 
   test("FCFS admission: maxConcurrentQueries=1 serializes parallel clients, none dropped") {
-    val broker = new BrokerServer(spark, sfDir, maxConcurrentQueries = 1)
+    // a generous admission wait: 6 serialized ~0.4 s queries put the
+    // last client's queue time right at the 2 s default — this test
+    // pins FCFS serialization without drops, not the wait bound
+    // (which the saturation test below exercises)
+    val broker = new BrokerServer(spark, sfDir, maxConcurrentQueries = 1,
+      admissionWaitMs = 30000L)
     val port = broker.start()
     try {
       val base = s"http://127.0.0.1:$port/query"
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
+      // warm the query path first: a cold session's first COUNT pays
+      // several seconds of JIT/codegen, which would alone exceed the
+      // 2 s admission wait and 429 the whole burst — that's cold-start
+      // latency, not the FCFS behavior under test
+      http("POST", base,
+        Some("""{"pql": "SELECT COUNT(*) FROM nation WHERE n_nationkey >= 0"}"""))
       val results = Await.result(Future.sequence((1 to 6).map(i => Future {
         http("POST", base,
           Some(s"""{"pql": "SELECT COUNT(*) FROM nation WHERE n_nationkey >= $i"}"""))
       })), 120.seconds)
       assert(results.forall(_.contains("\"aggregationResults\"")),
         results.map(_.take(120)).mkString("\n"))
+    } finally broker.stop()
+  }
+
+  test("pool saturation past the hard max answers 429, no hung connections") {
+    // maxConcurrentQueries=1 → pool hard max is 1*4+16 = 20 threads.
+    // 40 concurrent requests: 20 land on pool threads (1 executes,
+    // the rest park on admission ≤2 s → 429); the other 20 are
+    // REJECTED by the SynchronousQueue pool — before the overflow
+    // drain they would hang until client timeout. Every request must
+    // get an HTTP response.
+    val broker = new BrokerServer(spark, sfDir, maxConcurrentQueries = 1)
+    val port = broker.start()
+    try {
+      val base = s"http://127.0.0.1:$port/query"
+      http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nation"}""")) // warm
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence((1 to 40).map(i => Future {
+        http("POST", base,
+          Some(s"""{"pql": "SELECT COUNT(*) FROM nation WHERE n_nationkey >= ${i % 7}"}"""))
+      })), 60.seconds)
+      assert(results.length == 40)
+      // every response is a complete broker JSON: results or a 429
+      results.foreach { r =>
+        assert(r.contains("\"aggregationResults\"") || r.contains("\"errorCode\": 429"),
+          r.take(200))
+      }
+      assert(results.exists(_.contains("\"aggregationResults\"")))
+      // saturation did not wedge the pool: a follow-up query succeeds
+      val after = http("POST", base, Some("""{"pql": "SELECT COUNT(*) FROM nation"}"""))
+      assert(after.contains("\"aggregationResults\""), after.take(200))
     } finally broker.stop()
   }
 
