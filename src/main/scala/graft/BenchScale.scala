@@ -184,7 +184,39 @@ object BenchScale {
       }
       val idx = StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
         Seq("ArrDelay", "DepDelay"), spark.read.parquet(stPath), 0, 0)
-      val routable = Seq("a4_groupby_1dim", "a5_groupby_2dim")
+      // second tree for a3: its WHERE touches DepDelay, so DepDelay is
+      // declared a DIMENSION here (any column may appear in the
+      // reference's dimensionsSplitOrder — a predicate column must be
+      // a tree dim for StarTreeIndexOperator to traverse it). ~15K
+      // rollup rows (40 states × ~370 delay values).
+      val stPath2 = s"$dir/startree_os_depdelay.parquet"
+      val marker2 = new java.io.File(s"$dir/_ST5_DONE")
+      if (!marker2.exists()) {
+        StarTree.build(table, Seq("OriginState", "DepDelay"), Seq("ArrDelay")).rollup
+          .write.mode("overwrite").parquet(stPath2)
+        java.nio.file.Files.write(marker2.toPath, java.util.Arrays.asList("ok"))
+      }
+      val idx2 = StarTree.Index(Seq("OriginState", "DepDelay"), Seq("ArrDelay"),
+        spark.read.parquet(stPath2), 0, 0)
+      // third, sketch-bearing tree: the DERIVED-HLL artifact for
+      // FlightNum (MetricFieldSpec derived metric / hllConfig shape).
+      // Its presence makes the PQL front-end compile
+      // DISTINCTCOUNTHLL(FlightNum) to the DataSketches HLL at lgK 12,
+      // which the routing rule then answers from the stored all-stars
+      // sketch — the BrokerRequestPreProcessor fastHLL swap end-to-end.
+      val stPath3 = s"$dir/startree_hll_flightnum.parquet"
+      val marker3 = new java.io.File(s"$dir/_ST6_DONE")
+      if (!marker3.exists()) {
+        StarTree.build(table, Seq("Carrier"), Seq("FlightNum"), sketchLgK = 12)
+          .rollup.write.mode("overwrite").parquet(stPath3)
+        java.nio.file.Files.write(marker3.toPath, java.util.Arrays.asList("ok"))
+      }
+      val idx3 = StarTree.Index(Seq("Carrier"), Seq("FlightNum"),
+        spark.read.parquet(stPath3), 12, 0)
+      // a2/a3 are GLOBAL aggregates (dim-filtered, no GROUP BY) — the
+      // routing rule merges the filtered slice back down to one row
+      val routable = Seq("a2_agg_1pred", "a3_agg_2pred",
+        "a4_groupby_1dim", "a5_groupby_2dim")
       // scan-plan answers collected BEFORE registration
       val expected = routable.map { name =>
         val pql = workload.find(_._1 == name).get._3
@@ -192,6 +224,8 @@ object BenchScale {
       }.toMap
       Graft.enable(spark)
       StarTreeRegistry.register(s"$dir/ontime.parquet", idx)
+      StarTreeRegistry.register(s"$dir/ontime.parquet", idx2)
+      StarTreeRegistry.register(s"$dir/ontime.parquet", idx3)
       try {
         val rs = routable.map { name =>
           val pql = workload.find(_._1 == name).get._3
@@ -256,7 +290,27 @@ object BenchScale {
           System.gc()
           QueryResult(name, "agg", sample(reps)(exec(df)))
         }
-        s""""routed":{${rs.map(_.json).mkString(",")},"rollup_rows":${idx.rollup.count()}}"""
+        // h1 through the derived-HLL route: the PQL text is UNCHANGED
+        // ("SELECT DISTINCTCOUNTHLL(FlightNum) FROM ontime"); the
+        // sketch tree makes it compile to the stored-sketch union.
+        // Verified against the EXACT distinct count (both the routed
+        // and the raw path are estimates, so scan-vs-routed equality
+        // is not the contract — the lgK-12 envelope is).
+        val hllEntry = {
+          val pql = workload.find(_._1 == "h1_hll").get._3
+          val df = Pql.toDataFrame(Pql.parse(pql), loader)
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("ontime.parquet"),
+            s"h1_hll did not route to the sketch tree:\n$plan")
+          val est = df.head().getLong(0)
+          val exact = table.agg(countDistinct(col("FlightNum"))).head().getLong(0)
+          require(math.abs(est - exact) <= 0.05 * exact,
+            s"routed derived-HLL estimate $est outside 5% of exact $exact")
+          System.gc()
+          QueryResult("h1_hll", "apx", sample(reps)(exec(df)))
+        }
+        s""""routed":{${(rs :+ hllEntry).map(_.json).mkString(",")},""" +
+          s""""rollup_rows":${idx.rollup.count()}}"""
       } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
     }
 
@@ -312,7 +366,12 @@ object BenchScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r06.json"
+    val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r07.json"
+    // optional second arg restricts the scale ladder ("sf1,sf100") —
+    // smoke runs and resumes after an interrupted ladder
+    val wanted: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet
+      else Set("sf1", "sf100", "sf1000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -321,19 +380,20 @@ object BenchScale {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf1 = runScale(spark, "sf1", 100000L, reps = 5)
-    println("[scale] sf1 done")
-    val sf100 = runScale(spark, "sf100", 10000000L, reps = 5)
-    println("[scale] sf100 done")
     // 100M rows (~1.3 GB parquet): the first point where Spark's
     // ~0.15 s local job floor is small against per-row engine work on
     // BOTH sides, so the ≤2× bar is finally floor-free. BASELINE B2/B3
-    // stop at SF100; this point exists because at SF100 DuckDB still
+    // stop at SF100; that point exists because at SF100 DuckDB still
     // answers everything in ≤0.2 s, which is the floor regime.
-    val sf1000 = runScale(spark, "sf1000", 100000000L, reps = 5)
-    println("[scale] sf1000 done")
+    val ladder = Seq("sf1" -> 100000L, "sf100" -> 10000000L,
+      "sf1000" -> 100000000L).filter(p => wanted.contains(p._1))
+    val sections = ladder.map { case (tag, rows) =>
+      val s = runScale(spark, tag, rows, reps = 5)
+      println(s"[scale] $tag done")
+      s
+    }
     val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
-    val body = s"""{"bench":"scale",$host,$sf1,$sf100,$sf1000}"""
+    val body = s"""{"bench":"scale",$host,${sections.mkString(",")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       java.util.Arrays.asList(body))
     println(s"[scale] wrote $outFile")

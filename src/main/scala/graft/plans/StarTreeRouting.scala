@@ -101,6 +101,34 @@ object StarTreeRegistry {
       .map(_._2.sortBy(e => (e.index.dims.size, e.index.dims.mkString(","))))
       .getOrElse(Vector.empty)
   }
+
+  /** The derived-HLL "segment metadata" view of a table frame — the
+    * analog of `SegmentMetadataImpl.getDerivedColumn(column, HLL)`
+    * that `BrokerRequestPreProcessor.java:50-81` consults to rewrite
+    * fastHLL aggregations onto an ingest-built sketch artifact. Here
+    * the artifact is a registered star-tree's `hll_<col>` metric
+    * sketch: the result maps each such raw column (lower-cased) to
+    * the lgK values the trees were built with — several registered
+    * trees may disagree, and the reference treats that inconsistency
+    * as a query-time error (`BrokerRequestPreProcessor.java:86-95`),
+    * so the caller must reject a rewrite over a multi-lgK column
+    * rather than pick one silently. */
+  def derivedHllFor(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Int]] = {
+    if (entries.isEmpty) return Map.empty // skip the plan walk entirely
+    val root = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.headOption.map(_.toString)
+    }.flatten
+    root.map { r =>
+      val specs = for {
+        e <- lookupAll(r)
+        if e.index.sketchLgK > 0
+        m <- e.index.metrics
+        if e.index.rollup.columns.contains(s"hll_$m")
+      } yield m.toLowerCase -> e.index.sketchLgK
+      specs.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    }.getOrElse(Map.empty)
+  }
 }
 
 case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -261,7 +289,12 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.nonEmpty =>
+    // grouped AND global aggregates route: a global aggregate (no
+    // GROUP BY) re-aggregates the cube's all-stars slice — the
+    // Aggregate node is KEPT (empty grouping always emits exactly one
+    // row, even over an empty rollup, matching the one-row contract of
+    // a global aggregate over an empty fact table)
+    case agg @ Aggregate(groupings, aggExprs, child, _) =>
       // several indexes may be registered for one table — smallest
       // dimension set first (lookupAll's order); the first whose
       // dims/metrics cover the query wins
@@ -302,8 +335,12 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         slicePlan = entry.index.slice(sliceDims).queryExecution.analyzed
         bySlice = slicePlan.output.map(a => a.name -> a).toMap
         groupNames = groupAttrs.map(_.name).toSet
+        // the direct-projection form only fits the grouped unfiltered
+        // case (slice rows ARE the groups); filtered or GLOBAL
+        // aggregates keep the Aggregate node and merge slice rows
+        reAggregate = cond.isDefined || groupAttrs.isEmpty
         replaceAgg = (e: Expression) =>
-          if (cond.isEmpty) rollupExpr(e, entry.index.metrics, bySlice, entry.index.sketchLgK)
+          if (!reAggregate) rollupExpr(e, entry.index.metrics, bySlice, entry.index.sketchLgK)
           else reAggExpr(e, entry.index.metrics, bySlice, entry.index.sketchLgK)
         newOut <- traverse[NamedExpression, NamedExpression](aggExprs) {
           case ar: AttributeReference if groupAttrs.exists(_.exprId == ar.exprId) =>
@@ -313,20 +350,25 @@ case class StarTreeRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .map(expr => Alias(expr, al.name)(exprId = al.exprId))
           case _ => None
         }
-      } yield cond match {
-        case None =>
+      } yield {
+        if (!reAggregate)
           // direct projection: slice rows ARE the query's groups
           Project(newOut, slicePlan)
-        case Some(c) =>
-          // filtered: filter the (group ∪ filter)-dim slice, then
-          // merge back down to the query's groups
-          val newCond = c.transform {
-            case ar: AttributeReference => bySlice(ar.name)
+        else {
+          // filtered and/or global: [filter] the (group ∪ filter)-dim
+          // slice, then merge the surviving pre-aggregated rows back
+          // down to the query's groups (one row, for a global agg)
+          val newChild = cond match {
+            case Some(c) => Filter(c.transform {
+              case ar: AttributeReference => bySlice(ar.name)
+            }, slicePlan)
+            case None => slicePlan
           }
           agg.copy(
             groupingExpressions = groupAttrs.map(a => bySlice(a.name)),
             aggregateExpressions = newOut,
-            child = Filter(newCond, slicePlan))
+            child = newChild)
+        }
       }
       rewritten
   }

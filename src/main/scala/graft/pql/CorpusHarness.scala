@@ -151,7 +151,20 @@ object CorpusHarness {
     * and plan behavior can be equated in tests. */
   private def routableNeed(q: Pql.Query, scalarCols: Set[String],
       numericCols: Set[String]): Option[(Set[String], Set[String])] = {
-    if (q.groupBy.isEmpty || q.distinct || q.having.nonEmpty) return None
+    if (q.distinct || q.having.nonEmpty) return None
+    // GLOBAL aggregations (no GROUP BY) route too — the rule keeps the
+    // Aggregate node and merges the all-stars slice — EXCEPT the bare
+    // unfiltered COUNT(*), which the PQL front-end answers from
+    // parquet footer metadata before any plan exists (the
+    // MetadataBasedAggregationOperator path outranks the tree)
+    if (q.groupBy.isEmpty && q.where.isEmpty &&
+        q.select == Seq(Pql.Func("count", Seq(Pql.Star)))) return None
+    // aggregation mode only: a global query with no aggregation at all
+    // is a selection and never reaches the routing rule's shape
+    if (q.groupBy.isEmpty && !q.select.exists {
+        case Pql.Func(f, _) => TreeAggs.contains(f.toLowerCase)
+        case _ => false
+      }) return None
     val gcols = q.groupBy.map {
       case Pql.Ident(n) => n
       case _ => return None

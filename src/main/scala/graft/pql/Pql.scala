@@ -423,8 +423,27 @@ object Pql {
     }
   }
 
-  /** Aggregation function → Column (unnamed). */
-  private def aggColumn(e: Expr): Column = e match {
+  /** Aggregation function → Column (unnamed). `derivedHll` is the
+    * table's derived-sketch metadata (raw column, lower-cased → lgK
+    * values of registered `hll_<col>` tree metrics): the
+    * `BrokerRequestPreProcessor.java:50-81` rewrite — when an
+    * ingest-built sketch artifact exists for the raw column,
+    * DISTINCTCOUNTHLL/FASTHLL over it compile to the DataSketches HLL
+    * at the artifact's lgK, which [[graft.plans.StarTreeRoutingRule]]
+    * then answers from the stored sketches without a fact scan
+    * (bit-identical registers — HLL state is insertion-order
+    * invariant). Inconsistent lgK across artifacts is a query-time
+    * error, the reference's consistency-check contract
+    * (`BrokerRequestPreProcessor.java:86-95`). */
+  private def aggColumn(e: Expr,
+      derivedHll: Map[String, Seq[Int]] = Map.empty): Column = {
+    def derivedLgK(n: String): Option[Int] =
+      derivedHll.get(n.toLowerCase).map { lgks =>
+        require(lgks.size == 1,
+          s"inconsistent derived-HLL lgK for column $n: ${lgks.mkString(", ")}")
+        lgks.head
+      }
+    e match {
     case Func("count", Seq(Star)) => count(lit(1))
     case Func("count", Seq(a)) => count(scalar(a))
     case Func("min", Seq(a)) => min(scalar(a))
@@ -433,6 +452,9 @@ object Pql {
     case Func("avg", Seq(a)) => avg(scalar(a))
     case Func("minmaxrange", Seq(a)) => max(scalar(a)) - min(scalar(a))
     case Func("distinctcount", Seq(a)) => countDistinct(scalar(a))
+    case Func("distinctcounthll" | "fasthll", Seq(Ident(n)))
+        if derivedLgK(n).isDefined =>
+      hll_sketch_estimate(hll_sketch_agg(col(n), lit(derivedLgK(n).get)))
     case Func("distinctcounthll", Seq(a)) => approx_count_distinct(scalar(a), 0.065)
     // FASTHLL (FastHLLAggregationFunction.java): aggregates a column
     // that ALREADY holds serialized per-row/per-group HLL sketches
@@ -445,6 +467,7 @@ object Pql {
       if (kind == "percentile") percentile(scalar(a), lit(q))
       else estResult(kind, percentile_approx(scalar(a), lit(q), lit(EstAccuracy)))
     case _ => throw new IllegalArgumentException(s"not an aggregation: $e")
+    }
   }
 
   /** Result domain of the approximate percentile flavors, applied on
@@ -575,6 +598,10 @@ object Pql {
   /** Compile a parsed query against a table resolver. */
   def toDataFrame(q: Query, resolve: String => DataFrame): DataFrame = {
     val base = resolve(q.table)
+    // derived-HLL segment metadata (BrokerRequestPreProcessor analog) —
+    // empty unless sketch-bearing star-trees are registered for this
+    // table's scan root, so the common path pays one map lookup
+    val derivedHll = graft.plans.StarTreeRegistry.derivedHllFor(base)
     val filtered = q.where.map(w => base.filter(predicate(w, base.schema))).getOrElse(base)
     val selAggs = q.select.filter(isAgg)
 
@@ -728,7 +755,7 @@ object Pql {
           val fusedNames = fused.values.flatten.map(_._2).toSet
           val svCols =
             sketchNamed.collect { case (e, nm) if !fusedNames.contains(nm) =>
-              aggColumn(e).as(nm)
+              aggColumn(e, derivedHll).as(nm)
             } ++
               fused.toSeq.sortBy(_._1).map { case (argName, items) =>
                 val arg = items.head._1 match { case Func(_, Seq(a)) => scalar(a) }

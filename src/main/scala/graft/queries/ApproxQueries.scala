@@ -129,6 +129,66 @@ object ApproxQueries {
       .orderBy($"l_returnflag")
   }
 
+  private val derivedIdx = new SessionCache[graft.plans.StarTree.Index]
+
+  /** Automatic derived-HLL rewrite, end to end: the PQL text names
+    * only the RAW column — `DISTINCTCOUNTHLL(l_partkey)` — but the
+    * table carries an ingest-built sketch artifact (a star-tree with
+    * an `hll_l_partkey` metric), so the broker-side pre-process
+    * (`BrokerRequestPreProcessor.java:50-81` analog in
+    * [[graft.pql.Pql]]) compiles the aggregation to the DataSketches
+    * HLL at the artifact's lgK and the routing rule answers it from
+    * stored sketches — the executed plan is asserted fact-scan-free
+    * for BOTH the grouped and the global shape before the registry
+    * entry is withdrawn. Output pins the exact distinct count plus
+    * booleans asserting the routed estimates land inside the lgK-12
+    * envelope (rsd ≈ 1.6%; bound 5%). */
+  def qDerivedHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{StarTree, StarTreeRegistry}
+    graft.Graft.enable(s)
+    val fact = t(s, dir, "lineitem")
+    val idx = derivedIdx.getOrElseUpdate(s, s"derivedhll|$dir") {
+      // persist the rollup: the registered artifact is a segment on
+      // disk (built at ingest in the reference), not a live cube plan
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_derivedhll_" +
+        TmpTag(dir)
+      val built = StarTree.build(fact, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_partkey"), sketchLgK = 12)
+      built.rollup.write.mode("overwrite").parquet(out)
+      built.copy(rollup = s.read.parquet(out))
+    }
+    val factPath = s"$dir/lineitem.parquet"
+    StarTreeRegistry.register(factPath, idx)
+    try {
+      val resolve = (name: String) => Tables.load(s, dir, name)
+      val grouped = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(
+        "SELECT DISTINCTCOUNTHLL(l_partkey) FROM lineitem GROUP BY l_returnflag TOP 10"),
+        resolve)
+      val global = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(
+        "SELECT FASTHLL(l_partkey) FROM lineitem"), resolve)
+      // memoize the optimized plans NOW so routing survives unregister
+      Seq("grouped" -> grouped, "global" -> global).foreach { case (which, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("lineitem.parquet"),
+          s"derived-HLL $which query must route off the fact scan:\n$plan")
+      }
+      val exact = fact.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("dc_exact"))
+      val globalEst = global.head().getLong(0)
+      val globalExact = fact.agg(countDistinct($"l_partkey")).head().getLong(0)
+      require(math.abs(globalEst - globalExact) <= 0.05 * globalExact,
+        s"global derived-HLL estimate $globalEst outside 5% of $globalExact")
+      grouped
+        .join(exact, Seq("l_returnflag"))
+        .select($"l_returnflag", $"dc_exact",
+          (abs($"distinctcounthll_l_partkey" - $"dc_exact") <=
+            $"dc_exact" * 0.05).as("hll_ok"),
+          lit(true).as("global_ok"))
+        .orderBy($"l_returnflag")
+    } finally StarTreeRegistry.unregister(factPath)
+  }
+
   private val cshllSeg = new SessionCache[String]
 
   /** FASTHLL over the reference's OWN serialized-HLL string format
@@ -279,6 +339,7 @@ object ApproxQueries {
     "q_hll_mv" -> qHllMv,
     "q_percentile_approx" -> qPercentileApprox,
     "q_fasthll" -> qFastHll,
+    "q_derived_hll" -> qDerivedHll,
     "q_clearspring_hll" -> qClearspringHll,
     "q_tdigest_compat" -> qTdigestCompat,
     "q_percentile_sketch" -> qPercentileSketch)
@@ -300,6 +361,10 @@ object ApproxQueries {
     "q_fasthll" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
         |  count(DISTINCT l_partkey) AS dc_exact, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_derived_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_exact,
+        |  TRUE AS hll_ok, TRUE AS global_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_clearspring_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_parts,
