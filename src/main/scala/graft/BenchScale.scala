@@ -341,7 +341,46 @@ object BenchScale {
         System.gc()
         QueryResult(name, "agg", sample(reps)(exec(df)))
       }
-      s""""sorted":{${rs.map(_.json).mkString(",")}}"""
+      // ORDERED-READ fast path (SortedInvertedIndexBasedFilterOperator
+      // analog, graft.sources.SortedLayout): copies range-partitioned
+      // on each query's primary ORDER BY column answer the page from
+      // head/tail files only — detected from footer min/max, asserted
+      // pruned. s2 pages an unfiltered total order (footer row counts
+      // give the exact file subset); s3 is dim-filtered (the subset
+      // expands adaptively until the page fills — here one tail file).
+      val orderedSpecs = Seq(
+        ("s2_page", s"$dir/ontime_sorted_dse.parquet", "_SORTED_DSE_DONE",
+          Seq("DaysSinceEpoch", "FlightNum")),
+        ("s3_point_topn", s"$dir/ontime_sorted_dep.parquet", "_SORTED_DEP_DONE",
+          Seq("DepDelay")))
+      val ordRs = orderedSpecs.map { case (name, path, markerName, sortCols) =>
+        val m = new java.io.File(s"$dir/$markerName")
+        if (!m.exists()) {
+          table.repartitionByRange(64, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode("overwrite").parquet(path)
+          java.nio.file.Files.write(m.toPath, java.util.Arrays.asList("ok"))
+        }
+        val copy = spark.read.parquet(path)
+        val ldr: String => DataFrame = _ => copy
+        val pql = workload.find(_._1 == name).get._3
+        val df = Pql.toDataFrame(Pql.parse(pql), ldr)
+        require(df.inputFiles.length < copy.inputFiles.length,
+          s"$name ordered read did not prune " +
+            s"(${df.inputFiles.length}/${copy.inputFiles.length} files)")
+        // the page's ORDER BY values must equal the full-scan plan's
+        // (tie rows may swap within equal keys — compare the ordered
+        // key columns, which both plans pin exactly)
+        val keyCols = sortCols.take(1) // primary column carries the page contract
+        val fastKeys = df.select(keyCols.map(col): _*).collect().map(_.toSeq).toSeq
+        val scanKeys = Pql.toDataFrame(Pql.parse(pql), loader)
+          .select(keyCols.map(col): _*).collect().map(_.toSeq).toSeq
+        require(fastKeys == scanKeys,
+          s"$name ordered-read page diverged from the scan plan on $keyCols")
+        System.gc()
+        QueryResult(name, "sel", sample(reps)(exec(df)))
+      }
+      s""""sorted":{${(rs ++ ordRs).map(_.json).mkString(",")}}"""
     }
 
     // approx error vs exact (B4's error-bound column)

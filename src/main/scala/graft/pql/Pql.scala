@@ -828,19 +828,35 @@ object Pql {
       // ---- selection mode ----
       require(q.having.isEmpty, "HAVING requires GROUP BY")
       require(q.top.isEmpty, "TOP requires GROUP BY")
-      val projected0 =
-        if (q.select == Seq(Star)) filtered
-        else filtered.select(q.select.map(e => scalar(e).as(nameOf(e))): _*)
-      // SELECT DISTINCT (the DistinctAggregation path, SURVEY §2.5)
-      val projected = if (q.distinct) projected0.distinct() else projected0
-      val ordered =
-        if (q.orderBy.isEmpty) projected
-        else projected.orderBy(q.orderBy.map { case (c, asc) =>
-          if (asc) col(c).asc else col(c).desc
-        }: _*)
       val (offset, size) = q.limit.getOrElse((0, 10))
-      val off = if (offset > 0) ordered.offset(offset) else ordered
-      off.limit(size)
+      def finish(from: DataFrame): DataFrame = {
+        val projected0 =
+          if (q.select == Seq(Star)) from
+          else from.select(q.select.map(e => scalar(e).as(nameOf(e))): _*)
+        // SELECT DISTINCT (the DistinctAggregation path, SURVEY §2.5)
+        val projected = if (q.distinct) projected0.distinct() else projected0
+        val ordered =
+          if (q.orderBy.isEmpty) projected
+          else projected.orderBy(q.orderBy.map { case (c, asc) =>
+            if (asc) col(c).asc else col(c).desc
+          }: _*)
+        val off = if (offset > 0) ordered.offset(offset) else ordered
+        off.limit(size)
+      }
+      // Sorted-segment ordered read (SortedInvertedIndexBasedFilter
+      // Operator analog, [[graft.sources.SortedLayout]]): when the
+      // table's parquet files are range-disjoint on the primary ORDER
+      // BY column, the page answers from the head/tail files only —
+      // detected from footer metadata, never assumed. DISTINCT pages
+      // are excluded: dedup could shrink the page below `size` after
+      // pruning decided the subset from raw row counts.
+      val fastPage: Option[DataFrame] =
+        if (q.orderBy.isEmpty || q.distinct) None
+        else graft.sources.SortedLayout.orderedSelection(
+          base, q.orderBy.head._1, q.orderBy.head._2,
+          q.where.map(w => predicate(w, base.schema)),
+          offset.toLong + size.toLong, finish)
+      fastPage.getOrElse(finish(filtered))
     }
   }
 

@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+
+/** Ordered selection over a SORTED segment layout — the Spark-native
+  * analog of the reference's sorted-column fast path
+  * (`IndexingConfig.sortedColumn` + per-column `isSorted` segment
+  * metadata; `operator/filter/SortedInvertedIndexBasedFilterOperator
+  * .java:1-164` answers sorted-column predicates by binary search on
+  * the sorted forward index instead of scanning).
+  *
+  * Here the "sorted segment" is a table written range-partitioned +
+  * sorted by a column (the [[Ingest]] sorted sink at scale): each
+  * parquet file covers a disjoint key range, recorded in its footer's
+  * column min/max statistics. An `ORDER BY <sortedCol> ... LIMIT
+  * offset, size` query then needs only the head (or tail, DESC) files
+  * whose cumulative row counts cover `offset + size` rows — the other
+  * files cannot contribute to the page. Like the reference, sortedness
+  * is DETECTED from the data's own metadata (Pinot computes `isSorted`
+  * at segment load rather than trusting the config), so a table that
+  * merely claims a sort order never returns wrong pages.
+  *
+  * At 100 TB the footer sweep is one distributed metadata job over
+  * ~10⁵ file footers (memoized per immutable file set) and the query
+  * then scans 1-2 files instead of every segment — the same
+  * read-bound-by-answer-size property the reference gets from its
+  * sorted index.
+  */
+object SortedLayout {
+
+  /** Per-file footer stats for one column. `min`/`max` are unified to
+    * Double for numeric physical types and String for UTF-8 binary —
+    * only used for ORDERING files, never returned to the query. */
+  final case class FileStat(path: String, rows: Long,
+      minD: Double, maxD: Double, minS: String, maxS: String,
+      numeric: Boolean) {
+    def minKey: Either[Double, String] = if (numeric) Left(minD) else Right(minS)
+    def maxKey: Either[Double, String] = if (numeric) Left(maxD) else Right(maxS)
+  }
+
+  private def leq(a: Either[Double, String], b: Either[Double, String]): Boolean =
+    (a, b) match {
+      case (Left(x), Left(y)) => x <= y
+      case (Right(x), Right(y)) => x <= y
+      case _ => false
+    }
+  private def eqK(a: Either[Double, String], b: Either[Double, String]): Boolean =
+    (a, b) match {
+      case (Left(x), Left(y)) => x == y
+      case (Right(x), Right(y)) => x == y
+      case _ => false
+    }
+
+  // memoized per (file set incl. size+mtime, column): footers are
+  // immutable once written, and repeated pages over the same segment
+  // must not re-open 10^5 footers per query
+  private val layoutCache =
+    new scala.collection.concurrent.TrieMap[(Seq[String], String), Option[Seq[FileStat]]]
+
+  /** The sorted layout of `df`'s scan for `column`, or None when the
+    * frame is not a bare parquet scan, the column's per-file ranges
+    * overlap (not a sorted layout), any footer lacks stats, or any
+    * file contains nulls in the column (null ordering cannot be
+    * decided from range stats). Result is ASC-ordered by file min. */
+  def layoutFor(df: DataFrame, column: String): Option[Seq[FileStat]] = {
+    df.queryExecution.optimizedPlan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          try {
+            val statuses = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            val key = (statuses
+              .map(f => s"${f.getPath}@${f.getLen}:${f.getModificationTime}").sorted,
+              column.toLowerCase)
+            layoutCache.getOrElseUpdate(key, {
+              val spark = df.sparkSession
+              val confBc = spark.sparkContext.broadcast(
+                new org.apache.spark.util.SerializableConfiguration(
+                  spark.sessionState.newHadoopConf()))
+              val files = statuses.map(_.getPath.toString).sorted
+              val stats =
+                try spark.sparkContext
+                  .parallelize(files, math.min(math.max(files.size, 1), 32))
+                  .map(p => fileStat(p, column, confBc.value.value))
+                  .collect().toSeq
+                finally confBc.destroy()
+              if (stats.exists(_.isEmpty)) None
+              else {
+                val flat = stats.flatten.filter(_.rows > 0)
+                val asc = flat.sortBy(s =>
+                  s.minKey.fold(d => (0, d, ""), str => (1, 0.0, str)))
+                // disjoint ranges: each file starts at or after the
+                // previous file's end (boundary ties legal — absorbed
+                // by the subset walk)
+                val disjoint = asc.zip(asc.drop(1)).forall { case (a, b) =>
+                  a.numeric == b.numeric && leq(a.maxKey, b.minKey)
+                }
+                // a single file is "sorted" but prunes nothing
+                if (disjoint && asc.size > 1) Some(asc) else None
+              }
+            })
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Footer stats of one file for one column: Some(None) propagation —
+    * outer None = this file disqualifies the layout (missing stats,
+    * nulls present, unsupported type). */
+  private def fileStat(path: String, column: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[FileStat] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0) return Some(FileStat(path, 0, 0, 0, "", "", numeric = true))
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala.find(c =>
+          c.getPath.toDotString.equalsIgnoreCase(column)).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue || st.getNumNulls > 0) None
+          else st match {
+            case s: org.apache.parquet.column.statistics.IntStatistics =>
+              Some((s.getMin.toDouble, s.getMax.toDouble, "", "", true))
+            case s: org.apache.parquet.column.statistics.LongStatistics =>
+              Some((s.getMin.toDouble, s.getMax.toDouble, "", "", true))
+            case s: org.apache.parquet.column.statistics.FloatStatistics =>
+              Some((s.getMin.toDouble, s.getMax.toDouble, "", "", true))
+            case s: org.apache.parquet.column.statistics.DoubleStatistics =>
+              Some((s.getMin, s.getMax, "", "", true))
+            case s: org.apache.parquet.column.statistics.BinaryStatistics =>
+              Some((0.0, 0.0, s.genericGetMin.toStringUsingUTF8,
+                s.genericGetMax.toStringUsingUTF8, false))
+            case _ => None
+          }
+        }
+      }
+      if (perBlock.exists(_.isEmpty)) None
+      else {
+        val bs = perBlock.flatten
+        val numeric = bs.head._5
+        if (!bs.forall(_._5 == numeric)) None
+        else if (numeric)
+          Some(FileStat(path, rows, bs.map(_._1).min, bs.map(_._2).max, "", "",
+            numeric = true))
+        else
+          Some(FileStat(path, rows, 0, 0, bs.map(_._3).min, bs.map(_._4).max,
+            numeric = false))
+      }
+    } finally r.close()
+  }
+
+  /** Build the pruned ordered-selection frame, or None when the fast
+    * path does not apply (unsorted layout, or pruning would read
+    * every file anyway — the plain plan is then strictly simpler).
+    *
+    * `primaryAsc` is the direction on the FIRST order-by column (the
+    * sorted column); secondary order columns only break ties inside
+    * the subset and never change which files can contribute. With a
+    * filter, footer row counts over-estimate the matching rows, so the
+    * subset grows by doubling until the filtered page is full — each
+    * probe is one job over the candidate files, and the final frame is
+    * a plain lazy plan over the chosen subset. */
+  def orderedSelection(table: DataFrame, column: String, primaryAsc: Boolean,
+      filter: Option[Column], needed: Long,
+      finish: DataFrame => DataFrame): Option[DataFrame] = {
+    if (needed <= 0) return None
+    layoutFor(table, column).flatMap { asc =>
+      val ordered = if (primaryAsc) asc else asc.reverse
+      def headKey(s: FileStat) = if (primaryAsc) s.minKey else s.maxKey
+      def tailKey(s: FileStat) = if (primaryAsc) s.maxKey else s.minKey
+      // prefix of `ordered` holding ≥ wantRows rows, extended while the
+      // next file TIES the boundary value (equal keys may span the
+      // range-partition cut and the page must see all of them)
+      def prefix(wantRows: Long): Seq[FileStat] = {
+        var acc = 0L
+        var i = 0
+        while (i < ordered.size && acc < wantRows) { acc += ordered(i).rows; i += 1 }
+        while (i < ordered.size && i > 0 &&
+            eqK(headKey(ordered(i)), tailKey(ordered(i - 1)))) { i += 1 }
+        ordered.take(i)
+      }
+      def filteredOver(subset: Seq[FileStat]): DataFrame = {
+        val raw = table.sparkSession.read.schema(table.schema)
+          .parquet(subset.map(_.path): _*)
+        filter.map(raw.where).getOrElse(raw)
+      }
+      filter match {
+        case None =>
+          val subset = prefix(needed)
+          if (subset.size >= ordered.size) None
+          else Some(finish(filteredOver(subset)))
+        case Some(_) =>
+          // adaptive: footer counts bound UNFILTERED rows only, so the
+          // subset doubles until the filtered page is full (the probe
+          // is a limit-bounded count — it stops scanning as soon as
+          // `needed` matches are found)
+          var want = needed
+          var subset = prefix(want)
+          var full = subset.size >= ordered.size
+          while (!full && filteredOver(subset).limit(needed.toInt).count() < needed) {
+            want *= 8
+            subset = prefix(want)
+            full = subset.size >= ordered.size
+          }
+          if (full) None else Some(finish(filteredOver(subset)))
+      }
+    }
+  }
+}
