@@ -383,6 +383,11 @@ object BenchScale {
       s""""sorted":{${(rs ++ ordRs).map(_.json).mkString(",")}}"""
     }
 
+    // LLM-pipeline operators at scale (exact dedup, MinHash near-dup
+    // with a planted-pair recall oracle, knn-join + IVF, text stats):
+    // the floor-free numbers for the project's differentiator class.
+    val pipelineSection = runPipeline(spark, dir, rows, math.min(reps, 3))
+
     // approx error vs exact (B4's error-bound column)
     def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
     val hllEst = num(Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h1_hll").get._3), loader)
@@ -401,7 +406,145 @@ object BenchScale {
 
     s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
       s""""queries":{${results.map(_.json).mkString(",")}},""" +
-      s""""classes":{${classes.mkString(",")}},$st,$routedSection,$sortedSection,$apxErr}"""
+      s""""classes":{${classes.mkString(",")}},$st,$routedSection,$sortedSection,""" +
+      s"""$pipelineSection,$apxErr}"""
+  }
+
+  /** The pipeline-operator bench: documents and embeddings at the SAME
+    * row count as the OLAP ladder point, exercising the operators a
+    * 100 TB training-data pipeline runs — each measured with the same
+    * 1-warmup + reps method. Correctness travels with the timing:
+    * exact dedup pins the closed-form duplicate count, the near-dup
+    * pipeline reports recall/precision against the PLANTED pair oracle
+    * ([[ScaleDocs.plantedPairs]]), and IVF reports recall@10 against
+    * the brute-force ground truth on the same queries. */
+  private def runPipeline(spark: SparkSession, dir: String, rows: Long,
+      reps: Int): String = {
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    import graft.queries.ScaleDocs
+    val genSecs = time {
+      ScaleDocs.ensureDocs(spark, dir, rows)
+      ScaleDocs.ensureEmbeddings(spark, dir, rows)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    exec(docs.select("doc_id", "n_chars")) // page in the metadata side
+    System.gc()
+
+    // p1: token counting (DuckDB-expressible twin)
+    val p1 = QueryResult("p1_token_stats", "pipe", sample(reps)(exec(
+      docs.agg(avg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
+        count(lit(1)).as("n")))))
+    System.gc()
+    // p2: language-id + quality scoring, one kernel pass (no twin)
+    val p2 = QueryResult("p2_lang_quality", "pipe", sample(reps)(exec(
+      docs.groupBy(TextAnalysis.langId(col("text")).as("lang_id"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_q")))))
+    System.gc()
+    // p3: exact dedup — survivors = rows − planted exact dups (ids ≡ 1
+    // mod 50 duplicate id−1), a closed-form correctness pin
+    val survivors = Dedup.exactDedup(docs, "doc_id", "text").count()
+    val expectedSurvivors = rows - ((rows + 48) / 50)
+    require(survivors == expectedSurvivors,
+      s"exact dedup found $survivors survivors, planted structure says $expectedSurvivors")
+    val p3 = QueryResult("p3_dedup_exact", "pipe", sample(reps)(
+      { Dedup.exactDedup(docs, "doc_id", "text").count(); () }))
+    System.gc()
+
+    // p4: near-dup pipeline over a STORED signature segment (the
+    // ingest-artifact stage a real corpus materializes once)
+    val sigPath = s"$dir/minhash_sigs.parquet"
+    val sigMarker = new java.io.File(s"$dir/_SIGS_DONE")
+    val sigSecs =
+      if (sigMarker.exists())
+        new String(java.nio.file.Files.readAllBytes(sigMarker.toPath)).trim.toDouble
+      else {
+        val t = time {
+          Dedup.minhashSignatures(docs, "doc_id", "text")
+            .write.mode("overwrite").parquet(sigPath)
+        }
+        java.nio.file.Files.write(sigMarker.toPath, java.util.Arrays.asList(t.toString))
+        t
+      }
+    val sigs = spark.read.parquet(sigPath)
+    val cands = Dedup.candidatePairsFromSignatures(sigs, "doc_id",
+      minEstJaccard = 0.7 * 0.6).count()
+    val verifiedDf = Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs)
+    val verified = verifiedDf.count()
+    val planted = ScaleDocs.plantedPairs(spark, rows)
+    val plantedN = planted.count()
+    val hit = verifiedDf.select(col("id_a"), col("id_b"))
+      .join(planted, Seq("id_a", "id_b")).count()
+    val recall = if (plantedN == 0) 1.0 else hit.toDouble / plantedN
+    require(recall >= 0.99,
+      s"near-dup recall $recall over planted pairs ($hit/$plantedN)")
+    System.gc()
+    val p4 = QueryResult("p4_near_dup", "pipe", sample(reps)(
+      { Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs).count(); () }))
+    val minhashMeta =
+      s""""minhash":{"sig_build_sec":${r3(sigSecs)},"cand_pairs":$cands,""" +
+        s""""verified_pairs":$verified,"planted_pairs":$plantedN,""" +
+        s""""recall":${r3(recall)},""" +
+        s""""precision":${r3(if (verified == 0) 1.0 else hit.toDouble / verified)}}"""
+
+    // p5/p6: knn-join (brute, the exactness baseline) and IVF (the
+    // scale path) — 16 queries drawn from the corpus, k = 10
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 16).cache()
+    queries.count()
+    val bruteDf = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
+      "embedding", 10, excludeSelf = true)
+    val truth = bruteDf.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    System.gc()
+    val p5 = QueryResult("p5_knn_brute", "pipe", sample(reps)(
+      { Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", 10,
+        excludeSelf = true).count(); () }))
+    // IVF: train on a ≤1M-row deterministic sample, assign cells ONCE
+    // into a stored segment column (ivfAssign contract), probe 8/64
+    val trainFraction = math.min(1.0, 1000000.0 / rows)
+    val ivfSecs = time {
+      val cellPath = s"$dir/emb_cells.parquet"
+      val cellMarker = new java.io.File(s"$dir/_CELLS_DONE")
+      if (!cellMarker.exists()) {
+        val model = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 64,
+          iters = 2, sampleFraction = trainFraction)
+        Similarity.ivfAssign(emb, "embedding", model)
+          .write.mode("overwrite").parquet(cellPath)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/ivf_centroids.json"),
+          java.util.Arrays.asList(model.centroids.map(_.mkString("[", ",", "]"))
+            .mkString("[", ",", "]")))
+        java.nio.file.Files.write(cellMarker.toPath, java.util.Arrays.asList("ok"))
+      }
+    }
+    val centroids: Array[Array[Double]] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/ivf_centroids.json"))).trim
+      txt.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+        .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
+    }
+    val model = Similarity.IvfModel(centroids)
+    val embCells = spark.read.parquet(s"$dir/emb_cells.parquet")
+    val ivfDf = Similarity.ivfKnn(queries, "vec_id", embCells, "vec_id",
+      "embedding", 10, model, nprobe = 8, excludeSelf = true,
+      cellCol = Some("ivf_cell"))
+    val ivfHits = ivfDf.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+    val recall10 = ivfHits.toDouble / math.max(truth.size, 1)
+    System.gc()
+    val p6 = QueryResult("p6_ivf_ann", "pipe", sample(reps)(
+      { Similarity.ivfKnn(queries, "vec_id", embCells, "vec_id", "embedding",
+        10, model, nprobe = 8, excludeSelf = true,
+        cellCol = Some("ivf_cell")).count(); () }))
+    queries.unpersist()
+    val ivfMeta =
+      s""""ivf":{"setup_sec":${r3(ivfSecs)},"recall_at10":${r3(recall10)},""" +
+        s""""nprobe":8,"cells":64}"""
+
+    val entries = Seq(p1, p2, p3, p4, p5, p6)
+    s""""pipeline":{"rows":$rows,"gen_sec":${r3(genSecs)},""" +
+      s"""${entries.map(_.json).mkString(",")},$minhashMeta,$ivfMeta}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -60,14 +60,36 @@ object Dedup {
   /** MinHash-LSH near-duplicate candidate pairs with their estimated
     * Jaccard. One shuffle on (band, band_hash); pairs deduped with
     * id_a < id_b. */
+  /** The `(id, sig)` signature frame — the stage a real pipeline
+    * materializes ONCE per corpus (signatures are an ingest-time
+    * artifact, like the reference's derived metric columns): the
+    * banding self-join and the per-pair estimate both re-read the
+    * signature frame, and over 10⁸ documents recomputing the
+    * shingle+hash kernel on each side of a self-join would multiply
+    * the dominant cost ×3-4. Write this to a segment and feed
+    * [[candidatePairsFromSignatures]]. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame =
+    candidatePairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      idCol, numHashes, bands, minEstJaccard)
+
+  /** LSH banding + estimate filter over a PRE-COMPUTED signature frame
+    * (`(idCol, sig)` — the [[minhashSignatures]] shape, typically
+    * re-read from a stored segment so the self-join never recomputes
+    * text kernels). */
+  def candidatePairsFromSignatures(withSig: DataFrame, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
         "components would otherwise be silently dropped, weakening recall")
-    val withSig = df.select(col(idCol),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     val banded = lshBands(withSig, idCol, "sig", bands)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -110,8 +132,26 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands,
       shingleSize, minEstJaccard = threshold * 0.6)
-    // shingle sets computed once per DOCUMENT (kernel), joined to the
-    // candidate pairs — not re-tokenized per pair
+    verifyCandidates(df, idCol, textCol, cands, threshold, shingleSize)
+  }
+
+  /** [[nearDupPairs]] over a PRE-COMPUTED signature segment: candidates
+    * band-join the stored `(idCol, sig)` frame, exact verification
+    * reads the documents once for shingle sets — the text kernel runs
+    * one pass per document total, regardless of the join fan-out. */
+  def nearDupPairsStaged(df: DataFrame, idCol: String, textCol: String,
+      sigs: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
+      bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val cands = candidatePairsFromSignatures(sigs, idCol, numHashes, bands,
+      minEstJaccard = threshold * 0.6)
+    verifyCandidates(df, idCol, textCol, cands, threshold, shingleSize)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: shingle sets
+    * computed once per DOCUMENT (kernel), joined to the candidate
+    * pairs — not re-tokenized per pair. */
+  private def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
+      cands: DataFrame, threshold: Double, shingleSize: Int): DataFrame = {
     val docSh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")

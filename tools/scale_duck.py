@@ -86,6 +86,31 @@ def main():
                 q["duck_p50"] = round(statistics.median(reps), 3)
                 if q["duck_p50"] > 0:
                     q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # pipeline twins: the DuckDB-expressible subset (token stats,
+        # exact dedup). Near-dup/knn carry self-oracles (planted-pair
+        # recall, brute-force ground truth) instead of a twin.
+        if sec.get("pipeline"):
+            con.execute(
+                f"CREATE VIEW docs AS SELECT * FROM read_parquet('{ROOT}/scale_{tag}/documents.parquet/*.parquet')")
+            PIPE = {
+                "p1_token_stats":
+                    "SELECT avg(len(string_split(text, ' '))), count(*) FROM docs",
+                "p3_dedup_exact":
+                    "SELECT count(*) FROM (SELECT md5(text) AS f, min(doc_id) FROM docs GROUP BY f)",
+            }
+            for name, sql in PIPE.items():
+                q = sec["pipeline"].get(name)
+                if q is None:
+                    continue
+                con.execute(sql).fetchall()  # warmup
+                reps = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    reps.append(time.time() - t0)
+                q["duck_p50"] = round(statistics.median(reps), 3)
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
         # star-tree-routed reruns reuse the same duck statement by name
         for name, q in sec.get("routed", {}).items():
             if not isinstance(q, dict) or name not in QUERIES:
