@@ -175,7 +175,17 @@ object Bench {
     // ms precision keeps the WHOLE line under the driver's 2000-char
     // stdout tail capture — full-precision doubles overflowed it in
     // r3/r4 and the driver recorded parsed:null
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":${r3(floor)}$hj$ingestJson$scaleJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"floor_sec":${r3(floor)}$hj$ingestJson$scaleJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout tail capture truncates from the FRONT, which made
+    // r6's per-query map partially unreadable in the shipped artifact
+    // — also write the complete JSON to a file the driver can ship
+    // whole (BENCH_SCALE-style self-contained artifact)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.util.Arrays.asList(line))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -177,15 +177,24 @@ object SortedLayout {
       val ordered = if (primaryAsc) asc else asc.reverse
       def headKey(s: FileStat) = if (primaryAsc) s.minKey else s.maxKey
       def tailKey(s: FileStat) = if (primaryAsc) s.maxKey else s.minKey
-      // prefix of `ordered` holding ≥ wantRows rows, extended while the
-      // next file TIES the boundary value (equal keys may span the
-      // range-partition cut and the page must see all of them)
+      // prefix of `ordered` holding ≥ wantRows rows, extended over
+      // files whose head TIES the prefix's boundary value (equal keys
+      // may span the range-partition cut and the page must see all of
+      // them). The boundary is FIXED at the original prefix's end —
+      // re-deriving it from each absorbed file would chain through a
+      // layout whose every file boundary splits inside one key value
+      // (compound-key range partitioning does exactly that) and
+      // absorb the whole table. Only rows EQUAL to the boundary can
+      // displace prefix rows within their tie group; anything past it
+      // sorts after ≥ wantRows rows and can never enter the page.
       def prefix(wantRows: Long): Seq[FileStat] = {
         var acc = 0L
         var i = 0
         while (i < ordered.size && acc < wantRows) { acc += ordered(i).rows; i += 1 }
-        while (i < ordered.size && i > 0 &&
-            eqK(headKey(ordered(i)), tailKey(ordered(i - 1)))) { i += 1 }
+        if (i > 0) {
+          val boundary = tailKey(ordered(i - 1))
+          while (i < ordered.size && eqK(headKey(ordered(i)), boundary)) i += 1
+        }
         ordered.take(i)
       }
       def filteredOver(subset: Seq[FileStat]): DataFrame = {
