@@ -117,6 +117,51 @@ object BenchScale {
       spark.read.parquet(stPath), 0, 0)
   }
 
+  /** Routed-vs-scan answer equality, matched BY GROUP KEY (not sorted
+    * position): the rollup sums longs exactly while the scan-side
+    * Average accumulates doubles, so last-ulp drift is legal — it can
+    * reorder TOP rows and even flip membership at the cutoff rank.
+    * Common groups must agree value-for-value (1e-6 on doubles); a
+    * group present on only one side is legal only if at least one of
+    * its double columns sits within drift of that column's cutoff (the
+    * TOP boundary) — anything else is a real routing bug and dies
+    * loudly. Exact measures (no double columns) admit NO membership
+    * drift at all. */
+  private def verifyRoutedRows(name: String,
+      got: Array[org.apache.spark.sql.Row],
+      exp: Array[org.apache.spark.sql.Row]): Unit = {
+    def rowKey(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).filterNot(i => r.get(i).isInstanceOf[Double])
+        .map(i => String.valueOf(r.get(i))).mkString("|")
+    require(got.length == exp.length, s"$name routed row count ${got.length} != ${exp.length}")
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    val gotM = got.map(r => rowKey(r) -> r).toMap
+    val expM = exp.map(r => rowKey(r) -> r).toMap
+    val dblIdx = exp.headOption.toSeq.flatMap(r =>
+      (0 until r.length).filter(r.get(_).isInstanceOf[Double]))
+    val cutoff = dblIdx.map(i => i -> exp.map(_.getDouble(i)).min).toMap
+    (gotM.keySet intersect expM.keySet).foreach { k =>
+      val (g, e) = (gotM(k), expM(k))
+      (0 until g.length).foreach { i =>
+        (g.get(i), e.get(i)) match {
+          case (a: Double, b: Double) =>
+            require(close(a, b), s"$name value drift at col $i: $a vs $b")
+          case (a, b) => require(a == b, s"$name mismatch at col $i: $a vs $b")
+        }
+      }
+    }
+    val symDiff = (gotM.keySet diff expM.keySet).toSeq.map(gotM) ++
+      (expM.keySet diff gotM.keySet).toSeq.map(expM)
+    if (dblIdx.isEmpty)
+      require(symDiff.isEmpty,
+        s"$name TOP membership differs on exact measures: ${symDiff.take(3)}")
+    symDiff.foreach { r =>
+      require(dblIdx.exists(i => close(r.getDouble(i), cutoff(i))),
+        s"$name TOP membership differs beyond the cutoff boundary: $r")
+    }
+  }
+
   /** One scale point: run the workload + star-tree + approx-error
     * sections, return the JSON object body. */
   def runScale(spark: SparkSession, tag: String, rows: Long, reps: Int): String = {
@@ -233,60 +278,7 @@ object BenchScale {
           val plan = df.queryExecution.executedPlan.toString
           require(!plan.contains("ontime.parquet"),
             s"$name did not route to the star-tree:\n$plan")
-          // identical groups and values (1e-6 on the avg doubles — the
-          // rollup sums longs exactly; scan-side Average accumulates
-          // doubles, so last-ulp drift is legal)
-          // sort both sides by the (string) group keys: last-ulp avg
-          // drift can legally swap adjacent TOP rows between plans
-          def rowKey(r: org.apache.spark.sql.Row): String =
-            (0 until r.length).filterNot(i => r.get(i).isInstanceOf[Double])
-              .map(i => String.valueOf(r.get(i))).mkString("|")
-          val got = df.collect()
-          val exp = expected(name)
-          require(got.length == exp.length, s"$name routed row count ${got.length} != ${exp.length}")
-          def close(a: Double, b: Double): Boolean =
-            math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
-          // match rows BY GROUP KEY, not by sorted position: last-ulp
-          // avg drift can legally reorder TOP rows and even flip
-          // membership at the cutoff rank. Common groups must agree
-          // value-for-value; a group present on only one side is legal
-          // only if every double it carries sits within drift of that
-          // column's cutoff (the TOP boundary) — anything else is a
-          // real routing bug and still dies loudly.
-          val gotM = got.map(r => rowKey(r) -> r).toMap
-          val expM = exp.map(r => rowKey(r) -> r).toMap
-          val dblIdx = exp.headOption.toSeq.flatMap(r =>
-            (0 until r.length).filter(r.get(_).isInstanceOf[Double]))
-          val cutoff = dblIdx.map(i => i -> exp.map(_.getDouble(i)).min).toMap
-          (gotM.keySet intersect expM.keySet).foreach { k =>
-            val (g, e) = (gotM(k), expM(k))
-            (0 until g.length).foreach { i =>
-              (g.get(i), e.get(i)) match {
-                case (a: Double, b: Double) =>
-                  require(close(a, b), s"$name value drift at col $i: $a vs $b")
-                case (a, b) => require(a == b, s"$name mismatch at col $i: $a vs $b")
-              }
-            }
-          }
-          val symDiff = (gotM.keySet diff expM.keySet).toSeq.map(gotM) ++
-            (expM.keySet diff gotM.keySet).toSeq.map(expM)
-          // exact measures (no double columns) admit NO legal
-          // membership drift at all — the boundary tolerance only
-          // exists because scan-side Average accumulates doubles
-          if (dblIdx.isEmpty)
-            require(symDiff.isEmpty,
-              s"$name TOP membership differs on exact measures: ${symDiff.take(3)}")
-          // a flipped boundary row is legal when the ORDER BY measure
-          // sits at the TOP cutoff — but its OTHER double columns
-          // (unrelated avgs) carry that group's own values, nowhere
-          // near those columns' minima. Requiring every double to sit
-          // at its own column cutoff would spuriously fail legal
-          // flips; requiring at least one keeps real routing bugs
-          // (rows nowhere near any boundary) loud.
-          symDiff.foreach { r =>
-            require(dblIdx.exists(i => close(r.getDouble(i), cutoff(i))),
-              s"$name TOP membership differs beyond the cutoff boundary: $r")
-          }
+          verifyRoutedRows(name, df.collect(), expected(name))
           System.gc()
           QueryResult(name, "agg", sample(reps)(exec(df)))
         }
@@ -547,13 +539,107 @@ object BenchScale {
       s"""${entries.map(_.json).mkString(",")},$minhashMeta,$ivfMeta}"""
   }
 
+  /** The 1B-row ladder point, heavy shapes only: the full workload's
+    * floor questions are already settled at SF1000; this point exists
+    * to catch anything super-linear — a stage whose wall-time grows
+    * faster than data, driver-side state growth, a partial-agg that
+    * stops fitting — on the shapes where that could plausibly happen:
+    * the 3-dim group-by, grouped exact percentiles, the near-unique
+    * exact-histogram worst case, and the routed star-tree (whose
+    * rollup cardinality is scale-INVARIANT, so routing must get
+    * relatively cheaper at 10×). Heavy shapes run reps=3. */
+  def runHeavy(spark: SparkSession, tag: String, rows: Long, reps: Int): String = {
+    import graft.operators.Percentiles
+    import graft.plans.StarTreeRegistry
+    val dir = s"$dataRoot/scale_$tag"
+    val genSecs = time { ScaleTable.ensure(spark, dir, rows) }
+    val table = spark.read.parquet(s"$dir/ontime.parquet")
+    val loader: String => DataFrame = _ => table
+    exec(table) // warm page cache + JIT (both engines measured warm)
+
+    def pqlDf(name: String): DataFrame =
+      Pql.toDataFrame(Pql.parse(workload.find(_._1 == name).get._3), loader)
+
+    System.gc()
+    val a6 = QueryResult("a6_groupby_3dim", "agg", sample(reps)(exec(pqlDf("a6_groupby_3dim"))))
+    System.gc()
+    val h1 = QueryResult("h1_hll", "apx", sample(reps)(exec(pqlDf("h1_hll"))))
+    // grouped exact percentiles through the PQL front-end (the
+    // distributed-histogram path, one histogram per (Carrier, value))
+    val g1Pql = "SELECT PERCENTILE50(ArrDelay), PERCENTILE95(ArrDelay) FROM ontime GROUP BY Carrier TOP 15"
+    System.gc()
+    val g1 = {
+      val df = Pql.toDataFrame(Pql.parse(g1Pql), loader)
+      QueryResult("g1_grouped_pctl", "agg", sample(reps)(exec(df)))
+    }
+    // the rank-pass cliff: exact percentiles over a NEAR-UNIQUE value
+    // (~2^31 hash domain over 1B rows → ~8·10^8 distinct histogram
+    // keys). The two-level bucketed prefix-sum must keep this
+    // bounded-parallel — a one-task sort here would be the
+    // super-linear failure this ladder point exists to catch. Direct
+    // operator call (PQL has no hash transform); the DuckDB twin runs
+    // quantile_cont over its own hash() of the same columns.
+    System.gc()
+    val g2 = {
+      val df = Percentiles.histogramAggs(
+        table.select(pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+          lit(1L << 31)).cast("double").as("v")),
+        Nil, "v", Seq(
+          Percentiles.Spec(0.5, "p50", nearestRank = false),
+          Percentiles.Spec(0.95, "p95", nearestRank = false)))
+      QueryResult("g2_nearunique_pctl", "agg", sample(reps)(exec(df)))
+    }
+
+    // routed star-tree: the (Cancelled, Carrier, Origin, Dest) tree's
+    // rollup cardinality is bounded by the dimension universe, NOT by
+    // rows — at 1B rows the build costs one group-by pass and the
+    // routed a4/a5 must cost the same as at SF1000.
+    val stPath = s"$dir/startree_cancel_carrier_od.parquet"
+    val marker = new java.io.File(s"$dir/_ST4_DONE")
+    val buildSecs = time {
+      if (!marker.exists()) {
+        StarTree.build(table, Seq("Cancelled", "Carrier", "Origin", "Dest"),
+          Seq("ArrDelay", "DepDelay")).rollup
+          .write.mode("overwrite").parquet(stPath)
+        java.nio.file.Files.write(marker.toPath, java.util.Arrays.asList("ok"))
+      }
+    }
+    val idx = StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
+      Seq("ArrDelay", "DepDelay"), spark.read.parquet(stPath), 0, 0)
+    val routable = Seq("a4_groupby_1dim", "a5_groupby_2dim")
+    val scanRs = routable.map { name =>
+      System.gc()
+      name -> QueryResult(name, "agg", sample(reps)(exec(pqlDf(name))))
+    }
+    val expected = routable.map(name => name -> pqlDf(name).collect()).toMap
+    Graft.enable(spark)
+    StarTreeRegistry.register(s"$dir/ontime.parquet", idx)
+    val routedRs =
+      try routable.map { name =>
+        val df = pqlDf(name)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("ontime.parquet"),
+          s"$name did not route to the star-tree:\n$plan")
+        verifyRoutedRows(name, df.collect(), expected(name))
+        System.gc()
+        QueryResult(name, "agg", sample(reps)(exec(df)))
+      } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
+
+    val heavy = Seq(a6, g1, g2, h1).map(_.json).mkString(",")
+    val scan = scanRs.map(_._2.json).mkString(",")
+    val routed = routedRs.map(_.json).mkString(",")
+    s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
+      s""""heavy":{$heavy},"scan":{$scan},""" +
+      s""""routed":{$routed,"build_sec":${r3(buildSecs)},"rollup_rows":${idx.rollup.count()}}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r07.json"
     // optional second arg restricts the scale ladder ("sf1,sf100") —
     // smoke runs and resumes after an interrupted ladder
     val wanted: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("sf1", "sf100", "sf1000")
+      else Set("sf1", "sf100", "sf1000", "sf10000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -573,7 +659,17 @@ object BenchScale {
       val s = runScale(spark, tag, rows, reps = 5)
       println(s"[scale] $tag done")
       s
-    }
+    } ++ (if (wanted.contains("sf10000smoke")) {
+      // 100K-row dry run of the heavy section: catches a parse or
+      // routing failure in seconds instead of after the 1B-row build
+      val s = runHeavy(spark, "sf10000smoke", 100000L, reps = 1)
+      println(s"[scale] sf10000smoke done")
+      Seq(s)
+    } else Nil) ++ (if (wanted.contains("sf10000")) {
+      val s = runHeavy(spark, "sf10000", 1000000000L, reps = 3)
+      println(s"[scale] sf10000 done")
+      Seq(s)
+    } else Nil)
     val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
     val body = s"""{"bench":"scale",$host,${sections.mkString(",")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -34,6 +34,60 @@ QUERIES = {
 
 REPS = 5
 
+# sf10000 heavy-shape twins not in QUERIES (duckdb's hash() differs
+# from xxhash64 in values but not in distribution — the near-unique
+# histogram twin measures the same ~8e8-distinct-key workload)
+HEAVY = {
+    "g1_grouped_pctl":
+        "SELECT Carrier, quantile_cont(ArrDelay, 0.5) AS p50, quantile_cont(ArrDelay, 0.95) AS p95 "
+        "FROM ontime GROUP BY Carrier ORDER BY p50 DESC LIMIT 15",
+    "g2_nearunique_pctl":
+        "SELECT quantile_cont(v, 0.5), quantile_cont(v, 0.95) FROM "
+        "(SELECT CAST(hash(FlightNum, ArrTime, Distance) % 2147483648 AS DOUBLE) AS v FROM ontime)",
+}
+
+
+def time_sql(con, sql, reps=REPS):
+    con.execute(sql).fetchall()  # warmup
+    out = []
+    for _ in range(reps):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        out.append(time.time() - t0)
+    return out
+
+
+def merge_heavy(report, root):
+    """sf10000 heavy section: twin a6/h1/g1/g2 + the a4/a5 scan
+    entries; routed entries reuse the scan twin's duck_p50 (DuckDB has
+    no rollup artifact — the routed ratio shows the engine capability
+    against DuckDB's best raw-parquet answer)."""
+    sec = report.get("sf10000")
+    if not sec:
+        return
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ontime AS SELECT * FROM read_parquet('{root}/scale_sf10000/ontime.parquet/*.parquet')")
+    for part, statements in (("heavy", {**QUERIES, **HEAVY}), ("scan", QUERIES)):
+        for name, q in sec.get(part, {}).items():
+            if not isinstance(q, dict) or name not in statements:
+                continue
+            reps = time_sql(con, statements[name], reps=3)
+            q["duck_p50"] = round(statistics.median(reps), 3)
+            q["duck_reps"] = [round(r, 3) for r in reps]
+            if q["duck_p50"] > 0:
+                q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+    for name, q in sec.get("routed", {}).items():
+        if not isinstance(q, dict):
+            continue
+        base = sec.get("scan", {}).get(name, {})
+        if "duck_p50" in base:
+            q["duck_p50"] = base["duck_p50"]
+            if q["duck_p50"] > 0:
+                q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+    con.close()
+    print("[duck] sf10000 done")
+
 
 def main():
     with open(REPORT) as f:
@@ -129,6 +183,7 @@ def main():
                 csec["ratio_p50"] = round(csec["total_p50"] / duck_total, 2)
         con.close()
         print(f"[duck] {tag} done")
+    merge_heavy(report, ROOT)
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[duck] merged into {REPORT}")
