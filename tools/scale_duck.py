@@ -57,17 +57,17 @@ def time_sql(con, sql, reps=REPS):
     return out
 
 
-def merge_heavy(report, root):
-    """sf10000 heavy section: twin a6/h1/g1/g2 + the a4/a5 scan
-    entries; routed entries reuse the scan twin's duck_p50 (DuckDB has
-    no rollup artifact — the routed ratio shows the engine capability
-    against DuckDB's best raw-parquet answer)."""
-    sec = report.get("sf10000")
+def merge_heavy(report, root, tag="sf10000", subdir=None):
+    """Heavy-shape sections (sf1000heavy / sf10000): twin a6/h1/g1/g2
+    + the a4/a5 scan entries; routed entries reuse the scan twin's
+    duck_p50 (DuckDB has no rollup artifact — the routed ratio shows
+    the engine capability against DuckDB's best raw-parquet answer)."""
+    sec = report.get(tag)
     if not sec:
         return
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW ontime AS SELECT * FROM read_parquet('{root}/scale_sf10000/ontime.parquet/*.parquet')")
+        f"CREATE VIEW ontime AS SELECT * FROM read_parquet('{root}/scale_{subdir or tag}/ontime.parquet/*.parquet')")
     for part, statements in (("heavy", {**QUERIES, **HEAVY}), ("scan", QUERIES)):
         for name, q in sec.get(part, {}).items():
             if not isinstance(q, dict) or name not in statements:
@@ -86,7 +86,7 @@ def merge_heavy(report, root):
             if q["duck_p50"] > 0:
                 q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
     con.close()
-    print("[duck] sf10000 done")
+    print(f"[duck] {tag} done")
 
 
 def main():
@@ -183,6 +183,7 @@ def main():
                 csec["ratio_p50"] = round(csec["total_p50"] / duck_total, 2)
         con.close()
         print(f"[duck] {tag} done")
+    merge_heavy(report, ROOT, "sf1000heavy", subdir="sf1000")
     merge_heavy(report, ROOT)
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)
