@@ -92,6 +92,15 @@ object BenchScale {
     (1 to reps).map(_ => time(f))
   }
 
+  /** [[sample]] with a gc BETWEEN reps (outside the timed region):
+    * multi-GB-shuffle queries otherwise stack one shuffle set per rep
+    * on disk until the ContextCleaner's next GC-triggered sweep —
+    * at the 100M/1B points that stack is what fills the box. */
+  private def sampleGc(reps: Int)(f: => Unit): Seq[Double] = {
+    f
+    (1 to reps).map { _ => val t = time(f); System.gc(); t }
+  }
+
   private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -489,15 +498,10 @@ object BenchScale {
     require(recall >= 0.99,
       s"near-dup recall $recall over planted pairs ($hit/$plantedN)")
     System.gc()
-    // at the big points each rep shuffles tens of GB; a gc between
-    // reps lets the ContextCleaner release the previous rep's shuffle
-    // files before the next one lands on disk (~0.1 s against a
-    // multi-minute measurement)
     val p4Reps = if (rows >= 50000000L) math.min(reps, 2) else reps
-    val p4 = QueryResult("p4_near_dup", "pipe", sample(p4Reps)(
+    val p4 = QueryResult("p4_near_dup", "pipe", sampleGc(p4Reps)(
       { Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs,
-          numHashes = nHashes, bands = nBands).count()
-        System.gc(); () }))
+          numHashes = nHashes, bands = nBands).count(); () }))
     // the signature segment has served its purpose (build cost and
     // staged-pipeline timings are recorded); drop it so the embedding
     // phase and later ladder points have the disk
@@ -597,16 +601,16 @@ object BenchScale {
       Pql.toDataFrame(Pql.parse(workload.find(_._1 == name).get._3), loader)
 
     System.gc()
-    val a6 = QueryResult("a6_groupby_3dim", "agg", sample(reps)(exec(pqlDf("a6_groupby_3dim"))))
+    val a6 = QueryResult("a6_groupby_3dim", "agg", sampleGc(reps)(exec(pqlDf("a6_groupby_3dim"))))
     System.gc()
-    val h1 = QueryResult("h1_hll", "apx", sample(reps)(exec(pqlDf("h1_hll"))))
+    val h1 = QueryResult("h1_hll", "apx", sampleGc(reps)(exec(pqlDf("h1_hll"))))
     // grouped exact percentiles through the PQL front-end (the
     // distributed-histogram path, one histogram per (Carrier, value))
     val g1Pql = "SELECT PERCENTILE50(ArrDelay), PERCENTILE95(ArrDelay) FROM ontime GROUP BY Carrier TOP 15"
     System.gc()
     val g1 = {
       val df = Pql.toDataFrame(Pql.parse(g1Pql), loader)
-      QueryResult("g1_grouped_pctl", "agg", sample(reps)(exec(df)))
+      QueryResult("g1_grouped_pctl", "agg", sampleGc(reps)(exec(df)))
     }
     // the rank-pass cliff: exact percentiles over a NEAR-UNIQUE value
     // (~2^31 hash domain over 1B rows → ~8·10^8 distinct histogram
@@ -623,7 +627,7 @@ object BenchScale {
         Nil, "v", Seq(
           Percentiles.Spec(0.5, "p50", nearestRank = false),
           Percentiles.Spec(0.95, "p95", nearestRank = false)))
-      QueryResult("g2_nearunique_pctl", "agg", sample(reps)(exec(df)))
+      QueryResult("g2_nearunique_pctl", "agg", sampleGc(reps)(exec(df)))
     }
 
     // routed star-tree: the (Cancelled, Carrier, Origin, Dest) tree's
@@ -645,7 +649,7 @@ object BenchScale {
     val routable = Seq("a4_groupby_1dim", "a5_groupby_2dim")
     val scanRs = routable.map { name =>
       System.gc()
-      name -> QueryResult(name, "agg", sample(reps)(exec(pqlDf(name))))
+      name -> QueryResult(name, "agg", sampleGc(reps)(exec(pqlDf(name))))
     }
     val expected = routable.map(name => name -> pqlDf(name).collect()).toMap
     Graft.enable(spark)
@@ -658,7 +662,7 @@ object BenchScale {
           s"$name did not route to the star-tree:\n$plan")
         verifyRoutedRows(name, df.collect(), expected(name))
         System.gc()
-        QueryResult(name, "agg", sample(reps)(exec(df)))
+        QueryResult(name, "agg", sampleGc(reps)(exec(df)))
       } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
 
     val heavy = Seq(a6, g1, g2, h1).map(_.json).mkString(",")
