@@ -695,33 +695,42 @@ object BenchScale {
     // answers everything in ≤0.2 s, which is the floor regime.
     val ladder = Seq("sf1" -> 100000L, "sf100" -> 10000000L,
       "sf1000" -> 100000000L).filter(p => wanted.contains(p._1))
-    val sections = ladder.map { case (tag, rows) =>
-      val s = runScale(spark, tag, rows, reps = 5)
+    val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
+    val sections = scala.collection.mutable.ArrayBuffer[String]()
+    // flush the report after EVERY ladder point: a multi-hour ladder
+    // must not lose its completed sections to a late failure
+    def flush(): Unit = {
+      val body = s"""{"bench":"scale",$host,${sections.mkString(",")}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        java.util.Arrays.asList(body))
+      ()
+    }
+    ladder.foreach { case (tag, rows) =>
+      sections += runScale(spark, tag, rows, reps = 5)
+      flush()
       println(s"[scale] $tag done")
-      s
-    } ++ (if (wanted.contains("sf10000smoke")) {
+    }
+    if (wanted.contains("sf10000smoke")) {
       // 100K-row dry run of the heavy section: catches a parse or
       // routing failure in seconds instead of after the 1B-row build
-      val s = runHeavy(spark, "sf10000smoke", 100000L, reps = 1)
+      sections += runHeavy(spark, "sf10000smoke", 100000L, reps = 1)
+      flush()
       println(s"[scale] sf10000smoke done")
-      Seq(s)
-    } else Nil) ++ (if (wanted.contains("sf1000heavy")) {
+    }
+    if (wanted.contains("sf1000heavy")) {
       // the SF1000 twin of the heavy section (same 100M-row dataset as
       // the main sf1000 point) — the denominator for the sf10000
       // scaling claim: 10× rows must cost ≤ ~10× wall on every shape
-      val s = runHeavy(spark, "sf1000heavy", 100000000L, reps = 3,
+      sections += runHeavy(spark, "sf1000heavy", 100000000L, reps = 3,
         dirTag = Some("sf1000"))
+      flush()
       println(s"[scale] sf1000heavy done")
-      Seq(s)
-    } else Nil) ++ (if (wanted.contains("sf10000")) {
-      val s = runHeavy(spark, "sf10000", 1000000000L, reps = 3)
+    }
+    if (wanted.contains("sf10000")) {
+      sections += runHeavy(spark, "sf10000", 1000000000L, reps = 3)
+      flush()
       println(s"[scale] sf10000 done")
-      Seq(s)
-    } else Nil)
-    val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
-    val body = s"""{"bench":"scale",$host,${sections.mkString(",")}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      java.util.Arrays.asList(body))
+    }
     println(s"[scale] wrote $outFile")
     spark.stop()
   }
