@@ -485,15 +485,20 @@ object BenchScale {
         t
       }
     val sigs = spark.read.parquet(sigPath)
+    // gc between these one-off metric actions for the same reason as
+    // [[sampleGc]]: each executes the full multi-GB-shuffle pipeline
     val cands = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
       minEstJaccard = 0.7 * 0.6).count()
+    System.gc()
     val verifiedDf = Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs,
       numHashes = nHashes, bands = nBands)
     val verified = verifiedDf.count()
+    System.gc()
     val planted = ScaleDocs.plantedPairs(spark, rows)
     val plantedN = planted.count()
     val hit = verifiedDf.select(col("id_a"), col("id_b"))
       .join(planted, Seq("id_a", "id_b")).count()
+    System.gc()
     val recall = if (plantedN == 0) 1.0 else hit.toDouble / plantedN
     require(recall >= 0.99,
       s"near-dup recall $recall over planted pairs ($hit/$plantedN)")

@@ -152,7 +152,24 @@ object Dedup {
     * pairs — not re-tokenized per pair. */
   private def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
       cands: DataFrame, threshold: Double, shingleSize: Int): DataFrame = {
-    val docSh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+    // Shingle ONLY documents that appear in a candidate pair — the
+    // whole point of LSH prefiltering is that this set is orders of
+    // magnitude smaller than the corpus, so the verify stage's cost
+    // (shingle kernel + the two pair joins' shuffles) must be
+    // ∝ candidates, not ∝ corpus. Without this filter the shingle
+    // arrays of ALL documents (several times the text's size) shuffle
+    // through both joins: measured 50+ GB of shuffle at 10^8 docs
+    // where the candidate set touched <10% of them.
+    // The id set is broadcast: ~16 B/id means even a 10^7-doc
+    // candidate universe is a ~160 MB build side, safely below
+    // executor memory at any deployment size — and a candidate set
+    // approaching the corpus size means LSH banding was misconfigured
+    // for the threshold, which no verify-stage strategy rescues.
+    val candIds = broadcast(
+      cands.select(col("id_a").as("_cid"))
+        .union(cands.select(col("id_b").as("_cid"))).distinct())
+    val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")
       .join(docSh.toDF("id_b", "_sh_b"), "id_b")
