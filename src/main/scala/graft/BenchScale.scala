@@ -678,6 +678,56 @@ object BenchScale {
       s""""routed":{$routed,"build_sec":${r3(buildSecs)},"rollup_rows":${idx.rollup.count()}}}"""
   }
 
+  /** Top-level sections of an existing report (tag → `"tag":{...}`
+    * raw text), so a resumed ladder KEEPS the points a previous
+    * invocation completed instead of silently dropping them — the
+    * flush-per-point contract is only honest if an interrupt +
+    * partial re-run reassembles the whole artifact. Quote-aware brace
+    * matching (no JSON dependency in the bench classpath). */
+  def existingSections(path: String): Seq[(String, String)] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Nil
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = s.indexOf('{') + 1
+    if (i == 0) return Nil
+    try {
+      while (i < s.length) {
+        while (i < s.length && s(i) != '"' && s(i) != '}') i += 1
+        if (i >= s.length || s(i) == '}') return out.toSeq
+        val keyEnd = s.indexOf('"', i + 1)
+        val key = s.substring(i + 1, keyEnd)
+        var j = s.indexOf(':', keyEnd) + 1
+        while (s(j) == ' ') j += 1
+        val vStart = j
+        if (s(j) == '{') {
+          var depth = 0
+          var inStr = false
+          var done = false
+          while (!done) {
+            s(j) match {
+              case '"' if s(j - 1) != '\\' => inStr = !inStr
+              case '{' if !inStr => depth += 1
+              case '}' if !inStr => depth -= 1; if (depth == 0) done = true
+              case _ =>
+            }
+            j += 1
+          }
+        } else {
+          // scalar value (e.g. "bench":"scale") — skip to , or }
+          var inStr = false
+          while (inStr || (s(j) != ',' && s(j) != '}')) {
+            if (s(j) == '"' && s(j - 1) != '\\') inStr = !inStr
+            j += 1
+          }
+        }
+        out += key -> s"""\"$key\":${s.substring(vStart, j)}"""
+        i = if (j < s.length && s(j) == ',') j + 1 else s.length
+      }
+    } catch { case _: IndexOutOfBoundsException => return Nil }
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r07.json"
     // optional second arg restricts the scale ladder ("sf1,sf100") —
@@ -702,6 +752,12 @@ object BenchScale {
       "sf1000" -> 100000000L).filter(p => wanted.contains(p._1))
     val host = s""""env":{"cpus":"$cpus","mem_gb":${Runtime.getRuntime.maxMemory() >> 30},"engine":"spark-local[$cpus]"}"""
     val sections = scala.collection.mutable.ArrayBuffer[String]()
+    // a resumed partial ladder keeps the sections a previous
+    // invocation completed (re-run tags are replaced by fresh ones)
+    sections ++= existingSections(outFile).collect {
+      case (tag, body) if tag != "bench" && tag != "env" &&
+        !wanted.contains(tag) => body
+    }
     // flush the report after EVERY ladder point: a multi-hour ladder
     // must not lose its completed sections to a late failure
     def flush(): Unit = {

@@ -56,7 +56,10 @@ object SortedLayout {
 
   // memoized per (file set incl. size+mtime, column): footers are
   // immutable once written, and repeated pages over the same segment
-  // must not re-open 10^5 footers per query
+  // must not re-open 10^5 footers per query. Bounded like
+  // [[Tables.footerCountCache]] — a long-lived session paging over
+  // ever-changing table versions must not accumulate driver memory
+  // (each entry holds per-file stats, ~100 B × file count).
   private val layoutCache =
     new scala.collection.concurrent.TrieMap[(Seq[String], String), Option[Seq[FileStat]]]
 
@@ -74,6 +77,7 @@ object SortedLayout {
             val key = (statuses
               .map(f => s"${f.getPath}@${f.getLen}:${f.getModificationTime}").sorted,
               column.toLowerCase)
+            if (layoutCache.size > 256) layoutCache.clear()
             layoutCache.getOrElseUpdate(key, {
               val spark = df.sparkSession
               val confBc = spark.sparkContext.broadcast(
