@@ -16,6 +16,10 @@ import duckdb
 
 REPORT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_SCALE_r06.json"
 ROOT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bench_data"
+# optional tag filter ("sf1,sf100"): re-twin only the listed sections
+# (a re-measured Spark point needs its duck fields refreshed without
+# re-timing every other scale's twin)
+TAGS = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 # keep in sync with BenchScale.workload (name -> duck sql)
 QUERIES = {
@@ -94,7 +98,7 @@ def main():
         report = json.load(f)
     for tag in ("sf1", "sf100", "sf1000"):
         sec = report.get(tag)
-        if not sec:
+        if not sec or (TAGS is not None and tag not in TAGS):
             continue
         con = duckdb.connect()
         con.execute(
@@ -183,8 +187,10 @@ def main():
                 csec["ratio_p50"] = round(csec["total_p50"] / duck_total, 2)
         con.close()
         print(f"[duck] {tag} done")
-    merge_heavy(report, ROOT, "sf1000heavy", subdir="sf1000")
-    merge_heavy(report, ROOT)
+    if TAGS is None or "sf1000heavy" in TAGS:
+        merge_heavy(report, ROOT, "sf1000heavy", subdir="sf1000")
+    if TAGS is None or "sf10000" in TAGS:
+        merge_heavy(report, ROOT)
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)
     print(f"[duck] merged into {REPORT}")
