@@ -458,13 +458,18 @@ object BenchScale {
           round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_q")))))
     System.gc()
     // p3: exact dedup — survivors = rows − planted exact dups (ids ≡ 1
-    // mod 50 duplicate id−1), a closed-form correctness pin
-    val survivors = Dedup.exactDedup(docs, "doc_id", "text").count()
+    // mod 50 duplicate id−1), a closed-form correctness pin. Measures
+    // the survivor-ID build ([[Dedup.exactDedupIds]], the slim
+    // (fingerprint, id) shuffle a corpus pipeline materializes) — the
+    // same workload as the DuckDB twin's md5-grouped min(doc_id); the
+    // full-row exactDedup variant shuffles the entire corpus text and
+    // is the wrong plan when every payload column is dropped anyway.
+    val survivors = Dedup.exactDedupIds(docs, "doc_id", "text").count()
     val expectedSurvivors = rows - ((rows + 48) / 50)
     require(survivors == expectedSurvivors,
       s"exact dedup found $survivors survivors, planted structure says $expectedSurvivors")
     val p3 = QueryResult("p3_dedup_exact", "pipe", sample(reps)(
-      { Dedup.exactDedup(docs, "doc_id", "text").count(); () }))
+      { Dedup.exactDedupIds(docs, "doc_id", "text").count(); () }))
     System.gc()
 
     // p4: near-dup pipeline over a STORED signature segment (the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.SqlFunctions
-import graft.plans.StarTreeRoutingRule
+import graft.plans.{DictRoutingRule, StarTreeRoutingRule}
 
 /** The engine's `SparkSessionExtensions` entry point — the preference-
   * order capstone for operators Spark can't express natively (project
@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.exprs", name), builder))
     }
     ext.injectOptimizerRule(StarTreeRoutingRule.apply)
+    // after star-tree: a full pre-aggregation answer wins over the
+    // dictionary-encoded scan when both artifacts are registered
+    ext.injectOptimizerRule(DictRoutingRule.apply)
   }
 }
 
@@ -39,5 +42,8 @@ object Graft {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[StarTreeRoutingRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ StarTreeRoutingRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[DictRoutingRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DictRoutingRule(spark)
   }
 }

@@ -201,6 +201,89 @@ object exprs {
   }
 
   /** One-pass text quality metrics struct (HashOps.textStats). */
+  /** Dictionary decode: `values[id]` — O(1) array lookup inside
+    * whole-stage codegen. The query-time half of the dictionary-encoded
+    * dimension layout ([[graft.plans.DictLayout]]): group-bys run on
+    * int dict ids and this expression restores the string value at
+    * output (per GROUP, not per row). The values array ships with the
+    * serialized expression, bounded by the layout's cardinality cap. */
+  case class DictDecode(child: Expression, values: Array[UTF8String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(IntegerType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      values(input.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dictValues", values,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, c => s"$ref[$c]")
+    }
+    override protected def withNewChildInternal(newChild: Expression): DictDecode =
+      copy(child = newChild)
+    override def prettyName: String = "dict_decode"
+  }
+
+  /** Dictionary encode: binary search of a string in the SORTED values
+    * array → int id, null when absent. The ingest-time half of
+    * [[graft.plans.DictLayout]] (one log₂(n)-compare lookup per row,
+    * build-once per segment write). */
+  case class DictId(child: Expression, values: Array[UTF8String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val idx = java.util.Arrays.binarySearch(
+        values.asInstanceOf[Array[AnyRef]], input.asInstanceOf[UTF8String])
+      if (idx < 0) null else idx
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dictValues", values,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val idx = ctx.freshName("dictIdx")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        int $idx = java.util.Arrays.binarySearch((Object[]) $ref, $c);
+        if ($idx < 0) { ${ev.isNull} = true; }
+        else { ${ev.value} = $idx; }""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): DictId =
+      copy(child = newChild)
+    override def prettyName: String = "dict_id"
+  }
+
+  /** Token count as a byte scan (HashOps.tokenCount) — exact twin of
+    * `size(filter(split(trim(text), "\\s+"), length(_) > 0))` without
+    * the regex engine or the per-row token array. */
+  case class TokenCount(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.tokenCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.tokenCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenCount =
+      copy(child = newChild)
+    override def prettyName: String = "token_count"
+  }
+
+  /** Whitespace/case normalization in one byte pass
+    * (HashOps.normalizeWs) — exact twin of
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")`, the
+    * fingerprint/dedup normalizer. */
+  case class NormalizeWs(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.normalizeWs(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.normalizeWs($c)")
+    override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
+      copy(child = newChild)
+    override def prettyName: String = "normalize_ws"
+  }
+
   case class TextStats(child: Expression)
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
@@ -465,6 +548,12 @@ object GraftFunctions {
 
   def textStats(text: Column): Column =
     GraftSqlBridge.column(exprs.TextStats(expr(text)))
+
+  def tokenCount(text: Column): Column =
+    GraftSqlBridge.column(exprs.TokenCount(expr(text)))
+
+  def normalizeWs(text: Column): Column =
+    GraftSqlBridge.column(exprs.NormalizeWs(expr(text)))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(exprs.WinnowFingerprint(expr(text), k, w))

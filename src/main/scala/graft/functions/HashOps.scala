@@ -197,6 +197,75 @@ object HashOps {
     out
   }
 
+  /** Whitespace-byte test for the UTF-8 byte scan: Java-regex `\s` =
+    * `[ \t\n\x0B\f\r]`, all single ASCII bytes, so a byte-level scan is
+    * exact — UTF-8 continuation bytes are ≥ 0x80 (negative as `Byte`)
+    * and never match. */
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || (b >= 9 && b <= 13)
+
+  /** Token count as a pure byte scan: number of maximal runs of
+    * non-`\s` bytes. Exact kernel twin of the Column formulation
+    * `size(filter(split(trim(text), "\\s+"), t => length(t) > 0))`
+    * (parity pinned in TextKernelParitySpec) with no regex engine, no
+    * per-token String and no array materialization — at 10^8 docs the
+    * declarative form's per-row `String[]` was the dominant cost of
+    * the token-stats pipeline stage. */
+  def tokenCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      if (isWsByte(text.getByte(i))) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
+
+  /** Whitespace/case normalization as a single byte pass — exact
+    * kernel twin of `regexp_replace(lower(trim(text)), "\\s+", " ")`
+    * (the fingerprint/dedup normalizer): trim ASCII spaces at the ends
+    * (Spark `trim` semantics — spaces only, not tabs), lowercase, then
+    * collapse every `\s+` run to one space. ASCII-only inputs (the
+    * overwhelming case for the fast path to earn its keep) run the
+    * zero-copy byte loop; any non-ASCII byte falls back to the exact
+    * `UTF8String.trim().toLowerCase` + Java-regex composition the
+    * Column path executes, so parity holds for all inputs
+    * (TextKernelParitySpec fuzzes both paths). */
+  def normalizeWs(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) < 0)
+        return UTF8String.fromString(
+          text.trim().toLowerCase.toString.replaceAll("\\s+", " "))
+      i += 1
+    }
+    var start = 0
+    var end = n
+    while (start < end && text.getByte(start) == 0x20) start += 1
+    while (end > start && text.getByte(end - 1) == 0x20) end -= 1
+    val out = new Array[Byte](end - start)
+    var o = 0
+    var inWs = false
+    i = start
+    while (i < end) {
+      val b = text.getByte(i)
+      if (isWsByte(b)) {
+        if (!inWs) { out(o) = 0x20; o += 1 }
+        inWs = true
+      } else {
+        inWs = false
+        out(o) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** Case-PRESERVING ASCII-\s tokens — kernel equivalent of the raw
     * `TextAnalysis.tokens(text)` Column path (which does NOT
     * lowercase; [[tokenize]] is the lowercased normalized variant). */

@@ -44,6 +44,8 @@ object SqlFunctions {
     "lang_id" -> { case Seq(c) => exprs.LangId(c) },
     "quality_score" -> { case Seq(c) => exprs.QualityScore(c) },
     "text_stats" -> { case Seq(c) => exprs.TextStats(c) },
+    "token_count" -> { case Seq(c) => exprs.TokenCount(c) },
+    "normalize_ws" -> { case Seq(c) => exprs.NormalizeWs(c) },
     "repetition_stats" -> { case Seq(c, d) =>
       exprs.RepetitionStats(c, stringLit(d, "delim")) },
     "minhash_sig" -> { case Seq(c, n, s) =>

@@ -21,8 +21,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  /** Token count (whitespace tokens). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace tokens) — codegen byte-scan kernel
+    * ([[graft.functions.HashOps.tokenCount]]); the declarative twin
+    * below states the semantics and pins parity. */
+  def tokenCount(text: Column): Column =
+    graft.functions.GraftFunctions.tokenCount(text)
+
+  /** Declarative token count — semantics reference for the kernel
+    * (regex split materializes a per-row token array; measured 5-6×
+    * the kernel's cost at 10^8 docs). */
+  def tokenCountDeclarative(text: Column): Column = size(tokens(text))
 
   /** BPE-ish token estimate: word-piece heuristic — alnum runs split
     * into ≤4-char pieces plus one token per punctuation char. A cheap
@@ -157,8 +165,16 @@ object TextAnalysis {
     graft.functions.GraftFunctions.repetitionStats(text, delim)
 
   /** Whitespace/case-normalized form used by fingerprints and exact
-    * dedup — Pinot's SanitationTransformer analog. */
+    * dedup — Pinot's SanitationTransformer analog. Codegen byte-pass
+    * kernel ([[graft.functions.HashOps.normalizeWs]]); the declarative
+    * twin below states the semantics and pins parity. */
   def normalized(text: Column): Column =
+    graft.functions.GraftFunctions.normalizeWs(text)
+
+  /** Declarative normalizer — semantics reference for the kernel (the
+    * per-row regex engine was a measured constant on every
+    * fingerprint-keyed operator). */
+  def normalizedDeclarative(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** 128-bit content fingerprint (hex md5 of the normalized text).

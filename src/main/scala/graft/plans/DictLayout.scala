@@ -1,0 +1,279 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.exprs
+
+/** Dictionary-encoded dimension layout — the Spark-native analogue of
+  * the reference's dictionary-encoded forward index (every Pinot
+  * column is dictionary-encoded by default:
+  * `segment/index/column/ColumnIndexContainer` + the sorted dictionary
+  * in `segment/index/readers/ImmutableDictionaryReader.java`; group-by
+  * and filters run on dict ids, values materialize only at result
+  * assembly — `DictionaryBasedGroupKeyGenerator`,
+  * `predicate/EqualsPredicateEvaluatorFactory`).
+  *
+  * Here the ingest side ([[DictLayout.build]]) writes a segment copy
+  * where each declared dimension column `c` is replaced by an int
+  * `c__did` (id = rank in the SORTED distinct-value dictionary), and
+  * the query side ([[DictRoutingRule]]) rewrites any `Aggregate` over
+  * the registered raw table onto the encoded copy:
+  *
+  *  - group-by keys on dict columns become the int id column — the
+  *    aggregation hash map keys on ints instead of UTF8Strings (the
+  *    measured constant dominating low-cardinality string group-bys at
+  *    10^8 rows), and values decode per GROUP at output via
+  *    [[graft.functions.exprs.DictDecode]] (O(1) array lookup);
+  *  - EQ / IN / range / null predicates on dict columns translate to
+  *    id space (the sorted dictionary makes a value range an id
+  *    range — the reference's sorted-dictionary PredicateEvaluator),
+  *    which also reaches the parquet scan as an int filter;
+  *  - any OTHER expression over a dict column stays correct through a
+  *    per-row decode fallback, so the rewrite never bails on exotic
+  *    predicates (LIKE, functions of the column) — it just doesn't
+  *    speed them up.
+  *
+  * Scale: dictionaries are per-column `Array[UTF8String]` capped at
+  * [[DictLayout.MaxCardinality]] entries — the layout is FOR
+  * low-cardinality dimensions (the reference similarly holds
+  * dictionaries on-heap per segment). The decode array rides the
+  * serialized plan to executors like any broadcast literal; at 1000
+  * executors that is one ≤ a-few-MB array per dict column, not a
+  * per-row cost. High-cardinality columns must not be declared — the
+  * build throws past the cap instead of silently producing a layout
+  * that ships a giant array with every query.
+  *
+  * Staleness contract: the encoded copy is an INGEST ARTIFACT (like
+  * the star-tree rollup) — it must be rebuilt when the raw segment
+  * changes; registration is explicit and session-scoped.
+  */
+object DictLayout {
+
+  /** Hard cap on per-column dictionary cardinality (1M entries).  */
+  final val MaxCardinality: Int = 1 << 20
+
+  final case class Index(
+      pathPrefix: String,
+      encoded: DataFrame,
+      dicts: Map[String, Array[UTF8String]]) {
+    /** Binary-search a literal into id space; None when absent. */
+    def idOf(column: String, value: UTF8String): Option[Int] = {
+      val idx = java.util.Arrays.binarySearch(
+        dicts(column).asInstanceOf[Array[AnyRef]], value)
+      if (idx < 0) None else Some(idx)
+    }
+    /** First id whose value is ≥ (or, strict, >) the literal — the
+      * insertion point in the sorted dictionary, = array length when
+      * every value is smaller. */
+    def lowerBound(column: String, value: UTF8String, strict: Boolean): Int = {
+      val arr = dicts(column)
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = arr(mid).compareTo(value)
+        if (c < 0 || (strict && c == 0)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** Build the encoded segment copy + dictionaries for `dictCols`
+    * (StringType columns) of the fact table at `factPath`, writing the
+    * copy to `encodedPath`, and return the registry entry (caller
+    * registers it). One distinct-aggregate per dict column (dimension
+    * cardinality ≪ rows, so each is a cheap partial-agg shuffle) and
+    * ONE full read/write of the fact for the encoding pass. */
+  def build(spark: SparkSession, fact: DataFrame, factPath: String,
+      encodedPath: String, dictCols: Seq[String]): Index = {
+    require(dictCols.nonEmpty, "dictCols must be non-empty")
+    dictCols.foreach { c =>
+      val f = fact.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      require(f.dataType == StringType,
+        s"dictionary layout covers StringType dimensions; $c is ${f.dataType}")
+    }
+    val dicts: Map[String, Array[UTF8String]] = dictCols.map { c =>
+      val values = fact.select(col(c)).na.drop().distinct()
+        .limit(MaxCardinality + 1).collect().map(r => r.getString(0))
+      require(values.length <= MaxCardinality,
+        s"$c exceeds the $MaxCardinality-entry dictionary cap — " +
+          "not a low-cardinality dimension; do not dictionary-encode it")
+      java.util.Arrays.sort(values.asInstanceOf[Array[AnyRef]])
+      c -> values.map(UTF8String.fromString)
+    }.toMap
+    val encodedCols = fact.schema.fields.map { f =>
+      if (dicts.contains(f.name))
+        GraftSqlBridge.column(exprs.DictId(
+          GraftSqlBridge.expression(col(f.name)), dicts(f.name)))
+          .as(f.name + "__did")
+      else col(f.name)
+    }
+    fact.select(encodedCols.toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(encodedPath)
+    Index(factPath, spark.read.parquet(encodedPath), dicts)
+  }
+}
+
+/** Session-scoped registry mapping raw-table scan roots to their
+  * dictionary-encoded copies — same path-normalization and
+  * segment-boundary matching contract as [[StarTreeRegistry]]. */
+object DictRegistry {
+  private val entries = new TrieMap[String, DictLayout.Index]
+
+  def register(path: String, index: DictLayout.Index): Unit = {
+    entries.put(path, index); ()
+  }
+  def unregister(path: String): Unit = { entries.remove(path); () }
+  def clear(): Unit = entries.clear()
+  def isEmpty: Boolean = entries.isEmpty
+
+  private def normalize(p: String): String = {
+    val noScheme =
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme != null && u.getPath != null) u.getPath else p
+      } catch { case _: java.net.URISyntaxException => p }
+    val trimmed = noScheme.replaceAll("/+$", "")
+    if (trimmed.isEmpty) "/" else trimmed
+  }
+
+  /** Longest normalized prefix match at a path-segment boundary (the
+    * [[StarTreeRegistry.lookup]] contract). */
+  def lookup(rootPath: String): Option[DictLayout.Index] = {
+    val root = normalize(rootPath)
+    entries.toSeq.filter { case (pfx0, _) =>
+      val pfx = normalize(pfx0)
+      root == pfx || root.startsWith(pfx + "/")
+    }.maxByOption { case (pfx, _) => normalize(pfx).length }.map(_._2)
+  }
+}
+
+/** The query-side rewrite: any `Aggregate` (grouped or global) over a
+  * registered raw table routes onto the dictionary-encoded copy. Runs
+  * AFTER [[StarTreeRoutingRule]] in the injected rule order, so a
+  * star-tree answer (full pre-aggregation) wins over a dictionary
+  * answer (encoded scan) when both are registered. */
+case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def peel(plan: LogicalPlan, cond: Option[Expression])
+      : Option[(Option[Expression], DictLayout.Index)] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption
+        .flatMap(p => DictRegistry.lookup(p.toString))
+        .map(idx => (cond, idx))
+    case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(child, cond)
+    case Filter(c, child) if cond.isEmpty => peel(child, Some(c))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (DictRegistry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(child, None).flatMap { case (cond, idx) =>
+          rewrite(agg, groupings.map(_.asInstanceOf[AttributeReference]),
+            aggExprs, cond, idx)
+        }.getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], cond: Option[Expression],
+      idx: DictLayout.Index): Option[LogicalPlan] = {
+    val encodedPlan = idx.encoded.queryExecution.analyzed
+    val byName = encodedPlan.output.map(a => a.name -> a).toMap
+    def codeAttr(c: String) = byName.get(c + "__did")
+    def isDict(c: String) = idx.dicts.contains(c)
+
+    // every column the aggregate touches must exist in the encoded
+    // copy (schema drift between raw and encoded → no route)
+    val referenced = (aggExprs ++ groupAttrs ++ cond.toSeq)
+      .flatMap(_.references.toSeq).map(_.name).distinct
+    if (!referenced.forall(n =>
+        if (isDict(n)) codeAttr(n).isDefined else byName.contains(n)))
+      return None
+
+    /** Decode fallback: correct for ANY use of a dict column. */
+    def remapAttr(ar: AttributeReference): Expression =
+      if (isDict(ar.name)) exprs.DictDecode(codeAttr(ar.name).get, idx.dicts(ar.name))
+      else byName(ar.name)
+
+    def remap(e: Expression): Expression = e.transformDown {
+      case ar: AttributeReference => remapAttr(ar)
+    }
+
+    /** Predicate translation to id space: EQ/IN/range/null on a dict
+      * column compare the int id (sorted dictionary → value range ≡ id
+      * range); everything else falls back to the per-row decode.
+      * An absent EQ/IN literal translates to `id IN (-1)` — false for
+      * present rows, null for null rows, exactly the raw semantics. */
+    def xlate(c: Expression): Expression = c.transformDown {
+      case EqualTo(ar: AttributeReference, Literal(v: UTF8String, StringType))
+          if isDict(ar.name) => idEq(ar.name, v)
+      case EqualTo(Literal(v: UTF8String, StringType), ar: AttributeReference)
+          if isDict(ar.name) => idEq(ar.name, v)
+      case In(ar: AttributeReference, list) if isDict(ar.name) &&
+          list.forall { case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+        val ids = list.collect { case Literal(v: UTF8String, StringType) =>
+          idx.idOf(ar.name, v) }.flatten
+        val inList = if (ids.isEmpty) Seq(Literal(-1)) else ids.map(i => Literal(i))
+        In(codeAttr(ar.name).get, inList)
+      case GreaterThan(ar: AttributeReference, Literal(v: UTF8String, StringType))
+          if isDict(ar.name) =>
+        GreaterThanOrEqual(codeAttr(ar.name).get,
+          Literal(idx.lowerBound(ar.name, v, strict = true)))
+      case GreaterThanOrEqual(ar: AttributeReference, Literal(v: UTF8String, StringType))
+          if isDict(ar.name) =>
+        GreaterThanOrEqual(codeAttr(ar.name).get,
+          Literal(idx.lowerBound(ar.name, v, strict = false)))
+      case LessThan(ar: AttributeReference, Literal(v: UTF8String, StringType))
+          if isDict(ar.name) =>
+        LessThan(codeAttr(ar.name).get,
+          Literal(idx.lowerBound(ar.name, v, strict = false)))
+      case LessThanOrEqual(ar: AttributeReference, Literal(v: UTF8String, StringType))
+          if isDict(ar.name) =>
+        LessThan(codeAttr(ar.name).get,
+          Literal(idx.lowerBound(ar.name, v, strict = true)))
+      case IsNull(ar: AttributeReference) if isDict(ar.name) =>
+        IsNull(codeAttr(ar.name).get)
+      case IsNotNull(ar: AttributeReference) if isDict(ar.name) =>
+        IsNotNull(codeAttr(ar.name).get)
+      case ar: AttributeReference => remapAttr(ar)
+    }
+
+    def idEq(c: String, v: UTF8String): Expression =
+      EqualTo(codeAttr(c).get,
+        Literal(idx.idOf(c, v).getOrElse(-1)))
+
+    val newGroupings: Seq[Expression] = groupAttrs.map { ar =>
+      if (isDict(ar.name)) codeAttr(ar.name).get else byName(ar.name)
+    }
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case ar: AttributeReference if groupIds.contains(ar.exprId) =>
+        Alias(remapAttr(ar), ar.name)(exprId = ar.exprId)
+      case al @ Alias(body, name) =>
+        Alias(remap(body), name)(exprId = al.exprId)
+      case other => return None
+    }
+    val newChild = cond match {
+      case Some(c) => Filter(xlate(c), encodedPlan)
+      case None => encodedPlan
+    }
+    Some(agg.copy(groupingExpressions = newGroupings,
+      aggregateExpressions = newAggExprs, child = newChild))
+  }
+}

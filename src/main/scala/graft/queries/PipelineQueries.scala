@@ -282,6 +282,20 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** Slim exact-dedup: survivor-ID segment build
+    * ([[Dedup.exactDedupIds]] — the (fingerprint, id) shuffle with no
+    * payload columns), checked by aggregate invariants of the id set
+    * (count/sum/min/max pin the exact set without shipping every id
+    * through the compare). */
+  def qDedupIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDedupIds(t(s, dir, "documents"), "doc_id", "text")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum($"doc_id").as("sum_id"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+  }
+
   /** JSON extraction (superset of the reference's ingest-time UDFs):
     * bucket events by the JSON payload's k field. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
@@ -658,6 +672,7 @@ object PipelineQueries {
     "q_quality" -> qQuality,
     "q_fingerprint" -> qFingerprint,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ids" -> qDedupIds,
     "q_json_extract" -> qJsonExtract,
     "q_knn_brute" -> qKnnBrute,
     "q_knn_join" -> qKnnJoin,
@@ -785,6 +800,11 @@ object PipelineQueries {
          |  SELECT lang, row_number() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_ids" ->
+      s"""SELECT count(*) AS n_survivors,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normSql)""".stripMargin,
     "q_json_extract" ->
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS BIGINT) AS k_bucket,
         |  count(*) AS cnt, round(sum("value"), 3) AS sum_value

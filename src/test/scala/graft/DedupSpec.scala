@@ -18,6 +18,17 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("exactDedupIds returns exactly exactDedup's survivor ids, one column") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "  hello world "), (3L, "other doc"),
+      (4L, "HELLO WORLD"), (5L, "other  DOC")).toDF("id", "text")
+    val slim = Dedup.exactDedupIds(df, "id", "text")
+    assert(slim.columns.toSeq === Seq("id"))
+    val full = Dedup.exactDedup(df, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(slim.as[Long].collect().sorted.toSeq === full)
+  }
+
   test("minhash LSH finds planted near-duplicates, skips distinct docs") {
     val nearDup = base.replace("quick", "fast") // 1-word edit
     val unrelated = "completely different content about database engines " +

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.{DictLayout, DictRegistry}
+import graft.sources.Tables
+
+/** Dictionary-encoded dimension layout ([[graft.plans.DictLayout]]):
+  * every routed plan must (a) scan the ENCODED copy, not the raw
+  * table, and (b) return cell-identical results to the raw plan — the
+  * same two-sided contract StarTreeSpec pins for the rollup. */
+class DictLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val factPath = s"$sfDir/lineitem.parquet"
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dict_${name}_${ProcessHandle.current().pid()}"
+
+  private lazy val fact = Tables.load(spark, sfDir, "lineitem")
+  private lazy val idx = {
+    graft.Graft.enable(spark)
+    DictLayout.build(spark, fact, factPath, tmp("li"),
+      Seq("l_returnflag", "l_linestatus", "l_shipmode"))
+  }
+
+  private def assertRouted(df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"),
+      s"plan still scans the raw table:\n$plan")
+    assert(plan.contains("graft_dict_li"),
+      s"plan does not scan the encoded copy:\n$plan")
+  }
+
+  private def withDict[A](body: => A): A = {
+    DictRegistry.register(factPath, idx)
+    try body finally DictRegistry.unregister(factPath)
+  }
+
+  private def compare(build: => DataFrame): Unit = {
+    val raw = build.collect().map(_.toSeq).toSet
+    withDict {
+      val routed = build
+      assertRouted(routed)
+      assert(routed.collect().map(_.toSeq).toSet === raw)
+    }
+  }
+
+  test("group-by on dict columns routes and matches the raw plan") {
+    compare {
+      fact.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 3).as("s"),
+          round(avg($"l_extendedprice"), 3).as("a"))
+    }
+  }
+
+  test("EQ / IN / range / null predicates translate to id space and match") {
+    compare {
+      fact.filter($"l_returnflag" === "R" && $"l_shipmode".isin("AIR", "TRUCK"))
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+    }
+    compare {
+      fact.filter($"l_shipmode" > "MAIL" && $"l_shipmode" <= "SHIP")
+        .groupBy($"l_returnflag")
+        .agg(round(sum($"l_quantity"), 3).as("s"))
+    }
+    compare {
+      fact.filter($"l_returnflag".isNotNull && $"l_linestatus" >= "F")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  test("absent literals keep raw semantics (empty result, no error)") {
+    compare {
+      fact.filter($"l_returnflag" === "ZZZ_NOT_A_VALUE")
+        .groupBy($"l_linestatus").agg(count(lit(1)).as("cnt"))
+    }
+    compare {
+      fact.filter($"l_shipmode".isin("NOPE", "ALSO_NOPE"))
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  test("non-translatable predicates fall back to per-row decode, still routed") {
+    compare {
+      fact.filter($"l_shipmode".startsWith("A"))
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  test("aggregates OVER dict columns decode correctly") {
+    compare {
+      fact.groupBy($"l_returnflag")
+        .agg(min($"l_shipmode").as("min_mode"), max($"l_shipmode").as("max_mode"),
+          countDistinct($"l_linestatus").as("dc"))
+    }
+  }
+
+  test("global aggregate with a dict predicate routes") {
+    compare {
+      fact.filter($"l_returnflag" === "A")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 3).as("s"))
+    }
+  }
+
+  test("mixed dict / non-dict group keys and predicates route") {
+    compare {
+      fact.filter($"l_linenumber" <= 3 && $"l_returnflag" =!= "N")
+        .groupBy($"l_returnflag", $"l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+    }
+  }
+
+  test("TOP-n ordering above the routed aggregate keeps exprIds resolvable") {
+    compare {
+      fact.groupBy($"l_shipmode")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"l_shipmode".asc)
+        .limit(3)
+    }
+  }
+
+  test("unregistered tables and non-attribute groupings are untouched") {
+    // no registration at all → raw scan
+    val plain = fact.groupBy($"l_returnflag").agg(count(lit(1)))
+    assert(plain.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    // expression grouping → rule bails, raw scan even when registered
+    withDict {
+      val exprGroup = fact.groupBy(substring($"l_shipmode", 1, 1).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(exprGroup.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"))
+    }
+  }
+
+  test("high-cardinality columns are rejected at build") {
+    val wide = spark.range(0, DictLayout.MaxCardinality + 1L)
+      .select(format_string("v%09d", $"id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      DictLayout.build(spark, wide, "/nope", tmp("wide"), Seq("v"))
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
+  test("non-string dimensions are rejected at build") {
+    val e = intercept[IllegalArgumentException] {
+      DictLayout.build(spark, fact, "/nope", tmp("int"), Seq("l_linenumber"))
+    }
+    assert(e.getMessage.contains("StringType"))
+  }
+}

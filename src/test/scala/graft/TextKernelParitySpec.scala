@@ -38,6 +38,40 @@ class TextKernelParitySpec extends SparkSpec {
     assert(diff.count() === 0, diff.take(3).mkString("; "))
   }
 
+  test("tokenCount kernel == declarative on every document") {
+    val diff = docs.select(
+        TextAnalysis.tokenCount($"text").as("k"),
+        TextAnalysis.tokenCountDeclarative($"text").as("d"))
+      .filter(not($"k" <=> $"d"))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
+  test("normalized kernel == declarative on every document") {
+    val diff = docs.select(
+        TextAnalysis.normalized($"text").as("k"),
+        TextAnalysis.normalizedDeclarative($"text").as("d"))
+      .filter(not($"k" <=> $"d"))
+    assert(diff.count() === 0, diff.take(3).mkString("; "))
+  }
+
+  test("tokenCount/normalized kernels == declarative on fuzzed strings") {
+    // mixed whitespace runs, ends, case, unicode (slow path), controls
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "aA zZ\t\n\f\r 09.,!?éÀ的め１"
+    val fuzz = (0 until 2000).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "  a  ", "\ta\t", " \t mixed CASE\r\n runs ",
+      "ＡＢＣ　ＤＥＦ", "a b", "Σίσυφος ΣΊΣΥΦΟΣ")
+    val diff = fuzz.toDF("text").select($"text",
+        TextAnalysis.tokenCount($"text").as("k1"),
+        TextAnalysis.tokenCountDeclarative($"text").as("d1"),
+        TextAnalysis.normalized($"text").as("k2"),
+        TextAnalysis.normalizedDeclarative($"text").as("d2"))
+      .filter(not($"k1" <=> $"d1") || not($"k2" <=> $"d2"))
+    assert(diff.count() === 0, diff.take(5).mkString("; "))
+  }
+
   test("kernels agree on edge cases: empty, whitespace, unicode, punct flood") {
     val edge = Seq("", "   ", "\t\n", "的是在了和", "!!!!....", "１２３ ４５６",
       "the the the", "À É め").toDF("text")
