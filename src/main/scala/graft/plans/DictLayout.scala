@@ -121,6 +121,33 @@ object DictLayout {
     }
     fact.select(encodedCols.toIndexedSeq: _*)
       .write.mode("overwrite").parquet(encodedPath)
+    // persist the dictionaries INSIDE the segment dir under an
+    // underscore prefix (parquet readers skip `_`/`.` paths, like
+    // _SUCCESS) so the artifact is self-contained and re-loadable
+    import spark.implicits._
+    dicts.foreach { case (c, values) =>
+      values.zipWithIndex.map { case (v, i) => (i, v.toString) }
+        .toSeq.toDF("id", "value")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$encodedPath/_dicts/$c")
+    }
+    Index(factPath, spark.read.parquet(encodedPath), dicts)
+  }
+
+  /** Re-open a previously [[build]]-written encoded segment: reads the
+    * persisted `_dicts/<col>` tables back into sorted arrays. */
+  def load(spark: SparkSession, factPath: String, encodedPath: String): Index = {
+    val dictRoot = new java.io.File(encodedPath, "_dicts")
+    val cols = Option(dictRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+    require(cols.nonEmpty, s"no dictionaries under $encodedPath/_dicts")
+    val dicts = cols.map { c =>
+      val rows = spark.read.parquet(s"$encodedPath/_dicts/$c")
+        .orderBy(col("id")).collect()
+      val arr = new Array[UTF8String](rows.length)
+      rows.foreach(r => arr(r.getInt(0)) = UTF8String.fromString(r.getString(1)))
+      c -> arr
+    }.toMap
     Index(factPath, spark.read.parquet(encodedPath), dicts)
   }
 }

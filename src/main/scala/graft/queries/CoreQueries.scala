@@ -454,6 +454,46 @@ object CoreQueries {
     } finally StarTreeRegistry.unregister(factPath)
   }
 
+  private val dictCache = new SessionCache[graft.plans.DictLayout.Index]
+
+  /** Dictionary-encoded dimension routing
+    * ([[graft.plans.DictLayout]] — the reference's dictionary-encoded
+    * forward index + sorted-dictionary predicate evaluators): the
+    * dim-filtered group-by is rewritten onto the encoded segment copy
+    * (asserted — no raw scan), groups hash on int dict ids, EQ
+    * predicates compare ids, and values decode per group at output.
+    * Must still equal the oracle's direct aggregate over the raw
+    * table. */
+  def qDictGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{DictLayout, DictRegistry}
+    graft.Graft.enable(s)
+    val fact = t(s, dir, "orders")
+    val factPath = s"$dir/orders.parquet"
+    val idx = dictCache.getOrElseUpdate(s, s"dict|$dir") {
+      val encDir = s"${System.getProperty("java.io.tmpdir")}/graft_dict_ord_" +
+        TmpTag(dir)
+      DictLayout.build(s, fact, factPath, encDir,
+        Seq("o_orderstatus", "o_orderpriority"))
+    }
+    DictRegistry.register(factPath, idx)
+    try {
+      val df = fact
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"o_totalprice"), 3).as("sum_price"),
+          max($"o_orderstatus").as("max_status"))
+        .orderBy($"o_orderpriority")
+      // memoize the optimized plan before unregistering (same
+      // QueryExecution-lazy-val contract as qStartreeFiltered)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("orders.parquet"),
+        "dictionary routing must replace the raw scan")
+      df
+    } finally DictRegistry.unregister(factPath)
+  }
+
   private val bucketReady = new SessionCache[(String, String)]
 
   /** Write-once bucketed twins of (lineitem, orders) hashed on the
@@ -691,6 +731,7 @@ object CoreQueries {
     "q_avro_ingest" -> qAvroIngest,
     "q_thrift_ingest" -> qThriftIngest,
     "q_startree" -> qStartree,
+    "q_dict_group" -> qDictGroup,
     "q_startree_filtered" -> qStartreeFiltered,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg,
@@ -821,6 +862,12 @@ object CoreQueries {
         |  round(avg(l_quantity), 6) AS avg_qty
         |FROM lineitem WHERE l_linestatus = 'F' AND l_linenumber <= 4
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dict_group" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 3) AS sum_price,
+        |  max(o_orderstatus) AS max_status
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_null_predicates" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN c_name IS NULL THEN 1 END) AS null_cnt,

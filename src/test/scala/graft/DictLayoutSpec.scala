@@ -20,7 +20,7 @@ class DictLayoutSpec extends SparkSpec {
   private lazy val idx = {
     graft.Graft.enable(spark)
     DictLayout.build(spark, fact, factPath, tmp("li"),
-      Seq("l_returnflag", "l_linestatus", "l_shipmode"))
+      Seq("l_returnflag", "l_linestatus"))
   }
 
   private def assertRouted(df: DataFrame): Unit = {
@@ -55,12 +55,12 @@ class DictLayoutSpec extends SparkSpec {
 
   test("EQ / IN / range / null predicates translate to id space and match") {
     compare {
-      fact.filter($"l_returnflag" === "R" && $"l_shipmode".isin("AIR", "TRUCK"))
+      fact.filter($"l_linestatus" === "F" && $"l_returnflag".isin("A", "R"))
         .groupBy($"l_linestatus")
         .agg(count(lit(1)).as("cnt"))
     }
     compare {
-      fact.filter($"l_shipmode" > "MAIL" && $"l_shipmode" <= "SHIP")
+      fact.filter($"l_returnflag" > "A" && $"l_returnflag" <= "R")
         .groupBy($"l_returnflag")
         .agg(round(sum($"l_quantity"), 3).as("s"))
     }
@@ -76,14 +76,14 @@ class DictLayoutSpec extends SparkSpec {
         .groupBy($"l_linestatus").agg(count(lit(1)).as("cnt"))
     }
     compare {
-      fact.filter($"l_shipmode".isin("NOPE", "ALSO_NOPE"))
+      fact.filter($"l_returnflag".isin("NOPE", "ALSO_NOPE"))
         .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
     }
   }
 
   test("non-translatable predicates fall back to per-row decode, still routed") {
     compare {
-      fact.filter($"l_shipmode".startsWith("A"))
+      fact.filter($"l_returnflag".startsWith("A"))
         .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
     }
   }
@@ -91,7 +91,7 @@ class DictLayoutSpec extends SparkSpec {
   test("aggregates OVER dict columns decode correctly") {
     compare {
       fact.groupBy($"l_returnflag")
-        .agg(min($"l_shipmode").as("min_mode"), max($"l_shipmode").as("max_mode"),
+        .agg(min($"l_linestatus").as("min_st"), max($"l_linestatus").as("max_st"),
           countDistinct($"l_linestatus").as("dc"))
     }
   }
@@ -113,9 +113,9 @@ class DictLayoutSpec extends SparkSpec {
 
   test("TOP-n ordering above the routed aggregate keeps exprIds resolvable") {
     compare {
-      fact.groupBy($"l_shipmode")
+      fact.groupBy($"l_returnflag")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"l_shipmode".asc)
+        .orderBy($"cnt".desc, $"l_returnflag".asc)
         .limit(3)
     }
   }
@@ -126,11 +126,25 @@ class DictLayoutSpec extends SparkSpec {
     assert(plain.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
     // expression grouping → rule bails, raw scan even when registered
     withDict {
-      val exprGroup = fact.groupBy(substring($"l_shipmode", 1, 1).as("m"))
+      val exprGroup = fact.groupBy(substring($"l_returnflag", 1, 1).as("m"))
         .agg(count(lit(1)).as("cnt"))
       assert(exprGroup.queryExecution.executedPlan.toString
         .contains("lineitem.parquet"))
     }
+  }
+
+  test("load reopens a built segment with identical dictionaries") {
+    idx // force the build
+    val reloaded = DictLayout.load(spark, factPath, tmp("li"))
+    assert(reloaded.dicts.keySet === idx.dicts.keySet)
+    reloaded.dicts.foreach { case (c, arr) =>
+      assert(arr.toSeq === idx.dicts(c).toSeq, s"dictionary drift for $c")
+    }
+    DictRegistry.register(factPath, reloaded)
+    try {
+      val routed = fact.groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+      assertRouted(routed)
+    } finally DictRegistry.unregister(factPath)
   }
 
   test("high-cardinality columns are rejected at build") {
