@@ -389,6 +389,54 @@ object BenchScale {
       s""""sorted":{${(rs ++ ordRs).map(_.json).mkString(",")}}"""
     }
 
+    // Dictionary-encoded dimension layout (graft.plans.DictLayout —
+    // the reference's DEFAULT storage for every dim column: dict-id
+    // forward index + sorted dictionary): the same PQL texts route
+    // onto the encoded copy, group-bys hash int ids instead of
+    // UTF8Strings, EQ predicates compare ids. This is the raw-scan
+    // answer for group-by-dominated shapes when no star-tree covers
+    // them (the tree answers a4/a5 above; the dictionary answers ANY
+    // ad-hoc dim group-by at fact-scan cost minus the string
+    // constant).
+    val dictSection = {
+      import graft.plans.{DictLayout, DictRegistry}
+      val dPath = s"$dir/ontime_dict.parquet"
+      val marker = new java.io.File(s"$dir/_DICT_DONE")
+      val factPath = s"$dir/ontime.parquet"
+      val idx =
+        if (marker.exists() && new java.io.File(dPath).exists())
+          DictLayout.load(spark, factPath, dPath)
+        else {
+          val i = DictLayout.build(spark, table, factPath, dPath,
+            Seq("Carrier", "Origin", "Dest", "OriginState"))
+          java.nio.file.Files.write(marker.toPath, java.util.Arrays.asList("ok"))
+          i
+        }
+      exec(idx.encoded) // warm the copy's page cache like the main table
+      val names = Seq("a2_agg_1pred", "a3_agg_2pred", "a4_groupby_1dim",
+        "a5_groupby_2dim", "a6_groupby_3dim")
+      // scan-plan answers collected BEFORE registration
+      val expected = names.map { name =>
+        val pql = workload.find(_._1 == name).get._3
+        name -> Pql.toDataFrame(Pql.parse(pql), loader).collect()
+      }.toMap
+      Graft.enable(spark)
+      DictRegistry.register(factPath, idx)
+      try {
+        val rs = names.map { name =>
+          val pql = workload.find(_._1 == name).get._3
+          val df = Pql.toDataFrame(Pql.parse(pql), loader)
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("ontime.parquet") && plan.contains("ontime_dict"),
+            s"$name did not route to the dictionary layout:\n$plan")
+          verifyRoutedRows(name, df.collect(), expected(name))
+          System.gc()
+          QueryResult(name, "agg", sample(reps)(exec(df)))
+        }
+        s""""dict":{${rs.map(_.json).mkString(",")}}"""
+      } finally DictRegistry.unregister(factPath)
+    }
+
     // LLM-pipeline operators at scale (exact dedup, MinHash near-dup
     // with a planted-pair recall oracle, knn-join + IVF, text stats):
     // the floor-free numbers for the project's differentiator class.
@@ -413,7 +461,7 @@ object BenchScale {
     s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
       s""""queries":{${results.map(_.json).mkString(",")}},""" +
       s""""classes":{${classes.mkString(",")}},$st,$routedSection,$sortedSection,""" +
-      s"""$pipelineSection,$apxErr}"""
+      s"""$dictSection,$pipelineSection,$apxErr}"""
   }
 
   /** The pipeline-operator bench: documents and embeddings at the SAME
@@ -675,12 +723,45 @@ object BenchScale {
         QueryResult(name, "agg", sampleGc(reps)(exec(df)))
       } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
 
+    // dictionary layout at 1B rows: the dict-id group-by must scale
+    // linearly with the scan (the dictionaries themselves are
+    // row-count invariant — same ~400 carriers/airports at any SF),
+    // proving the layout is a constant-factor win, not a small-scale
+    // artifact. a6 is the heavy shape (3 keys, one dict-encoded).
+    val dictRs = {
+      import graft.plans.{DictLayout, DictRegistry}
+      val dPath = s"$dir/ontime_dict.parquet"
+      val dMarker = new java.io.File(s"$dir/_DICT_DONE")
+      val factPath = s"$dir/ontime.parquet"
+      val dIdx =
+        if (dMarker.exists() && new java.io.File(dPath).exists())
+          DictLayout.load(spark, factPath, dPath)
+        else {
+          val i = DictLayout.build(spark, table, factPath, dPath,
+            Seq("Carrier", "Origin", "Dest", "OriginState"))
+          java.nio.file.Files.write(dMarker.toPath, java.util.Arrays.asList("ok"))
+          i
+        }
+      exec(dIdx.encoded)
+      val dictNames = Seq("a4_groupby_1dim", "a5_groupby_2dim", "a6_groupby_3dim")
+      DictRegistry.register(factPath, dIdx)
+      try dictNames.map { name =>
+        val df = pqlDf(name)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("ontime.parquet") && plan.contains("ontime_dict"),
+          s"$name did not route to the dictionary layout:\n$plan")
+        System.gc()
+        QueryResult(name, "agg", sampleGc(reps)(exec(df)))
+      } finally DictRegistry.unregister(factPath)
+    }
+
     val heavy = Seq(a6, g1, g2, h1).map(_.json).mkString(",")
     val scan = scanRs.map(_._2.json).mkString(",")
     val routed = routedRs.map(_.json).mkString(",")
     s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
       s""""heavy":{$heavy},"scan":{$scan},""" +
-      s""""routed":{$routed,"build_sec":${r3(buildSecs)},"rollup_rows":${idx.rollup.count()}}}"""
+      s""""routed":{$routed,"build_sec":${r3(buildSecs)},"rollup_rows":${idx.rollup.count()}},""" +
+      s""""dict":{${dictRs.map(_.json).mkString(",")}}}"""
   }
 
   /** Top-level sections of an existing report (tag → `"tag":{...}`

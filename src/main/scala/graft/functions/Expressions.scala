@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreter.
   *
   * All expressions declare `inputTypes` via [[ImplicitCastInputTypes]]
-  * so Catalyst inserts casts (array<float> → array<double>) and rejects
-  * wrong-typed inputs at ANALYSIS time instead of failing inside
-  * generated code at execution.
+  * so Catalyst inserts casts where needed (e.g. array<int> →
+  * array<double>) and rejects wrong-typed inputs at ANALYSIS time
+  * instead of failing inside generated code at execution; float
+  * vectors are accepted natively (see [[VecArray]]).
   *
   * Preference order per the project brief: built-in functions first;
   * these expressions exist exactly where the built-in higher-order
@@ -31,6 +32,24 @@ object exprs {
 
   private val DoubleArray: GraftSqlBridge.AbstractType = ArrayType(DoubleType)
   private val LongArray: GraftSqlBridge.AbstractType = ArrayType(LongType)
+
+  /** Vector input type: array<double> OR array<float>, accepted
+    * NATIVELY (double listed first = the implicit-cast target for
+    * other numeric arrays). Embeddings at corpus scale are float32;
+    * forcing a Cast to array<double> allocated a fresh array per
+    * EVALUATION — inside a knn-join's pair loop that was corpus_rows ×
+    * queries allocations per scan. The kernels read either layout and
+    * widen per element, which is bit-identical to what the Cast
+    * produced. */
+  private val VecArray: GraftSqlBridge.AbstractType =
+    GraftSqlBridge.typeCollection(ArrayType(DoubleType), ArrayType(FloatType))
+
+  /** Is this child's resolved type a float vector? Baked into the
+    * generated kernel call as a constant. */
+  private def isF(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   /** MinHash signature of a text column → array<bigint> of running
     * minima over `numHashes` double-hashed XXH64 functions. */
@@ -64,47 +83,50 @@ object exprs {
     override def prettyName: String = "simhash64"
   }
 
-  /** Cosine similarity of two array<double> columns → double. */
+  /** Cosine similarity of two float/double vector columns → double. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
-    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray, VecArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      HashOps.cosineAny(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isF(left), isF(right))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.HashOps.cosineDouble($a, $b)")
+        (a, b) => s"graft.functions.HashOps.cosineAny($a, $b, ${isF(left)}, ${isF(right)})")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_sim"
   }
 
-  /** Dot product of two array<double> columns → double. */
+  /** Dot product of two float/double vector columns → double. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
-    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray, VecArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      HashOps.dotAny(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isF(left), isF(right))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.HashOps.dotDouble($a, $b)")
+        (a, b) => s"graft.functions.HashOps.dotAny($a, $b, ${isF(left)}, ${isF(right)})")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
     override def prettyName: String = "dot_product"
   }
 
-  /** Euclidean distance of two array<double> columns → double
+  /** Euclidean distance of two float/double vector columns → double
     * (single-pass stable sum((a_i-b_i)^2) kernel). */
   case class L2Distance(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
-    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray, DoubleArray)
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray, VecArray)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      HashOps.l2Distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      HashOps.l2DistanceAny(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isF(left), isF(right))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.HashOps.l2Distance($a, $b)")
+        (a, b) => s"graft.functions.HashOps.l2DistanceAny($a, $b, ${isF(left)}, ${isF(right)})")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
       copy(left = l, right = r)
     override def prettyName: String = "l2_distance"
@@ -116,12 +138,13 @@ object exprs {
       extends UnaryExpression with ImplicitCastInputTypes {
     require(numPlanes > 0 && numPlanes <= 63,
       s"numPlanes must be in [1, 63], got $numPlanes")
-    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
-      HashOps.lshBucket(input.asInstanceOf[ArrayData], numPlanes)
+      HashOps.lshBucketAny(input.asInstanceOf[ArrayData], numPlanes, isF(child))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.lshBucket($c, $numPlanes)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.lshBucketAny($c, $numPlanes, ${isF(child)})")
     override protected def withNewChildInternal(newChild: Expression): LshBucket =
       copy(child = newChild)
     override def prettyName: String = "lsh_bucket"
@@ -134,13 +157,14 @@ object exprs {
     require(numPlanes > 0 && numPlanes <= 63,
       s"numPlanes must be in [1, 63], got $numPlanes")
     require(numTables > 0, s"numTables must be positive, got $numTables")
-    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      HashOps.lshBuckets(input.asInstanceOf[ArrayData], numPlanes, numTables)
+      HashOps.lshBucketsAny(input.asInstanceOf[ArrayData], numPlanes, numTables,
+        isF(child))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        c => s"graft.functions.HashOps.lshBuckets($c, $numPlanes, $numTables)")
+        c => s"graft.functions.HashOps.lshBucketsAny($c, $numPlanes, $numTables, ${isF(child)})")
     override protected def withNewChildInternal(newChild: Expression): LshBuckets =
       copy(child = newChild)
     override def prettyName: String = "lsh_buckets"
@@ -156,10 +180,11 @@ object exprs {
     override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
-      HashOps.nearestCell(input.asInstanceOf[ArrayData], centroids)
+      HashOps.nearestCellAny(input.asInstanceOf[ArrayData], centroids, isF(child))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
-      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.nearestCell($c, $ref)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.nearestCellAny($c, $ref, ${isF(child)})")
     }
     override protected def withNewChildInternal(newChild: Expression): NearestCell =
       copy(child = newChild)
@@ -174,10 +199,12 @@ object exprs {
     override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleArray)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      HashOps.nearestCells(input.asInstanceOf[ArrayData], centroids, nprobe)
+      HashOps.nearestCellsAny(input.asInstanceOf[ArrayData], centroids, nprobe,
+        isF(child))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
-      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.nearestCells($c, $ref, $nprobe)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.nearestCellsAny($c, $ref, $nprobe, ${isF(child)})")
     }
     override protected def withNewChildInternal(newChild: Expression): NearestCells =
       copy(child = newChild)

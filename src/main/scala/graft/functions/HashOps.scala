@@ -306,6 +306,44 @@ object HashOps {
       .map { case (l, cs) => l -> cs.toArray }.toArray
   private val enSet: java.util.HashSet[String] = profileSets.head._2
 
+  /** Stopword profiles as raw ASCII byte arrays (all token-profile
+    * words are ASCII), for the allocation-free byte-scan fast paths:
+    * a token is matched as a byte RANGE of the input against each
+    * word — no per-token String, no substring. */
+  private val tokenProfileBytes: Array[(String, Array[Array[Byte]])] =
+    stopwordProfiles.filterNot(p => charProfileLangs(p._1)).map { case (l, ws) =>
+      l -> ws.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+    }.toArray
+  private val enWordBytes: Array[Array[Byte]] = tokenProfileBytes.head._2
+  private val tokenProfileU8: Array[UTF8String] =
+    tokenProfileBytes.map(p => UTF8String.fromString(p._1))
+  private val undU8: UTF8String = UTF8String.fromString("und")
+
+  /** text[start, end) == word (byte-wise)? */
+  @inline private def rangeEquals(t: UTF8String, start: Int, end: Int,
+      w: Array[Byte]): Boolean = {
+    if (end - start != w.length) return false
+    var i = 0
+    while (i < w.length) {
+      if (t.getByte(start + i) != w(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** First non-ASCII byte index, or -1 when pure ASCII — the fast-path
+    * guard for [[textStats]]/[[langId]] (UTF-8 high bytes are negative
+    * as `Byte`). */
+  @inline private def firstNonAscii(t: UTF8String): Int = {
+    val n = t.numBytes()
+    var i = 0
+    while (i < n) {
+      if (t.getByte(i) < 0) return i
+      i += 1
+    }
+    -1
+  }
+
   /** round(x, 4) with Spark's Round semantics (HALF_UP decimal). */
   @inline private def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
@@ -327,7 +365,53 @@ object HashOps {
     * text once per metric through interpreted higher-order functions —
     * this is one tokenization and one char sweep per row, inside
     * whole-stage codegen. */
-  def textStats(text: UTF8String): InternalRow = {
+  def textStats(text: UTF8String): InternalRow =
+    if (firstNonAscii(text) < 0) textStatsAscii(text) else textStatsGeneric(text)
+
+  /** All-ASCII fast path: one char-class byte sweep + one token byte
+    * scan, zero allocation beyond the result row. nChars == numBytes
+    * for ASCII, token byte ranges compare against the en stopword
+    * bytes directly — identical arithmetic to [[textStatsGeneric]]
+    * (the fuzzed parity spec covers both paths). */
+  private def textStatsAscii(text: UTF8String): InternalRow = {
+    val n = text.numBytes()
+    var punct = 0
+    var digits = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?') punct += 1
+      else if (b >= '0' && b <= '9') digits += 1
+      i += 1
+    }
+    var nToks = 0
+    var tokLenSum = 0.0
+    var stopHits = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWsByte(text.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWsByte(text.getByte(i))) i += 1
+      if (i > start) {
+        nToks += 1
+        tokLenSum += (i - start)
+        var w = 0
+        var found = false
+        while (!found && w < enWordBytes.length) {
+          if (rangeEquals(text, start, i, enWordBytes(w))) found = true
+          w += 1
+        }
+        if (found) stopHits += 1
+      }
+    }
+    val mtl = if (nToks > 0) round4(tokLenSum / nToks) else 0.0
+    val sw = if (nToks > 0) round4(stopHits.toDouble / nToks) else 0.0
+    val pr = if (n > 0) round4(punct.toDouble / n) else 0.0
+    val dr = if (n > 0) round4(digits.toDouble / n) else 0.0
+    new GenericInternalRow(Array[Any](n, nToks, mtl, sw, pr, dr))
+  }
+
+  private def textStatsGeneric(text: UTF8String): InternalRow = {
     val s = text.toString
     val nChars = text.numChars()
     val toks = tokenizeRaw(text)
@@ -489,7 +573,57 @@ object HashOps {
     * order breaks ties, "und" when no profile scores > 0). Token
     * profiles use raw tokens; char profiles use substring occurrence
     * ratios, exactly as the Column formulation. */
-  def langId(text: UTF8String): UTF8String = {
+  def langId(text: UTF8String): UTF8String =
+    if (firstNonAscii(text) < 0) langIdAscii(text) else langIdGeneric(text)
+
+  /** All-ASCII fast path: the zh char profile scores 0 on ASCII text
+    * by construction, so only the token profiles compete — one token
+    * byte scan with byte-range membership tests, no per-token String.
+    * Tie-break and the all-zero→"und" contract match
+    * [[langIdGeneric]] exactly (zh is LAST in stopwordProfiles, so
+    * dropping its zero score cannot steal a tie). */
+  private def langIdAscii(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    val hits = new Array[Int](tokenProfileBytes.length)
+    var nToks = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(text.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWsByte(text.getByte(i))) i += 1
+      if (i > start) {
+        nToks += 1
+        var p = 0
+        while (p < tokenProfileBytes.length) {
+          val words = tokenProfileBytes(p)._2
+          var w = 0
+          var found = false
+          while (!found && w < words.length) {
+            if (rangeEquals(text, start, i, words(w))) found = true
+            w += 1
+          }
+          if (found) hits(p) += 1
+          p += 1
+        }
+      }
+    }
+    if (nToks == 0) return undU8
+    var best = 0.0
+    var p = 0
+    while (p < hits.length) {
+      val r = hits(p).toDouble / nToks
+      if (r > best) best = r
+      p += 1
+    }
+    p = 0
+    while (p < hits.length) {
+      if (hits(p) > 0 && hits(p).toDouble / nToks == best) return tokenProfileU8(p)
+      p += 1
+    }
+    undU8
+  }
+
+  private def langIdGeneric(text: UTF8String): UTF8String = {
     val s = text.toString
     val nChars = text.numChars()
     val toks = tokenizeRaw(text)
@@ -559,15 +693,26 @@ object HashOps {
     * `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` formulation (and therefore
     * to the DuckDB oracle's list_aggregate sum order). 0.0 when either
     * norm is 0. */
-  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+  /** Element read for a vector that may be array<float> OR
+    * array<double> (`f` = float, a per-expression constant baked into
+    * the generated call). Arithmetic always runs in double, and a
+    * float element widens exactly like Spark's `Cast` to
+    * array<double> would — so skipping the cast changes NOTHING in the
+    * result while removing a per-EVALUATION array allocation (in a
+    * knn-join that cast sat inside the pair loop: corpus_rows ×
+    * queries allocations). */
+  @inline private def vecElem(a: ArrayData, i: Int, f: Boolean): Double =
+    if (f) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def cosineAny(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
     val n = checkVectors(a, b, "cosine_sim")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = vecElem(a, i, af)
+      val y = vecElem(b, i, bf)
       dot += x * y
       na += x * x
       nb += y * y
@@ -577,34 +722,43 @@ object HashOps {
     if (denom > 0) dot / denom else 0.0
   }
 
+  def cosineDouble(a: ArrayData, b: ArrayData): Double =
+    cosineAny(a, b, af = false, bf = false)
+
   /** Dot product over double arrays (sequential order). */
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+  def dotAny(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
     val n = checkVectors(a, b, "dot_product")
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += a.getDouble(i) * b.getDouble(i)
+      dot += vecElem(a, i, af) * vecElem(b, i, bf)
       i += 1
     }
     dot
   }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double =
+    dotAny(a, b, af = false, bf = false)
 
   /** Euclidean distance in ONE pass over sum((a_i-b_i)^2) — the
     * numerically stable form. The three-dot-product identity
     * sqrt(aa - 2ab + bb) cancels catastrophically for near-identical
     * vectors (the near-duplicate regime this engine targets) and can
     * return exactly 0.0 for close-but-distinct vectors. */
-  def l2Distance(a: ArrayData, b: ArrayData): Double = {
+  def l2DistanceAny(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
     val n = checkVectors(a, b, "l2_distance")
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = a.getDouble(i) - b.getDouble(i)
+      val d = vecElem(a, i, af) - vecElem(b, i, bf)
       acc += d * d
       i += 1
     }
     math.sqrt(acc)
   }
+
+  def l2Distance(a: ArrayData, b: ArrayData): Double =
+    l2DistanceAny(a, b, af = false, bf = false)
 
   /** Random-hyperplane LSH bucket id. Exactly reproduces the previous
     * declarative formula: component(p, i) =
@@ -612,7 +766,7 @@ object HashOps {
     * xxhash64 seed chaining (seed 42), bit p set iff the plane dot
     * product is >= 0. One pass per plane over the vector, all in one
     * JVM frame. */
-  def lshBucket(vec: ArrayData, numPlanes: Int): Long = {
+  def lshBucketAny(vec: ArrayData, numPlanes: Int, f: Boolean): Long = {
     require(numPlanes > 0 && numPlanes <= 63,
       s"numPlanes must be in [1, 63], got $numPlanes")
     val n = vec.numElements()
@@ -626,7 +780,7 @@ object HashOps {
         val h = XXH64.hashInt(i, seedP)
         val m = h % 2000001L
         val pm = if (m < 0) m + 2000001L else m
-        d += vec.getDouble(i) * ((pm - 1000000.0) / 1000000.0)
+        d += vecElem(vec, i, f) * ((pm - 1000000.0) / 1000000.0)
         i += 1
       }
       if (d >= 0) bucket |= (1L << p)
@@ -635,10 +789,13 @@ object HashOps {
     bucket
   }
 
+  def lshBucket(vec: ArrayData, numPlanes: Int): Long =
+    lshBucketAny(vec, numPlanes, f = false)
+
   /** Nearest-centroid cell id by L2 over a baked-in coarse codebook —
     * the IVF assignment kernel. Centroids ride inside the expression
     * (plan serialization = broadcast), one flat loop per row. */
-  def nearestCell(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+  def nearestCellAny(vec: ArrayData, centroids: Array[Array[Double]], f: Boolean): Int = {
     val n = vec.numElements()
     var best = 0
     var bestD = Double.MaxValue
@@ -653,7 +810,7 @@ object HashOps {
       var d = 0.0
       var i = 0
       while (i < n) {
-        val diff = vec.getDouble(i) - cent(i)
+        val diff = vecElem(vec, i, f) - cent(i)
         d += diff * diff
         i += 1
       }
@@ -663,9 +820,13 @@ object HashOps {
     best
   }
 
+  def nearestCell(vec: ArrayData, centroids: Array[Array[Double]]): Int =
+    nearestCellAny(vec, centroids, f = false)
+
   /** The `nprobe` nearest cells in ascending distance order (ties →
     * lower cell id) — the IVF probe list for a query vector. */
-  def nearestCells(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+  def nearestCellsAny(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int,
+      f: Boolean): ArrayData = {
     val k = centroids.length
     val dists = new Array[Double](k)
     var c = 0
@@ -677,7 +838,7 @@ object HashOps {
       var d = 0.0
       var i = 0
       while (i < n) {
-        val diff = vec.getDouble(i) - cent(i)
+        val diff = vecElem(vec, i, f) - cent(i)
         d += diff * diff
         i += 1
       }
@@ -688,6 +849,9 @@ object HashOps {
     new GenericArrayData(order.map(_.asInstanceOf[Any]).toArray)
   }
 
+  def nearestCells(vec: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData =
+    nearestCellsAny(vec, centroids, nprobe, f = false)
+
   /** OR-amplified multi-table LSH: `numTables` independent bucket ids,
     * table t's planes seeded by chaining t into the plane seed
     * (table 0 reproduces [[lshBucket]] exactly). A neighbor is a
@@ -696,7 +860,8 @@ object HashOps {
     * 1-(1-p^planes)^tables, fixing the geometric recall collapse of a
     * single-probe single table. Candidate cost grows ≤ ×tables and the
     * scoring stays ∝ collisions, not |corpus|². */
-  def lshBuckets(vec: ArrayData, numPlanes: Int, numTables: Int): ArrayData = {
+  def lshBucketsAny(vec: ArrayData, numPlanes: Int, numTables: Int,
+      f: Boolean): ArrayData = {
     require(numTables > 0, s"numTables must be positive, got $numTables")
     require(numPlanes > 0 && numPlanes <= 63,
       s"numPlanes must be in [1, 63], got $numPlanes")
@@ -715,7 +880,7 @@ object HashOps {
           val h = XXH64.hashInt(i, seedP)
           val m = h % 2000001L
           val pm = if (m < 0) m + 2000001L else m
-          d += vec.getDouble(i) * ((pm - 1000000.0) / 1000000.0)
+          d += vecElem(vec, i, f) * ((pm - 1000000.0) / 1000000.0)
           i += 1
         }
         if (d >= 0) bucket |= (1L << p)
@@ -726,6 +891,9 @@ object HashOps {
     }
     new GenericArrayData(out)
   }
+
+  def lshBuckets(vec: ArrayData, numPlanes: Int, numTables: Int): ArrayData =
+    lshBucketsAny(vec, numPlanes, numTables, f = false)
 
   /** Winnowing document fingerprint (the rolling-hash fingerprinting
     * scheme of Schleimer/Wilkerson/Aiken's MOSS): hash every k-char

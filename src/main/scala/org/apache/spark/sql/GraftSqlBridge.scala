@@ -15,6 +15,13 @@ object GraftSqlBridge {
     * for analysis-time type checking. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 
+  /** `TypeCollection` constructor access (`private[sql]`): lets an
+    * expression accept several input types WITHOUT an implicit cast —
+    * e.g. the vector kernels take array<float> natively instead of
+    * paying a per-evaluation Cast allocation to array<double>. */
+  def typeCollection(ts: org.apache.spark.sql.types.AbstractDataType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
+
   /** Register a temp SQL function on an existing session (the
     * session-state function registry is `private[sql]`). */
   def registerFunction(spark: SparkSession, name: String,

@@ -62,13 +62,23 @@ class TextKernelParitySpec extends SparkSpec {
       val n = rnd.nextInt(40)
       (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     } ++ Seq("", " ", "  a  ", "\ta\t", " \t mixed CASE\r\n runs ",
-      "ＡＢＣ　ＤＥＦ", "a b", "Σίσυφος ΣΊΣΥΦΟΣ")
+      "ＡＢＣ　ＤＥＦ", "a b", "Σίσυφος ΣΊΣΥΦΟΣ",
+      // stopword-profile collisions and ties across languages
+      "the la le der el und est que de is", "la la la", "de de que",
+      "und ist ein zu", "the 的是 und", "el la los y es un")
     val diff = fuzz.toDF("text").select($"text",
         TextAnalysis.tokenCount($"text").as("k1"),
         TextAnalysis.tokenCountDeclarative($"text").as("d1"),
         TextAnalysis.normalized($"text").as("k2"),
-        TextAnalysis.normalizedDeclarative($"text").as("d2"))
-      .filter(not($"k1" <=> $"d1") || not($"k2" <=> $"d2"))
+        TextAnalysis.normalizedDeclarative($"text").as("d2"),
+        // the ASCII fast path vs generic dispatch inside these kernels
+        // must be invisible: fuzz strings straddle the boundary
+        TextAnalysis.langId($"text").as("k3"),
+        TextAnalysis.langIdDeclarative($"text").as("d3"),
+        TextAnalysis.qualityMetrics($"text").as("k4"),
+        TextAnalysis.qualityMetricsDeclarative($"text").as("d4"))
+      .filter(not($"k1" <=> $"d1") || not($"k2" <=> $"d2") ||
+        not($"k3" <=> $"d3") || not($"k4" <=> $"d4"))
     assert(diff.count() === 0, diff.take(5).mkString("; "))
   }
 

@@ -81,14 +81,16 @@ def merge_heavy(report, root, tag="sf10000", subdir=None):
             q["duck_reps"] = [round(r, 3) for r in reps]
             if q["duck_p50"] > 0:
                 q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
-    for name, q in sec.get("routed", {}).items():
-        if not isinstance(q, dict):
-            continue
-        base = sec.get("scan", {}).get(name, {})
-        if "duck_p50" in base:
-            q["duck_p50"] = base["duck_p50"]
-            if q["duck_p50"] > 0:
-                q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+    for part in ("routed", "dict"):
+        for name, q in sec.get(part, {}).items():
+            if not isinstance(q, dict):
+                continue
+            base = sec.get("scan", {}).get(name, {}) or \
+                sec.get("heavy", {}).get(name, {})
+            if "duck_p50" in base:
+                q["duck_p50"] = base["duck_p50"]
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
     con.close()
     print(f"[duck] {tag} done")
 
@@ -169,15 +171,19 @@ def main():
                 q["duck_p50"] = round(statistics.median(reps), 3)
                 if q["duck_p50"] > 0:
                     q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
-        # star-tree-routed reruns reuse the same duck statement by name
-        for name, q in sec.get("routed", {}).items():
-            if not isinstance(q, dict) or name not in QUERIES:
-                continue
-            base = sec["queries"].get(name, {})
-            if "duck_p50" in base:
-                q["duck_p50"] = base["duck_p50"]
-                if q["duck_p50"] > 0:
-                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # star-tree-routed and dictionary-routed reruns reuse the same
+        # duck statement by name (DuckDB has no rollup/dict artifact —
+        # the ratio shows the engine capability against DuckDB's best
+        # raw-parquet answer)
+        for part in ("routed", "dict"):
+            for name, q in sec.get(part, {}).items():
+                if not isinstance(q, dict) or name not in QUERIES:
+                    continue
+                base = sec["queries"].get(name, {})
+                if "duck_p50" in base:
+                    q["duck_p50"] = base["duck_p50"]
+                    if q["duck_p50"] > 0:
+                        q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
         # per-class totals + ratios
         for cls, csec in sec.get("classes", {}).items():
             qs = [q for q in sec["queries"].values() if q["class"] == cls and "duck_p50" in q]
