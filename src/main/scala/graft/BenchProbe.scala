@@ -139,6 +139,73 @@ object BenchProbe {
       }
     }
 
+    if (which == "dict") {
+      // raw string group-by vs the dictionary-encoded copy: is the
+      // int-keyed HashAggregate actually cheaper at 100M rows, and by
+      // how much per shape?
+      import graft.plans.{DictLayout, DictRegistry}
+      import graft.pql.Pql
+      val dPath = s"$dir/ontime_dict.parquet"
+      val factPath = s"$dir/ontime.parquet"
+      val idx =
+        if (new java.io.File(s"$dir/_DICT_DONE").exists() &&
+            new java.io.File(dPath).exists())
+          DictLayout.load(spark, factPath, dPath)
+        else {
+          val i = DictLayout.build(spark, t, factPath, dPath,
+            Seq("Carrier", "Origin", "Dest", "OriginState"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_DICT_DONE"),
+            java.util.Arrays.asList("ok"))
+          i
+        }
+      exec(idx.encoded)
+      Graft.enable(spark)
+      val shapes = Seq(
+        "a4" -> "SELECT count(*) FROM ontime GROUP BY Carrier TOP 20",
+        "a5" -> "SELECT avg(ArrDelay) FROM ontime WHERE Cancelled = 0 GROUP BY Origin, Dest TOP 100",
+        "a6" -> "SELECT sum(DepDelay), count(*) FROM ontime WHERE ArrDelay > 0 GROUP BY DaysSinceEpoch, Carrier, OriginState TOP 100")
+      val loader: String => DataFrame = _ => t
+      (1 to 2).foreach { r =>
+        shapes.foreach { case (n, pql) =>
+          run(s"$n raw  r$r")(Pql.toDataFrame(Pql.parse(pql), loader))
+        }
+        DictRegistry.register(factPath, idx)
+        try shapes.foreach { case (n, pql) =>
+          val df = Pql.toDataFrame(Pql.parse(pql), loader)
+          require(df.queryExecution.executedPlan.toString.contains("ontime_dict"),
+            s"$n did not route")
+          run(s"$n dict r$r")(df)
+        } finally DictRegistry.unregister(factPath)
+      }
+    }
+
+    if (which == "dict2") {
+      // isolate WHERE the dict-copy slowdown lives: routing rewrite vs
+      // the encoded copy's storage shape (nullable int + 32 files)
+      val enc = spark.read.parquet(s"$dir/ontime_dict.parquet")
+      exec(enc)
+      run("raw  groupBy(Carrier) cnt")(
+        t.groupBy(col("Carrier")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc).limit(20))
+      run("dict groupBy(Carrier__did) cnt")(
+        enc.groupBy(col("Carrier__did")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc).limit(20))
+      run("raw  count(*) scan")(t.select(col("Carrier")).groupBy().count())
+      run("dict count(*) scan")(enc.select(col("Carrier__did")).groupBy().count())
+      // non-null re-write of just the code column, 64 files
+      val nn = s"$dir/probe_dict_nn.parquet"
+      if (!new java.io.File(nn).exists()) {
+        enc.select(coalesce(col("Carrier__did"), lit(0)).as("c0"))
+          .repartition(64).write.mode("overwrite").parquet(nn)
+      }
+      val encNN = spark.read.parquet(nn)
+      exec(encNN)
+      run("dictNN groupBy(c0) cnt")(
+        encNN.groupBy(col("c0")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc).limit(20))
+    }
+
     if (which == "all" || which == "page") {
       val s2 = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
         .orderBy(col("DaysSinceEpoch"), col("FlightNum"))

@@ -113,11 +113,22 @@ object DictLayout {
       c -> values.map(UTF8String.fromString)
     }.toMap
     val encodedCols = fact.schema.fields.map { f =>
-      if (dicts.contains(f.name))
-        GraftSqlBridge.column(exprs.DictId(
+      if (dicts.contains(f.name)) {
+        val id = GraftSqlBridge.column(exprs.DictId(
           GraftSqlBridge.expression(col(f.name)), dicts(f.name)))
-          .as(f.name + "__did")
-      else col(f.name)
+        // a NON-NULL source column must produce a NON-NULL code column:
+        // DictId is nullable (miss → null), which would add definition
+        // levels to every parquet page the raw column didn't have. A
+        // miss is impossible at build (the dictionary came from this
+        // exact frame), so the coalesce sentinel never materializes —
+        // and if a bug ever produced one, decode would fail loudly
+        // (array index -1) instead of silently shipping wrong values.
+        val stored =
+          if (f.nullable) id
+          else org.apache.spark.sql.functions.coalesce(id,
+            org.apache.spark.sql.functions.lit(-1))
+        stored.as(f.name + "__did")
+      } else col(f.name)
     }
     fact.select(encodedCols.toIndexedSeq: _*)
       .write.mode("overwrite").parquet(encodedPath)
@@ -233,6 +244,16 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (isDict(n)) codeAttr(n).isDefined else byName.contains(n)))
       return None
 
+    // EXPLICIT column pruning: this rule runs in the user-provided
+    // optimizer batch, AFTER Spark's ColumnPruning pass — a bare
+    // spliced-in relation would scan every column of the encoded copy
+    // (measured 0.4 → 1.1 s on a one-column group-by at 100M rows).
+    // Projecting exactly the referenced encoded columns restores the
+    // pruned scan; FileSourceStrategy then reads only these.
+    val neededNames = referenced.map(n => if (isDict(n)) n + "__did" else n).toSet
+    val prunedScan = Project(encodedPlan.output.filter(a => neededNames.contains(a.name)),
+      encodedPlan)
+
     /** Decode fallback: correct for ANY use of a dict column. */
     def remapAttr(ar: AttributeReference): Expression =
       if (isDict(ar.name)) exprs.DictDecode(codeAttr(ar.name).get, idx.dicts(ar.name))
@@ -297,8 +318,8 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => return None
     }
     val newChild = cond match {
-      case Some(c) => Filter(xlate(c), encodedPlan)
-      case None => encodedPlan
+      case Some(c) => Filter(xlate(c), prunedScan)
+      case None => prunedScan
     }
     Some(agg.copy(groupingExpressions = newGroupings,
       aggregateExpressions = newAggExprs, child = newChild))
