@@ -499,11 +499,16 @@ object BenchScale {
       docs.agg(avg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
         count(lit(1)).as("n")))))
     System.gc()
-    // p2: language-id + quality scoring, one kernel pass (no twin)
+    // p2: language-id + quality scoring through the FUSED kernel —
+    // struct(lang, quality) in one text pass where the separate
+    // langId + qualityScore expressions each re-tokenized (values
+    // componentwise identical; parity pinned in TextKernelParitySpec,
+    // single evaluation per row pinned in PlanAuditSpec)
     val p2 = QueryResult("p2_lang_quality", "pipe", sample(reps)(exec(
-      docs.groupBy(TextAnalysis.langId(col("text")).as("lang_id"))
+      docs.select(TextAnalysis.langQuality(col("text")).as("lq"))
+        .groupBy(col("lq.lang").as("lang_id"))
         .agg(count(lit(1)).as("n"),
-          round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_q")))))
+          round(avg(col("lq.quality")), 6).as("avg_q")))))
     System.gc()
     // p3: exact dedup — survivors = rows − planted exact dups (ids ≡ 1
     // mod 50 duplicate id−1), a closed-form correctness pin. Measures

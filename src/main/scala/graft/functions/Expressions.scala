@@ -470,6 +470,40 @@ object exprs {
     override def prettyName: String = "lang_id"
   }
 
+  /** Fused language-ID + quality score (HashOps.langQuality): one
+    * text pass producing struct(lang, quality) — componentwise equal
+    * to (LangId, QualityScore), which each pay their own pass. */
+  case class LangQuality(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang", StringType, nullable = false),
+      StructField("quality", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      HashOps.langQuality(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.langQuality($c)")
+    override protected def withNewChildInternal(newChild: Expression): LangQuality =
+      copy(child = newChild)
+    override def prettyName: String = "lang_quality"
+  }
+
+  /** Fused `md5(normalizeWs(text))` → 16-byte binary fingerprint
+    * (HashOps.md5Normalized): the exact-dedup key without the
+    * intermediate normalized string or the 32-byte hex form. */
+  case class Md5Normalized(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.md5Normalized(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Normalized($c)")
+    override protected def withNewChildInternal(newChild: Expression): Md5Normalized =
+      copy(child = newChild)
+    override def prettyName: String = "md5_normalized"
+  }
+
   /** Distinct n-gram shingle set of a text column → sorted
     * array<string> (HashOps.shingleArray). */
   case class NGramShingles(child: Expression, n: Int)
@@ -599,6 +633,12 @@ object GraftFunctions {
 
   def langId(text: Column): Column =
     GraftSqlBridge.column(exprs.LangId(expr(text)))
+
+  def langQuality(text: Column): Column =
+    GraftSqlBridge.column(exprs.LangQuality(expr(text)))
+
+  def md5Normalized(text: Column): Column =
+    GraftSqlBridge.column(exprs.Md5Normalized(expr(text)))
 
   def jsonGetLong(json: Column, field: String): Column =
     GraftSqlBridge.column(exprs.JsonGetLong(expr(json), field))

@@ -266,6 +266,62 @@ object HashOps {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  private val md5Tl: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val normBufTl: ThreadLocal[Array[Byte]] =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](8192)
+    }
+
+  /** Fused `md5(normalizeWs(text))` as 16 raw bytes — the exact-dedup
+    * fingerprint without materializing the normalized string: the
+    * ASCII path streams the trim/collapse/lowercase bytes through a
+    * thread-local reusable buffer straight into a thread-local MD5
+    * digest (zero per-row allocation beyond the 16-byte result), where
+    * the composed form allocated the normalized copy, re-copied it for
+    * the digest, and produced a 32-byte HEX string — which then rode
+    * the dedup shuffle at twice the key width. Bit parity with
+    * `unhex(md5(normalize_ws(text)))` is pinned in
+    * TextKernelParitySpec; a non-ASCII byte falls back to digesting
+    * [[normalizeWs]]'s output, so parity holds for all inputs. */
+  def md5Normalized(text: UTF8String): Array[Byte] = {
+    val md = md5Tl.get()
+    if (firstNonAscii(text) >= 0) {
+      md.update(normalizeWs(text).getBytes)
+      return md.digest()
+    }
+    val n = text.numBytes()
+    var buf = normBufTl.get()
+    if (buf.length < n) {
+      buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n, 1)) << 1)
+      normBufTl.set(buf)
+    }
+    var start = 0
+    var end = n
+    while (start < end && text.getByte(start) == 0x20) start += 1
+    while (end > start && text.getByte(end - 1) == 0x20) end -= 1
+    var o = 0
+    var inWs = false
+    var i = start
+    while (i < end) {
+      val b = text.getByte(i)
+      if (isWsByte(b)) {
+        if (!inWs) { buf(o) = 0x20; o += 1 }
+        inWs = true
+      } else {
+        inWs = false
+        buf(o) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        o += 1
+      }
+      i += 1
+    }
+    md.update(buf, 0, o)
+    md.digest()
+  }
+
   /** Case-PRESERVING ASCII-\s tokens — kernel equivalent of the raw
     * `TextAnalysis.tokens(text)` Column path (which does NOT
     * lowercase; [[tokenize]] is the lowercased normalized variant). */
@@ -668,6 +724,86 @@ object HashOps {
       i += 1
     }
     UTF8String.fromString("und")
+  }
+
+  /** Fused language-ID + quality score as one struct — componentwise
+    * identical to `(langId(text), qualityScore(text))` (pinned in
+    * TextKernelParitySpec) but ONE pass over the text where the
+    * separate kernels each re-tokenize and re-sweep char classes. The
+    * two are always computed together in the filter stage of a
+    * training-data pipeline (keep lang ∈ {…} AND quality ≥ τ), so the
+    * fusion halves the dominant per-row cost at corpus scale. */
+  def langQuality(text: UTF8String): InternalRow =
+    if (firstNonAscii(text) < 0) langQualityAscii(text)
+    else new GenericInternalRow(Array[Any](langId(text), qualityScore(text)))
+
+  /** All-ASCII fused path: a single token scan accumulates the
+    * language-profile hits ([[langIdAscii]]'s loop) AND the quality
+    * metrics ([[textStatsAscii]]'s token/char-class counters — punct
+    * and digit bytes are never whitespace, so counting them inside
+    * token runs sees every one). Tie-break, rounding, and score
+    * arithmetic are copied verbatim from the unfused kernels. */
+  private def langQualityAscii(text: UTF8String): InternalRow = {
+    val n = text.numBytes()
+    val hits = new Array[Int](tokenProfileBytes.length)
+    var nToks = 0
+    var tokLenSum = 0.0
+    var punct = 0
+    var digits = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(text.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWsByte(text.getByte(i))) {
+        val b = text.getByte(i)
+        if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?') punct += 1
+        else if (b >= '0' && b <= '9') digits += 1
+        i += 1
+      }
+      if (i > start) {
+        nToks += 1
+        tokLenSum += (i - start)
+        var p = 0
+        while (p < tokenProfileBytes.length) {
+          val words = tokenProfileBytes(p)._2
+          var w = 0
+          var found = false
+          while (!found && w < words.length) {
+            if (rangeEquals(text, start, i, words(w))) found = true
+            w += 1
+          }
+          if (found) hits(p) += 1
+          p += 1
+        }
+      }
+    }
+    var lang = undU8
+    if (nToks > 0) {
+      var best = 0.0
+      var p = 0
+      while (p < hits.length) {
+        val r = hits(p).toDouble / nToks
+        if (r > best) best = r
+        p += 1
+      }
+      p = 0
+      var done = false
+      while (!done && p < hits.length) {
+        if (hits(p) > 0 && hits(p).toDouble / nToks == best) {
+          lang = tokenProfileU8(p); done = true
+        }
+        p += 1
+      }
+    }
+    val mtl = if (nToks > 0) round4(tokLenSum / nToks) else 0.0
+    val pr = if (n > 0) round4(punct.toDouble / n) else 0.0
+    val dr = if (n > 0) round4(digits.toDouble / n) else 0.0
+    val lenScore = math.min(nToks.toDouble / 20.0, 1.0)
+    val tokScore = if (mtl >= 2.5 && mtl <= 9.0) 1.0 else 0.3
+    val punctScore = if (pr < 0.2) 1.0 else 0.2
+    val digitScore = if (dr < 0.3) 1.0 else 0.2
+    val q = round4(lenScore * 0.4 + tokScore * 0.3 + punctScore * 0.15 + digitScore * 0.15)
+    new GenericInternalRow(Array[Any](lang, q))
   }
 
   /** Vector kernels reject malformed embeddings loudly instead of

@@ -395,7 +395,7 @@ object Dedup {
     * documents; 128 bits puts collisions below 1e-18 at that scale. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    df.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("_fp"))
+    df.groupBy(TextAnalysis.fingerprintMd5Bin(col(textCol)).as("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_survivor"))
       .select(cols.map(c => col("_survivor").getField(c).as(c)): _*)
   }
@@ -414,7 +414,7 @@ object Dedup {
     * column anyway. Output: one column `idCol`, the min id per
     * distinct normalized-text fingerprint. */
   def exactDedupIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(TextAnalysis.fingerprintMd5(col(textCol)).as("_fp"), col(idCol))
+    df.select(TextAnalysis.fingerprintMd5Bin(col(textCol)).as("_fp"), col(idCol))
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)

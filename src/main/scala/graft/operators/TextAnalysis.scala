@@ -94,6 +94,15 @@ object TextAnalysis {
     * parity is asserted in TextKernelParitySpec. */
   def langId(text: Column): Column = graft.functions.GraftFunctions.langId(text)
 
+  /** Fused `struct(lang, quality)` in ONE text pass — componentwise
+    * equal to `(langId(text), qualityScore(text))`, which each pay
+    * their own tokenization ([[graft.functions.HashOps.langQuality]]).
+    * The language-filter + quality-threshold stage every pretraining
+    * pipeline runs evaluates both per document, so the fusion halves
+    * its dominant per-row cost. */
+  def langQuality(text: Column): Column =
+    graft.functions.GraftFunctions.langQuality(text)
+
   /** Declarative formulation of [[langId]] (per-profile when-chains
     * over interpreted higher-order functions — ~10× slower, kept as
     * the parity/oracle reference). */
@@ -181,6 +190,14 @@ object TextAnalysis {
     * Portable across engines — DuckDB's md5 produces the identical
     * string, so fingerprints are oracle-checkable. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** [[fingerprintMd5]] as 16 RAW bytes via the fused normalize+digest
+    * kernel ([[graft.functions.HashOps.md5Normalized]]): no
+    * intermediate normalized string, half the shuffle key width of the
+    * hex form — the internal dedup key (`hex(fingerprintMd5Bin) ==
+    * fingerprintMd5`, so oracles stay portable). */
+  def fingerprintMd5Bin(text: Column): Column =
+    graft.functions.GraftFunctions.md5Normalized(text)
 
   /** 64-bit rolling fingerprint (xxhash64 of the normalized text) —
     * cheaper join key for dedup at scale (8 bytes vs 32-hex chars). */

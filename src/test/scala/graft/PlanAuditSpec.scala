@@ -93,6 +93,21 @@ class PlanAuditSpec extends SparkSpec {
       "per-element slice formulation crept back in")
   }
 
+  test("fused langQuality evaluates ONCE per row in the p2 group-by shape") {
+    // the BenchScale p2 formulation references lq.lang (group key) and
+    // lq.quality (avg input) — CollapseProject must NOT inline the
+    // non-cheap kernel into both consumers, or the fusion win is lost
+    import org.apache.spark.sql.functions.{avg, col, count, lit}
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val df = docs.select(TextAnalysis.langQuality(col("text")).as("lq"))
+      .groupBy(col("lq.lang").as("lang_id"))
+      .agg(count(lit(1)).as("n"), avg(col("lq.quality")).as("avg_q"))
+    val p = plan(df)
+    val evals = "lang_quality\\(".r.findAllIn(p).size
+    assert(evals == 1, s"lang_quality evaluated $evals times in:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the text-kernel pipeline") {
     // AQE reports 0 codegen subtrees before the plan finalizes; turn it
     // off for this inspection only

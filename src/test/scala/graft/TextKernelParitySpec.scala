@@ -82,6 +82,41 @@ class TextKernelParitySpec extends SparkSpec {
     assert(diff.count() === 0, diff.take(5).mkString("; "))
   }
 
+  private def fuzzStrings(seed: Long, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "aA zZ\t\n\f\r 09.,!?éÀ的め１"
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "  a  ", "\ta\t", " \t mixed CASE\r\n runs ",
+      "ＡＢＣ　ＤＥＦ", "a b", "Σίσυφος ΣΊΣΥΦΟΣ",
+      "the la le der el und est que de is", "la la la", "de de que",
+      "und ist ein zu", "the 的是 und", "el la los y es un")
+  }
+
+  test("fused langQuality == (langId, qualityScore) on corpus + fuzz") {
+    val fuzz = fuzzStrings(20260814L, 2000).toDF("text")
+    Seq(docs.select($"text"), fuzz).foreach { df =>
+      val diff = df.select($"text",
+          TextAnalysis.langQuality($"text").as("lq"),
+          TextAnalysis.langId($"text").as("lang"),
+          TextAnalysis.qualityScore($"text").as("q"))
+        .filter(not($"lq.lang" <=> $"lang") || not($"lq.quality" <=> $"q"))
+      assert(diff.count() === 0, diff.take(5).mkString("; "))
+    }
+  }
+
+  test("fused md5Normalized == unhex(md5(normalized)) on corpus + fuzz") {
+    val fuzz = fuzzStrings(99118822L, 2000).toDF("text")
+    Seq(docs.select($"text"), fuzz).foreach { df =>
+      val diff = df.select($"text",
+          TextAnalysis.fingerprintMd5Bin($"text").as("bin"),
+          unhex(TextAnalysis.fingerprintMd5($"text")).as("ref"))
+        .filter(not($"bin" <=> $"ref"))
+      assert(diff.count() === 0, diff.take(5).mkString("; "))
+    }
+  }
+
   test("kernels agree on edge cases: empty, whitespace, unicode, punct flood") {
     val edge = Seq("", "   ", "\t\n", "的是在了和", "!!!!....", "１２３ ４５６",
       "the the the", "À É め").toDF("text")
