@@ -256,6 +256,21 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Fused language-ID + quality scoring: the per-document filter
+    * stage a pretraining pipeline runs (keep lang, threshold quality),
+    * evaluated through the single-pass [[TextAnalysis.langQuality]]
+    * kernel — one text scan per row where the unfused pair
+    * ([[qLangId]] + [[qQuality]]) each pay their own. */
+  def qLangQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(TextAnalysis.langQuality($"text").as("lq"))
+      .groupBy($"lq.lang".as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg($"lq.quality"), 3).as("avg_q"))
+      .orderBy($"lang_pred")
+  }
+
   /** Document fingerprinting (md5 of normalized text — portable across
     * engines) + distinct-fingerprint counts per lang. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -670,6 +685,7 @@ object PipelineQueries {
     "q_token_stats" -> qTokenStats,
     "q_lang_id" -> qLangId,
     "q_quality" -> qQuality,
+    "q_lang_quality" -> qLangQuality,
     "q_fingerprint" -> qFingerprint,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ids" -> qDedupIds,
@@ -789,6 +805,49 @@ object PipelineQueries {
          |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE 0.2 END) * 0.15, 4)), 3) AS avg_score,
          |  round(avg(sw), 3) AS avg_stopword
          |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_lang_quality" -> {
+      // the fused kernel's twin: per-document lang_pred (the q_lang_id
+      // CASE chain) and quality score (the q_quality arithmetic) from
+      // ONE scan, then the rollup — componentwise the same formulas
+      val ratios = TextAnalysis.stopwordProfiles.map { case (lang, prof) =>
+        if (TextAnalysis.charProfileLangs(lang)) {
+          val hits = prof.map(c =>
+            s"(length(text) - length(replace(text, '$c', ''))) / ${c.length}.0")
+            .mkString(" + ")
+          s"""CASE WHEN length(text) > 0 THEN CAST($hits AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+        } else {
+          val set = prof.map(w => s"'$w'").mkString("(", ",", ")")
+          s"""CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN $set)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_$lang"""
+        }
+      }.mkString(",\n    ")
+      val best = langProfilesSql.map(p => s"r_${p._1}").mkString("greatest(", ", ", ")")
+      val caseChain = langProfilesSql.map { case (lang, _) =>
+        s"WHEN r_$lang > 0 AND r_$lang = $best THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH r AS (
+         |  SELECT text, toks, $ratios
+         |  FROM (SELECT text, $toksSql AS toks FROM documents)),
+         |m AS (
+         |  SELECT $caseChain AS lang_pred,
+         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |    round(CASE WHEN len(toks) > 0 THEN
+         |      list_aggregate(list_transform(toks, w -> CAST(len(w) AS DOUBLE)), 'sum')
+         |        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS mtl,
+         |    round(CASE WHEN length(text) > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS pr,
+         |    round(CASE WHEN length(text) > 0 THEN
+         |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 4) AS dr
+         |  FROM r)
+         |SELECT lang_pred, count(*) AS cnt,
+         |  round(avg(round(
+         |    least(n_tokens / 20.0, 1.0) * 0.4
+         |    + (CASE WHEN mtl BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.3
+         |    + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.2 END) * 0.15
+         |    + (CASE WHEN dr < 0.3 THEN 1.0 ELSE 0.2 END) * 0.15, 4)), 3) AS avg_q
+         |FROM m GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
     },
     "q_fingerprint" ->
       s"""SELECT lang, count(*) AS cnt,

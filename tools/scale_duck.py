@@ -171,6 +171,31 @@ def main():
                 q["duck_p50"] = round(statistics.median(reps), 3)
                 if q["duck_p50"] > 0:
                     q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+        # native-layout section: the engine ran on its own segment
+        # format (time-sorted copy + dict/star-tree/sketch sidecars,
+        # automatic routing) — the twin reads the SAME time-sorted
+        # parquet files, so both engines see identical bytes and the
+        # sidecar artifacts are the engine capability under test
+        if sec.get("native"):
+            con.execute(
+                f"CREATE VIEW ontime_native AS SELECT * FROM read_parquet('{ROOT}/scale_{tag}/ontime_sorted_dse.parquet/*.parquet')")
+            nqueries = sec["native"].get("queries", {})
+            for name, q in nqueries.items():
+                if not isinstance(q, dict) or name not in QUERIES:
+                    continue
+                sql = QUERIES[name].replace("FROM ontime", "FROM ontime_native")
+                reps = time_sql(con, sql)
+                q["duck_p50"] = round(statistics.median(reps), 3)
+                q["duck_reps"] = [round(r, 3) for r in reps]
+                if q["duck_p50"] > 0:
+                    q["ratio_p50"] = round(q["p50"] / q["duck_p50"], 2)
+            for cls, csec in sec["native"].get("classes", {}).items():
+                qs = [q for q in nqueries.values()
+                      if isinstance(q, dict) and q.get("class") == cls and "duck_p50" in q]
+                duck_total = sum(q["duck_p50"] for q in qs)
+                csec["duck_total_p50"] = round(duck_total, 3)
+                if duck_total > 0:
+                    csec["ratio_p50"] = round(csec["total_p50"] / duck_total, 2)
         # star-tree-routed and dictionary-routed reruns reuse the same
         # duck statement by name (DuckDB has no rollup/dict artifact —
         # the ratio shows the engine capability against DuckDB's best
