@@ -43,6 +43,8 @@ object SqlFunctions {
     "sig_agreement" -> { case Seq(a, b) => exprs.SigAgreement(a, b) },
     "lang_id" -> { case Seq(c) => exprs.LangId(c) },
     "quality_score" -> { case Seq(c) => exprs.QualityScore(c) },
+    "lang_quality" -> { case Seq(c) => exprs.LangQuality(c) },
+    "md5_normalized" -> { case Seq(c) => exprs.Md5Normalized(c) },
     "text_stats" -> { case Seq(c) => exprs.TextStats(c) },
     "token_count" -> { case Seq(c) => exprs.TokenCount(c) },
     "normalize_ws" -> { case Seq(c) => exprs.NormalizeWs(c) },

@@ -70,6 +70,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(6) === 42L)
   }
 
+  test("round-7 SQL functions: fused lang_quality + md5_normalized") {
+    Graft.enable(spark)
+    val r = spark.sql(
+      """SELECT lang_quality('the cat sat on the mat and it is happy') AS lq,
+        |  lang_quality('the cat sat on the mat and it is happy').lang AS lang,
+        |  md5_normalized('  The   CAT  ') AS fp,
+        |  unhex(md5(regexp_replace(lower(trim('  The   CAT  ')), '\\s+', ' '))) AS ref
+        |""".stripMargin).head()
+    assert(r.getString(1) === "en")
+    val lq = r.getStruct(0)
+    assert(lq.getDouble(1) >= 0.0 && lq.getDouble(1) <= 1.0)
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3)))
+  }
+
   test("star-tree routing rule answers covered aggregates from the rollup, not the fact scan") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")
