@@ -206,6 +206,38 @@ object BenchProbe {
           .orderBy(col("c").desc).limit(20))
     }
 
+    if (which == "neardup") {
+      // lazy-vs-cached staged near-dup at the sf100 point (10M docs,
+      // 64 hashes / 16 bands — the recorded p4 configuration): the
+      // lazy plan re-evaluates candidate generation 3× per action and
+      // the shingled-docs subtree 2×; the cached plan runs each once
+      val ndDir = s"${BenchScale.dataRoot}/scale_sf100"
+      val ndRows = 10000000L
+      graft.queries.ScaleDocs.ensureDocs(spark, ndDir, ndRows)
+      val docs = spark.read.parquet(s"$ndDir/documents.parquet")
+      val sigPath = s"$ndDir/minhash_sigs_probe.parquet"
+      if (!new java.io.File(sigPath).exists()) {
+        graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 64)
+          .write.mode("overwrite").parquet(sigPath)
+      }
+      val sigs = spark.read.parquet(sigPath)
+      def timeIt(name: String, reps: Int)(f: => Unit): Unit = {
+        val ts = (1 to reps).map { _ => System.gc(); time(f) }
+        println(f"[probe] $name%-40s p50=${p50(ts)}%.3f reps=${ts.map(x => f"$x%.3f").mkString(",")}")
+      }
+      timeIt("p4 cached staged", 3) {
+        val r = graft.operators.Dedup.nearDupPairsStagedCached(
+          docs, "doc_id", "text", sigs, numHashes = 64, bands = 16)
+        r.pairs.count(); r.unpersist(); ()
+      }
+      timeIt("p4 lazy staged", 2) {
+        graft.operators.Dedup.nearDupPairsStaged(
+          docs, "doc_id", "text", sigs, numHashes = 64, bands = 16).count(); ()
+      }
+      // leave the probe signature segment for re-probing; it is
+      // rebuilt only when absent and sits beside the scale data
+    }
+
     if (which == "all" || which == "page") {
       val s2 = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
         .orderBy(col("DaysSinceEpoch"), col("FlightNum"))

@@ -656,28 +656,32 @@ object BenchScale {
         t
       }
     val sigs = spark.read.parquet(sigPath)
-    // gc between these one-off metric actions for the same reason as
-    // [[sampleGc]]: each executes the full multi-GB-shuffle pipeline
-    val cands = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
-      minEstJaccard = 0.7 * 0.6).count()
-    System.gc()
-    val verifiedDf = Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs,
+    // one cached pipeline instance serves every funnel metric
+    // (candidate count, verified count, recall join) — the candidate
+    // and shingle stages run ONCE instead of per-action
+    val staged = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
       numHashes = nHashes, bands = nBands)
-    val verified = verifiedDf.count()
+    val cands = staged.candidateCount
+    val verified = staged.pairs.count()
     System.gc()
     val planted = ScaleDocs.plantedPairs(spark, rows)
     val plantedN = planted.count()
-    val hit = verifiedDf.select(col("id_a"), col("id_b"))
+    val hit = staged.pairs.select(col("id_a"), col("id_b"))
       .join(planted, Seq("id_a", "id_b")).count()
+    staged.unpersist()
     System.gc()
     val recall = if (plantedN == 0) 1.0 else hit.toDouble / plantedN
     require(recall >= 0.99,
       s"near-dup recall $recall over planted pairs ($hit/$plantedN)")
     System.gc()
     val p4Reps = if (rows >= 50000000L) math.min(reps, 2) else reps
+    // each rep is the full candidates→verify pipeline end-to-end (the
+    // per-rep persist + unpersist is part of the measured work, as a
+    // real staged corpus pass would pay it)
     val p4 = QueryResult("p4_near_dup", "pipe", sampleGc(p4Reps)(
-      { Dedup.nearDupPairsStaged(docs, "doc_id", "text", sigs,
-          numHashes = nHashes, bands = nBands).count(); () }))
+      { val r = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
+          numHashes = nHashes, bands = nBands)
+        r.pairs.count(); r.unpersist(); () }))
     // the signature segment has served its purpose (build cost and
     // staged-pipeline timings are recorded); drop it so the embedding
     // phase and later ladder points have the disk
@@ -891,7 +895,13 @@ object BenchScale {
   def existingSections(path: String): Seq[(String, String)] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Nil
-    val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    objectEntries(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+  }
+
+  /** The `(key, "key":rawValue)` entries of a JSON object's text —
+    * the brace matcher behind [[existingSections]], reusable on a
+    * section's inner object for sub-section merges. */
+  def objectEntries(s: String): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var i = s.indexOf('{') + 1
     if (i == 0) return Nil
@@ -932,6 +942,30 @@ object BenchScale {
     out.toSeq
   }
 
+  /** Replace (or append) one `"key":{...}` entry inside the `tag`
+    * section of an existing report, leaving every other byte of the
+    * artifact as the prior run wrote it. */
+  def mergeSubsection(path: String, tag: String, entryJson: String): Unit = {
+    val entryKey = entryJson.substring(1, entryJson.indexOf('"', 1))
+    val tops = existingSections(path)
+    require(tops.exists(_._1 == tag),
+      s"report $path has no section $tag to merge $entryKey into")
+    val rebuilt = tops.map {
+      case (k, raw) if k == tag =>
+        val body = raw.substring(raw.indexOf(':') + 1)
+        val inner = objectEntries(body)
+        val replaced =
+          if (inner.exists(_._1 == entryKey))
+            inner.map { case (ik, iraw) => if (ik == entryKey) entryJson else iraw }
+          else inner.map(_._2) :+ entryJson
+        s""""$tag":{${replaced.mkString(",")}}"""
+      case (_, raw) => raw
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      java.util.Arrays.asList(s"{${rebuilt.mkString(",")}}"))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r07.json"
     // optional second arg restricts the scale ladder ("sf1,sf100") —
@@ -947,6 +981,23 @@ object BenchScale {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sub-section re-run: "pipeline:sf100,sf1000" re-measures ONLY the
+    // pipeline subsection of the named tags and splices it into the
+    // existing artifact — a pipeline-operator change should not cost a
+    // full multi-hour ladder re-run to record honestly
+    if (args.length > 1 && args(1).startsWith("pipeline:")) {
+      val rowsByTag = Map("sf1" -> 100000L, "sf100" -> 10000000L,
+        "sf1000" -> 100000000L)
+      args(1).stripPrefix("pipeline:").split(",").map(_.trim).foreach { tag =>
+        val rows = rowsByTag.getOrElse(tag,
+          throw new IllegalArgumentException(s"unknown pipeline tag $tag"))
+        val sec = runPipeline(spark, s"$dataRoot/scale_$tag", rows, reps = 3)
+        mergeSubsection(outFile, tag, sec)
+        println(s"[scale] $tag pipeline merged")
+      }
+      spark.stop()
+      return
+    }
     // 100M rows (~1.3 GB parquet): the first point where Spark's
     // ~0.15 s local job floor is small against per-row engine work on
     // BOTH sides, so the ≤2× bar is finally floor-free. BASELINE B2/B3

@@ -47,13 +47,34 @@ object Dedup {
   /** LSH banding: explode a signature into (band, bandHash) rows.
     * Docs sharing any band-hash collide → candidates. bands must
     * divide the signature length. */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val sig = col(sigCol)
-    val rows = (size(sig) / lit(bands)).cast("int")
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", transform(
-            slice(sig, b * rows + lit(1), rows), _.cast("string")))))))
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int,
+      numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    // Static per-band expressions: band b's hash is xxhash64 over its
+    // r signature components read by direct array index — all longs,
+    // fully codegen'd. The formulation this replaced built each band
+    // key as a STRING (slice → cast every component to decimal text →
+    // concat_ws → hash the string): at 10^8 docs × 16 bands that is
+    // 1.6×10^9 transient strings of ~90 chars before hashing even
+    // starts, and it measured as the dominant candidate-stage cost.
+    // Hash identity differs from the string formulation; collision
+    // structure (equal slices ⇒ equal hashes, 64-bit accidental rate)
+    // is the same, so candidate pairs are unchanged.
+    val r = numHashes / bands
+    // static indexing hashes nulls silently on a width mismatch (the
+    // dynamic slice of the old formulation degraded just as silently,
+    // by mis-slicing) — fail loudly instead
+    val checked = df.select(col(idCol),
+      when(size(col(sigCol)) === numHashes, col(sigCol))
+        .otherwise(raise_error(concat(
+          lit(s"lshBands: signature width != $numHashes (got "),
+          size(col(sigCol)).cast("string"), lit(")")))).as("_sig"))
+    val sig = col("_sig")
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((0 until r).map(i => sig(b * r + i)): _*)
+    }
+    checked.select(col(idCol), posexplode(array(bandHashes: _*)))
       .toDF(idCol, "band", "band_hash")
   }
 
@@ -90,7 +111,7 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
         "components would otherwise be silently dropped, weakening recall")
-    val banded = lshBands(withSig, idCol, "sig", bands)
+    val banded = lshBands(withSig, idCol, "sig", bands, numHashes)
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,
@@ -99,7 +120,23 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val sigs = withSig.select(col(idCol), col("sig"))
+    // The est-filter join needs signatures for CANDIDATE ids only, but
+    // joining the raw signature frame shuffles every document's
+    // signature array — at 10^8 docs × 64 hashes that is ~2× 50 GB of
+    // shuffle for a candidate universe that the LSH contract keeps
+    // orders of magnitude smaller. Semi-filter the signature frame by
+    // the broadcast candidate-id set first (same boundedness argument
+    // as the verify stage's candIds: ~16 B/id, and a candidate set
+    // near corpus size means the banding is misconfigured for the
+    // threshold). The pairs subtree appears under the broadcast build
+    // AND the main path; its distinct's exchange is reused, not
+    // recomputed.
+    val pairIds = broadcast(
+      pairs.select(col("id_a").as("_pid"))
+        .union(pairs.select(col("id_b").as("_pid"))).distinct())
+    val sigs = withSig
+      .join(pairIds, col(idCol) === col("_pid"), "left_semi")
+      .select(col(idCol), col("sig"))
     pairs
       .join(sigs.toDF("id_a", "sig_a"), "id_a")
       .join(sigs.toDF("id_b", "sig_b"), "id_b")
@@ -170,12 +207,59 @@ object Dedup {
         .union(cands.select(col("id_b").as("_cid"))).distinct())
     val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
       .select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+    verifyJoin(cands, docSh, threshold)
+  }
+
+  private def verifyJoin(cands: DataFrame, docSh: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")
       .join(docSh.toDF("id_b", "_sh_b"), "id_b")
       .withColumn("jaccard", setJaccard(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
+
+  /** Verified pairs plus the intermediates the caller must release —
+    * the [[connectedComponentsResult]] lifecycle pattern. */
+  case class NearDupPairs(pairs: DataFrame, candidateCount: Long,
+      private val cached: Seq[DataFrame]) {
+    def unpersist(): Unit = { cached.foreach(_.unpersist()); () }
+  }
+
+  /** [[nearDupPairsStaged]] with the two multiply-consumed stage
+    * outputs materialized instead of recomputed.
+    *
+    * The lazy formulation evaluates the candidate-generation subtree
+    * (band explode + self-join + distinct + two signature joins — the
+    * expensive shuffles of the whole pipeline) THREE times per action:
+    * once under each branch of the candidate-id union and once as the
+    * final join's left side; the shingled-docs subtree (corpus scan +
+    * semi-join + shingle kernel) twice. Fine for one-shot oracle
+    * queries at toy scale, a 2-3× wall-time multiplier on a 10^8-row
+    * corpus. Here the candidate pairs (small by the LSH contract) and
+    * the candidate shingle sets persist MEMORY_AND_DISK; candidates
+    * are materialized eagerly (the count doubles as the funnel
+    * metric), so every downstream consumer reads the cache.
+    *
+    * Callers own the lifecycle: `unpersist()` after the pairs frame
+    * is consumed. */
+  def nearDupPairsStagedCached(df: DataFrame, idCol: String, textCol: String,
+      sigs: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
+      bands: Int = 16, shingleSize: Int = 3): NearDupPairs = {
+    import org.apache.spark.storage.StorageLevel
+    val cands = candidatePairsFromSignatures(sigs, idCol, numHashes, bands,
+        minEstJaccard = threshold * 0.6)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager: guarantees the subtree runs once even though the first
+    // lazy consumer would be the two-branch union below
+    val nCands = cands.count()
+    val candIds = broadcast(
+      cands.select(col("id_a").as("_cid"))
+        .union(cands.select(col("id_b").as("_cid"))).distinct())
+    val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    NearDupPairs(verifyJoin(cands, docSh, threshold), nCands, Seq(cands, docSh))
   }
 
   /** EXACT n-gram Jaccard similarity join — the deterministic,

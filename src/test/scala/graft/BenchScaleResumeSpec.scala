@@ -39,6 +39,29 @@ class BenchScaleResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeSubsection replaces or appends one entry inside a tag") {
+    val report =
+      """{"bench":"scale","sf100":{"rows":10000000,""" +
+        """"pipeline":{"p1":{"p50":3.0}},"classes":{"agg":{"qps":4.0}}},""" +
+        """"sf1000":{"rows":100000000,"classes":{"agg":{"qps":2.0}}}}"""
+    withReport(report) { path =>
+      // replace an existing subsection — every other byte survives
+      BenchScale.mergeSubsection(path, "sf100", """"pipeline":{"p1":{"p50":1.5}}""")
+      val s1 = BenchScale.existingSections(path).toMap
+      assert(s1("sf100").contains(""""pipeline":{"p1":{"p50":1.5}}"""))
+      assert(s1("sf100").contains(""""classes":{"agg":{"qps":4.0}}"""))
+      assert(s1("sf1000") === """"sf1000":{"rows":100000000,"classes":{"agg":{"qps":2.0}}}""")
+      // append when the subsection is absent
+      BenchScale.mergeSubsection(path, "sf1000", """"pipeline":{"p4":{"p50":240.0}}""")
+      val s2 = BenchScale.existingSections(path).toMap
+      assert(s2("sf1000").endsWith(""""pipeline":{"p4":{"p50":240.0}}}"""))
+      // a missing target tag is a loud failure, not a silent new section
+      intercept[IllegalArgumentException] {
+        BenchScale.mergeSubsection(path, "sf42", """"pipeline":{}""")
+      }
+    }
+  }
+
   test("missing and malformed files degrade to no kept sections") {
     assert(BenchScale.existingSections("/nonexistent/bench.json").isEmpty)
     withReport("not json at all") { p =>

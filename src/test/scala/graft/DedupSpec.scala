@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("nearDupPairsStagedCached matches the lazy staged pipeline") {
+    val nearDup = base.replace("quick", "fast")
+    val other = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution plans"
+    val otherDup = other.replace("columnar", "column")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, otherDup))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 64)
+    val lazyPairs = Dedup.nearDupPairsStaged(df, "id", "text", sigs,
+        threshold = 0.5, numHashes = 64)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val cached = Dedup.nearDupPairsStagedCached(df, "id", "text", sigs,
+      threshold = 0.5, numHashes = 64)
+    try {
+      val cachedPairs = cached.pairs.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(cachedPairs === lazyPairs)
+      assert(lazyPairs.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+      // the eager candidate count equals the lazy candidate frame's
+      val lazyCands = Dedup.candidatePairsFromSignatures(sigs, "id",
+        numHashes = 64, minEstJaccard = 0.5 * 0.6).count()
+      assert(cached.candidateCount === lazyCands)
+    } finally cached.unpersist()
+  }
+
   test("minhash estimated jaccard approximates exact jaccard") {
     val nearDup = base.replace("quick", "fast")
     val df = Seq((1L, base), (2L, nearDup)).toDF("id", "text")
