@@ -332,7 +332,42 @@ object BenchScale {
     // sorted column) is the control showing the lever is the layout,
     // not the rewrite. Secondary FlightNum range key keeps ~64 files
     // so the pruned scan still parallelizes.
-    val sortedSection = {
+    val sortedSection = runSorted(spark, dir, table, loader, reps)
+    val dictSection = runDict(spark, dir, table, loader, reps)
+    val nativeSection = runNative(spark, dir, table, loader, reps)
+
+    // LLM-pipeline operators at scale (exact dedup, MinHash near-dup
+    // with a planted-pair recall oracle, knn-join + IVF, text stats):
+    // the floor-free numbers for the project's differentiator class.
+    val pipelineSection = runPipeline(spark, dir, rows, math.min(reps, 3))
+
+    // approx error vs exact (B4's error-bound column)
+    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    val hllEst = num(Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h1_hll").get._3), loader)
+      .head().get(0))
+    val hllExact = num(table.agg(countDistinct(col("FlightNum"))).head().get(0))
+    val pRow = Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h2_pctest").get._3), loader).head()
+    val (p50Est, p95Est) = (num(pRow.get(0)), num(pRow.get(1)))
+    // exact side via percentile(): value-histogram based, so cheap on
+    // this ~400-distinct-value int column even at 100M rows (where
+    // approxQuantile with relativeError=0 degenerates to O(n) state)
+    val ex = table.select(expr("percentile(ArrDelay, array(0.5, 0.95))"))
+      .head().getSeq[Double](0)
+    val apxErr =
+      s""""apx_err":{"hll_rel":${r3(math.abs(hllEst - hllExact) / hllExact)},""" +
+        s""""p50est_abs":${r3(math.abs(p50Est - ex(0)))},"p95est_abs":${r3(math.abs(p95Est - ex(1)))}}"""
+
+    s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
+      s""""queries":{${results.map(_.json).mkString(",")}},""" +
+      s""""classes":{${classes.mkString(",")}},$st,$routedSection,$sortedSection,""" +
+      s"""$dictSection,$nativeSection,$pipelineSection,$apxErr}"""
+  }
+
+  /** The sorted-segment layout section (`"sorted":{...}`), extractable
+    * for a `layout:` sub-section re-run. */
+  private def runSorted(spark: SparkSession, dir: String, table: DataFrame,
+      loader: String => DataFrame, reps: Int): String = {
+    {
       val sPath = s"$dir/ontime_sorted.parquet"
       val marker = new java.io.File(s"$dir/_SORTED_DONE")
       if (!marker.exists()) {
@@ -391,7 +426,12 @@ object BenchScale {
       }
       s""""sorted":{${(rs ++ ordRs).map(_.json).mkString(",")}}"""
     }
+  }
 
+  /** The dictionary-layout section (`"dict":{...}`), extractable for a
+    * `layout:` sub-section re-run. */
+  private def runDict(spark: SparkSession, dir: String, table: DataFrame,
+      loader: String => DataFrame, reps: Int): String = {
     // Dictionary-encoded dimension layout (graft.plans.DictLayout —
     // the reference's DEFAULT storage for every dim column: dict-id
     // forward index + sorted dictionary): the same PQL texts route
@@ -401,7 +441,7 @@ object BenchScale {
     // them (the tree answers a4/a5 above; the dictionary answers ANY
     // ad-hoc dim group-by at fact-scan cost minus the string
     // constant).
-    val dictSection = {
+    {
       import graft.plans.{DictLayout, DictRegistry}
       val dPath = s"$dir/ontime_dict.parquet"
       val marker = new java.io.File(s"$dir/_DICT_DONE")
@@ -416,8 +456,17 @@ object BenchScale {
           i
         }
       exec(idx.encoded) // warm the copy's page cache like the main table
-      val names = Seq("a2_agg_1pred", "a3_agg_2pred", "a4_groupby_1dim",
+      // aggregates route via the Aggregate rewrite; the ordered
+      // selections (s1/s2/s3) via the Sort rewrite — id-space filter +
+      // sort, values decoded by TakeOrderedAndProject AFTER the top-K
+      // heap, i.e. for LIMIT rows only (the reference's selection
+      // result assembly: docs picked by id, values from the dictionary)
+      val aggNames = Seq("a2_agg_1pred", "a3_agg_2pred", "a4_groupby_1dim",
         "a5_groupby_2dim", "a6_groupby_3dim")
+      val selNames = Seq("s1_filter_topn", "s2_page", "s3_point_topn")
+      val selKey = Map("s1_filter_topn" -> "ArrDelay",
+        "s2_page" -> "DaysSinceEpoch", "s3_point_topn" -> "DepDelay")
+      val names = aggNames ++ selNames
       // scan-plan answers collected BEFORE registration
       val expected = names.map { name =>
         val pql = workload.find(_._1 == name).get._3
@@ -432,14 +481,30 @@ object BenchScale {
           val plan = df.queryExecution.executedPlan.toString
           require(!plan.contains("ontime.parquet") && plan.contains("ontime_dict"),
             s"$name did not route to the dictionary layout:\n$plan")
-          verifyRoutedRows(name, df.collect(), expected(name))
+          if (selNames.contains(name)) {
+            // selections: the primary ORDER BY column sequence is the
+            // page contract (tie rows may swap within equal keys, so
+            // full-row equality would spuriously fail at the boundary)
+            val keyCol = selKey(name)
+            val got = df.select(col(keyCol)).collect().map(_.get(0)).toSeq
+            val exp = expected(name).map(r =>
+              r.get(r.schema.fieldIndex(keyCol))).toSeq
+            require(got == exp,
+              s"$name routed page diverged from the raw plan on $keyCol")
+          } else verifyRoutedRows(name, df.collect(), expected(name))
           System.gc()
-          QueryResult(name, "agg", sample(reps)(exec(df)))
+          QueryResult(name, if (selNames.contains(name)) "sel" else "agg",
+            sample(reps)(exec(df)))
         }
         s""""dict":{${rs.map(_.json).mkString(",")}}"""
       } finally DictRegistry.unregister(factPath)
     }
+  }
 
+  /** The native-layout section (`"native":{...}`), extractable for a
+    * `layout:` sub-section re-run. */
+  private def runNative(spark: SparkSession, dir: String, table: DataFrame,
+      loader: String => DataFrame, reps: Int): String = {
     // NATIVE-LAYOUT run: BASELINE's reference harness measures the
     // engine "against unpacked offline segments"
     // (BenchmarkQueryEngine.java:53-60) — i.e. Pinot's OWN storage:
@@ -458,7 +523,7 @@ object BenchScale {
     // answerable from head files). The DuckDB twin reads the same
     // time-sorted parquet files, so both engines see identical bytes —
     // the sidecar index artifacts are the engine capability under test.
-    val nativeSection = {
+    {
       import graft.plans.{DictLayout, DictRegistry, StarTreeRegistry}
       val nativePath = s"$dir/ontime_sorted_dse.parquet" // built by sortedSection
       val native = spark.read.parquet(nativePath)
@@ -494,20 +559,23 @@ object BenchScale {
       DictRegistry.register(nativePath, dictIdx)
       try {
         // which structure must answer each query, asserted on the plan:
-        // trees take a2-a5 + h1, the dictionary takes a6, the sorted
-        // layout's ordered read takes s2; a1 answers from footers;
-        // s1/s3/h2 are honest scans of the native copy.
+        // trees take a2-a5 + h1, the dictionary takes a6 (Aggregate
+        // rewrite) and s1/s3 (Sort rewrite: id-space filter + top-K,
+        // decode after LIMIT), the sorted layout's ordered read takes
+        // s2; a1 answers from footers; h2 is an honest scan of the
+        // native copy.
         val treeRouted = Set("a2_agg_1pred", "a3_agg_2pred",
           "a4_groupby_1dim", "a5_groupby_2dim", "h1_hll")
+        val dictRouted = Set("a6_groupby_3dim", "s1_filter_topn", "s3_point_topn")
         val rs = workload.map { case (name, cls, pql, _) =>
           val df = Pql.toDataFrame(Pql.parse(pql), nLoader)
           val plan = df.queryExecution.executedPlan.toString
           if (treeRouted(name))
             require(!plan.contains("ontime_sorted_dse"),
               s"$name did not route off the fact scan:\n$plan")
-          if (name == "a6_groupby_3dim")
+          if (dictRouted(name))
             require(plan.contains("ontime_native_dict"),
-              s"a6 did not route to the dictionary layout:\n$plan")
+              s"$name did not route to the dictionary layout:\n$plan")
           if (name == "s2_page")
             require(df.inputFiles.length < native.inputFiles.length,
               s"s2 ordered read did not prune " +
@@ -549,32 +617,6 @@ object BenchScale {
         DictRegistry.unregister(nativePath)
       }
     }
-
-    // LLM-pipeline operators at scale (exact dedup, MinHash near-dup
-    // with a planted-pair recall oracle, knn-join + IVF, text stats):
-    // the floor-free numbers for the project's differentiator class.
-    val pipelineSection = runPipeline(spark, dir, rows, math.min(reps, 3))
-
-    // approx error vs exact (B4's error-bound column)
-    def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
-    val hllEst = num(Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h1_hll").get._3), loader)
-      .head().get(0))
-    val hllExact = num(table.agg(countDistinct(col("FlightNum"))).head().get(0))
-    val pRow = Pql.toDataFrame(Pql.parse(workload.find(_._1 == "h2_pctest").get._3), loader).head()
-    val (p50Est, p95Est) = (num(pRow.get(0)), num(pRow.get(1)))
-    // exact side via percentile(): value-histogram based, so cheap on
-    // this ~400-distinct-value int column even at 100M rows (where
-    // approxQuantile with relativeError=0 degenerates to O(n) state)
-    val ex = table.select(expr("percentile(ArrDelay, array(0.5, 0.95))"))
-      .head().getSeq[Double](0)
-    val apxErr =
-      s""""apx_err":{"hll_rel":${r3(math.abs(hllEst - hllExact) / hllExact)},""" +
-        s""""p50est_abs":${r3(math.abs(p50Est - ex(0)))},"p95est_abs":${r3(math.abs(p95Est - ex(1)))}}"""
-
-    s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +
-      s""""queries":{${results.map(_.json).mkString(",")}},""" +
-      s""""classes":{${classes.mkString(",")}},$st,$routedSection,$sortedSection,""" +
-      s"""$dictSection,$nativeSection,$pipelineSection,$apxErr}"""
   }
 
   /** The pipeline-operator bench: documents and embeddings at the SAME
@@ -994,6 +1036,29 @@ object BenchScale {
         val sec = runPipeline(spark, s"$dataRoot/scale_$tag", rows, reps = 3)
         mergeSubsection(outFile, tag, sec)
         println(s"[scale] $tag pipeline merged")
+      }
+      spark.stop()
+      return
+    }
+    // "layout:sf100,sf1000" re-measures ONLY the layout subsections
+    // (sorted ordered-read, dictionary routing, native-format run) and
+    // splices them into the existing artifact — a routing-rule change
+    // should not cost a full ladder re-run to record honestly
+    if (args.length > 1 && args(1).startsWith("layout:")) {
+      val rowsByTag = Map("sf1" -> 100000L, "sf100" -> 10000000L,
+        "sf1000" -> 100000000L)
+      args(1).stripPrefix("layout:").split(",").map(_.trim).foreach { tag =>
+        val rows = rowsByTag.getOrElse(tag,
+          throw new IllegalArgumentException(s"unknown layout tag $tag"))
+        val dir = s"$dataRoot/scale_$tag"
+        ScaleTable.ensure(spark, dir, rows)
+        val table = spark.read.parquet(s"$dir/ontime.parquet")
+        val loader: String => DataFrame = _ => table
+        exec(table) // warm like a full ladder run
+        mergeSubsection(outFile, tag, runSorted(spark, dir, table, loader, reps = 5))
+        mergeSubsection(outFile, tag, runDict(spark, dir, table, loader, reps = 5))
+        mergeSubsection(outFile, tag, runNative(spark, dir, table, loader, reps = 5))
+        println(s"[scale] $tag layout sections merged")
       }
       spark.stop()
       return

@@ -3,8 +3,8 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.col
@@ -186,6 +186,18 @@ object DictRegistry {
     if (trimmed.isEmpty) "/" else trimmed
   }
 
+  /** EXACT normalized-path match only — the selection rewrite's
+    * lookup. Selection plans over a file SUBSET of a registered table
+    * (the sorted-layout ordered read prunes to head/tail files) must
+    * NOT route back onto the full encoded copy: the subset read is the
+    * faster plan and the prefix rule would hijack it. An aggregate has
+    * no such pruned-subset producer, so [[lookup]] keeps the prefix
+    * contract there. */
+  def lookupExact(rootPath: String): Option[DictLayout.Index] = {
+    val root = normalize(rootPath)
+    entries.collectFirst { case (pfx, idx) if normalize(pfx) == root => idx }
+  }
+
   /** Longest normalized prefix match at a path-segment boundary (the
     * [[StarTreeRegistry.lookup]] contract). */
   def lookup(rootPath: String): Option[DictLayout.Index] = {
@@ -197,11 +209,25 @@ object DictRegistry {
   }
 }
 
-/** The query-side rewrite: any `Aggregate` (grouped or global) over a
+/** The query-side rewrite: an `Aggregate` (grouped or global) or an
+  * ordered SELECTION (`Sort`, typically under LIMIT/OFFSET) over a
   * registered raw table routes onto the dictionary-encoded copy. Runs
   * AFTER [[StarTreeRoutingRule]] in the injected rule order, so a
   * star-tree answer (full pre-aggregation) wins over a dictionary
-  * answer (encoded scan) when both are registered. */
+  * answer (encoded scan) when both are registered.
+  *
+  * The selection rewrite is the reference's forward-index read path
+  * for selection queries (`core/operator/query/SelectionOrderByOperator.java`
+  * heap-selects doc ids; `core/query/selection/SelectionOperatorService.java`
+  * / `SelectionOperatorUtils.java` assemble result rows — dictionary
+  * lookups — only for the rows that survived): the scan and filter
+  * run entirely in id space, the sort keys
+  * on dict columns compare ids (sorted dictionary ⇒ id order ≡ value
+  * order, null ids iff null values), and values materialize in a
+  * `Project` placed directly above the rewritten `Sort` — exactly
+  * where `TakeOrderedAndProjectExec` applies its projection, i.e.
+  * AFTER the top-K heap discarded all but LIMIT rows. A 100M-row page
+  * query decodes `size` strings, not 100M. */
 case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def peel(plan: LogicalPlan, cond: Option[Expression])
@@ -216,43 +242,72 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Selection peel: like [[peel]] but ALSO tracks the subtree's
+    * output attributes (the innermost relation's, overridden by each
+    * enclosing Project), and requires the relation to match a
+    * registered path EXACTLY — a pruned file-subset read (the sorted
+    * layout's ordered page) must keep its pruning. */
+  private def peelSel(plan: LogicalPlan)
+      : Option[(Seq[AttributeReference], Option[Expression], DictLayout.Index)] =
+    plan match {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths match {
+          case Seq(single) => DictRegistry.lookupExact(single.toString)
+            .map(idx => (lr.output.map(_.asInstanceOf[AttributeReference]), None, idx))
+          case _ => None
+        }
+      case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        peelSel(child).map { case (_, cond, idx) =>
+          (projs.map(_.asInstanceOf[AttributeReference]), cond, idx)
+        }
+      case Filter(c, child) =>
+        peelSel(child).flatMap {
+          case (out, None, idx) => Some((out, Some(c), idx))
+          case _ => None
+        }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (DictRegistry.isEmpty) return plan
-    plan.transformUp {
+    var rewrote = false
+    val routed = plan.transformDown {
       case agg @ Aggregate(groupings, aggExprs, child, _)
           if groupings.forall(_.isInstanceOf[AttributeReference]) =>
         peel(child, None).flatMap { case (cond, idx) =>
           rewrite(agg, groupings.map(_.asInstanceOf[AttributeReference]),
             aggExprs, cond, idx)
-        }.getOrElse(agg)
+        }.map { r => rewrote = true; r }.getOrElse(agg)
+      case sort @ Sort(_, true, child, _) =>
+        peelSel(child).flatMap { case (outAttrs, cond, idx) =>
+          rewriteSelection(sort, outAttrs, cond, idx)
+        }.map { r => rewrote = true; r }.getOrElse(sort)
     }
+    // The selection rewrite's restore Project lands directly above the
+    // rewritten Sort; when the query carried its OWN Project there
+    // (computed output columns), the stack is now two Projects deep
+    // and the planner's Limit(Project(Sort)) pattern no longer fuses
+    // into TakeOrderedAndProject — Spark's CollapseProject already ran
+    // in the main batches, so re-apply it to the routed plan.
+    if (rewrote)
+      org.apache.spark.sql.catalyst.optimizer.CollapseProject(routed)
+    else plan
   }
 
-  private def rewrite(agg: Aggregate, groupAttrs: Seq[AttributeReference],
-      aggExprs: Seq[NamedExpression], cond: Option[Expression],
-      idx: DictLayout.Index): Option[LogicalPlan] = {
-    val encodedPlan = idx.encoded.queryExecution.analyzed
-    val byName = encodedPlan.output.map(a => a.name -> a).toMap
-    def codeAttr(c: String) = byName.get(c + "__did")
-    def isDict(c: String) = idx.dicts.contains(c)
+  /** The id-space translation helpers shared by the aggregate and
+    * selection rewrites, bound to one encoded copy's analyzed plan. */
+  private final class Translator(val idx: DictLayout.Index) {
+    val encodedPlan: LogicalPlan = idx.encoded.queryExecution.analyzed
+    val byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
+      encodedPlan.output.map(a => a.name -> a).toMap
+    def codeAttr(c: String): Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      byName.get(c + "__did")
+    def isDict(c: String): Boolean = idx.dicts.contains(c)
 
-    // every column the aggregate touches must exist in the encoded
-    // copy (schema drift between raw and encoded → no route)
-    val referenced = (aggExprs ++ groupAttrs ++ cond.toSeq)
-      .flatMap(_.references.toSeq).map(_.name).distinct
-    if (!referenced.forall(n =>
-        if (isDict(n)) codeAttr(n).isDefined else byName.contains(n)))
-      return None
-
-    // EXPLICIT column pruning: this rule runs in the user-provided
-    // optimizer batch, AFTER Spark's ColumnPruning pass — a bare
-    // spliced-in relation would scan every column of the encoded copy
-    // (measured 0.4 → 1.1 s on a one-column group-by at 100M rows).
-    // Projecting exactly the referenced encoded columns restores the
-    // pruned scan; FileSourceStrategy then reads only these.
-    val neededNames = referenced.map(n => if (isDict(n)) n + "__did" else n).toSet
-    val prunedScan = Project(encodedPlan.output.filter(a => neededNames.contains(a.name)),
-      encodedPlan)
+    /** Every raw column name must exist in the encoded copy (schema
+      * drift between raw and encoded → no route). */
+    def covers(names: Seq[String]): Boolean = names.forall(n =>
+      if (isDict(n)) codeAttr(n).isDefined else byName.contains(n))
 
     /** Decode fallback: correct for ANY use of a dict column. */
     def remapAttr(ar: AttributeReference): Expression =
@@ -262,6 +317,9 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def remap(e: Expression): Expression = e.transformDown {
       case ar: AttributeReference => remapAttr(ar)
     }
+
+    def idEq(c: String, v: UTF8String): Expression =
+      EqualTo(codeAttr(c).get, Literal(idx.idOf(c, v).getOrElse(-1)))
 
     /** Predicate translation to id space: EQ/IN/range/null on a dict
       * column compare the int id (sorted dictionary → value range ≡ id
@@ -302,26 +360,83 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ar: AttributeReference => remapAttr(ar)
     }
 
-    def idEq(c: String, v: UTF8String): Expression =
-      EqualTo(codeAttr(c).get,
-        Literal(idx.idOf(c, v).getOrElse(-1)))
+    /** EXPLICIT column pruning: this rule runs in the user-provided
+      * optimizer batch, AFTER Spark's ColumnPruning pass — a bare
+      * spliced-in relation would scan every column of the encoded copy
+      * (measured 0.4 → 1.1 s on a one-column group-by at 100M rows).
+      * Projecting exactly the needed encoded columns restores the
+      * pruned scan; FileSourceStrategy then reads only these. */
+    def prunedScan(neededEncodedNames: Set[String]): LogicalPlan =
+      Project(encodedPlan.output.filter(a => neededEncodedNames.contains(a.name)),
+        encodedPlan)
+  }
+
+  private def rewrite(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], cond: Option[Expression],
+      idx: DictLayout.Index): Option[LogicalPlan] = {
+    val t = new Translator(idx)
+    val referenced = (aggExprs ++ groupAttrs ++ cond.toSeq)
+      .flatMap(_.references.toSeq).map(_.name).distinct
+    if (!t.covers(referenced)) return None
+
+    val neededNames = referenced.map(n => if (t.isDict(n)) n + "__did" else n).toSet
+    val prunedScan = t.prunedScan(neededNames)
 
     val newGroupings: Seq[Expression] = groupAttrs.map { ar =>
-      if (isDict(ar.name)) codeAttr(ar.name).get else byName(ar.name)
+      if (t.isDict(ar.name)) t.codeAttr(ar.name).get else t.byName(ar.name)
     }
     val groupIds = groupAttrs.map(_.exprId).toSet
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       case ar: AttributeReference if groupIds.contains(ar.exprId) =>
-        Alias(remapAttr(ar), ar.name)(exprId = ar.exprId)
+        Alias(t.remapAttr(ar), ar.name)(exprId = ar.exprId)
       case al @ Alias(body, name) =>
-        Alias(remap(body), name)(exprId = al.exprId)
+        Alias(t.remap(body), name)(exprId = al.exprId)
       case other => return None
     }
     val newChild = cond match {
-      case Some(c) => Filter(xlate(c), prunedScan)
+      case Some(c) => Filter(t.xlate(c), prunedScan)
       case None => prunedScan
     }
     Some(agg.copy(groupingExpressions = newGroupings,
       aggregateExpressions = newAggExprs, child = newChild))
+  }
+
+  /** Ordered-selection rewrite: `Sort` (global) over
+    * [Project][Filter]Relation becomes
+    * `Project(decode-restore, Sort(id-keys, Filter(id-pred, pruned
+    * encoded scan)))`. The restore Project aliases every original
+    * output attribute (original exprIds, so enclosing LIMIT/OFFSET
+    * nodes are untouched); dict columns decode via the O(1) array
+    * lookup, and because `Limit(Project(Sort))` is exactly the
+    * `TakeOrderedAndProjectExec` pattern, that decode runs on the
+    * LIMIT rows only. */
+  private def rewriteSelection(sort: Sort, outAttrs: Seq[AttributeReference],
+      cond: Option[Expression], idx: DictLayout.Index): Option[LogicalPlan] = {
+    val t = new Translator(idx)
+    val referenced = (outAttrs ++ cond.toSeq.flatMap(_.references.toSeq) ++
+      sort.order.flatMap(_.references.toSeq)).map(_.name).distinct
+    if (!t.covers(referenced)) return None
+
+    val newOrder = sort.order.map { so =>
+      val mapped = so.child match {
+        case ar: AttributeReference if t.isDict(ar.name) => t.codeAttr(ar.name).get
+        case ar: AttributeReference => t.byName(ar.name)
+        case other => t.remap(other)
+      }
+      SortOrder(mapped, so.direction, so.nullOrdering, Seq.empty)
+    }
+    val xlated = cond.map(t.xlate)
+    val restore: Seq[NamedExpression] = outAttrs.map { a =>
+      val body =
+        if (t.isDict(a.name)) exprs.DictDecode(t.codeAttr(a.name).get, idx.dicts(a.name))
+        else t.byName(a.name)
+      Alias(body, a.name)(exprId = a.exprId)
+    }
+    val needed = (newOrder.flatMap(_.references.toSeq) ++
+      xlated.toSeq.flatMap(_.references.toSeq) ++
+      restore.flatMap(_.references.toSeq)).map(_.name).toSet
+    val scan = t.prunedScan(needed)
+    val filtered = xlated.map(Filter(_, scan)).getOrElse(scan)
+    Some(Project(restore, Sort(newOrder, global = true, filtered)))
   }
 }

@@ -494,6 +494,44 @@ object CoreQueries {
     } finally DictRegistry.unregister(factPath)
   }
 
+  /** Dictionary-routed ORDERED SELECTION (the reference's selection
+    * result assembly: `SelectionOperatorUtils` picks doc ids by
+    * filter + order, values materialize from the dictionary at
+    * response time): filter translates to id space, the top-K runs
+    * over the encoded copy, and dict values decode AFTER the LIMIT —
+    * asserted as a TakeOrderedAndProject over the encoded scan. The
+    * unique `o_orderkey` tiebreak makes the page deterministic, so the
+    * oracle comparison is exact. */
+  def qDictPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.DictRegistry
+    graft.Graft.enable(s)
+    val fact = t(s, dir, "orders")
+    val factPath = s"$dir/orders.parquet"
+    val idx = dictCache.getOrElseUpdate(s, s"dict|$dir") {
+      val encDir = s"${System.getProperty("java.io.tmpdir")}/graft_dict_ord_" +
+        TmpTag(dir)
+      graft.plans.DictLayout.build(s, fact, factPath, encDir,
+        Seq("o_orderstatus", "o_orderpriority"))
+    }
+    DictRegistry.register(factPath, idx)
+    try {
+      val df = fact
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(20)
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice", 3).as("price"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("orders.parquet"),
+        "dictionary selection routing must replace the raw scan")
+      require(plan.contains("TakeOrderedAndProject"),
+        s"routed selection must fuse into TakeOrderedAndProject:\n$plan")
+      df
+    } finally DictRegistry.unregister(factPath)
+  }
+
   private val bucketReady = new SessionCache[(String, String)]
 
   /** Write-once bucketed twins of (lineitem, orders) hashed on the
@@ -732,6 +770,7 @@ object CoreQueries {
     "q_thrift_ingest" -> qThriftIngest,
     "q_startree" -> qStartree,
     "q_dict_group" -> qDictGroup,
+    "q_dict_page" -> qDictPage,
     "q_startree_filtered" -> qStartreeFiltered,
     "q_null_predicates" -> qNullPredicates,
     "q_empty_agg" -> qEmptyAgg,
@@ -868,6 +907,10 @@ object CoreQueries {
         |  max(o_orderstatus) AS max_status
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_dict_page" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 3) AS price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q_null_predicates" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN c_name IS NULL THEN 1 END) AS null_cnt,

@@ -120,6 +120,76 @@ class DictLayoutSpec extends SparkSpec {
     }
   }
 
+  test("ordered selection routes: filter + sort + limit (late decode)") {
+    // total order via unique tiebreak so raw and routed pick identical
+    // rows at the limit boundary
+    compare {
+      fact.filter($"l_returnflag" === "A")
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+          $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_quantity".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(25)
+    }
+    withDict {
+      val df = fact.filter($"l_returnflag" === "A")
+        .select($"l_linestatus", $"l_quantity", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_quantity".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(25)
+      val plan = df.queryExecution.executedPlan.toString
+      // the top-K operator fuses the decode projection → dictionary
+      // values materialize for the LIMIT rows only
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"selection did not fuse into TakeOrderedAndProject:\n$plan")
+      assert(plan.contains("__did"),
+        s"selection does not run in id space:\n$plan")
+    }
+  }
+
+  test("ordered selection routes: offset page") {
+    compare {
+      fact.select($"l_orderkey", $"l_linenumber", $"l_returnflag")
+        .orderBy($"l_orderkey".asc, $"l_linenumber".asc)
+        .offset(100).limit(20)
+    }
+  }
+
+  test("ORDER BY a dict column sorts by id with identical order") {
+    compare {
+      fact.select($"l_returnflag", $"l_linestatus", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_returnflag".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(30)
+    }
+    compare {
+      fact.select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_returnflag".desc, $"l_orderkey".desc, $"l_linenumber".desc)
+        .limit(30)
+    }
+  }
+
+  test("unlimited sort still routes and matches row-for-row") {
+    val build = () => fact.filter($"l_linestatus" === "F" && $"l_quantity" > 49)
+      .select($"l_returnflag", $"l_orderkey")
+      .orderBy($"l_orderkey".asc, $"l_returnflag".asc)
+    val raw = build().collect().map(_.toSeq).toSeq
+    withDict {
+      val routed = build()
+      assertRouted(routed)
+      assert(routed.collect().map(_.toSeq).toSeq === raw)
+    }
+  }
+
+  test("lookupExact refuses file-subset paths that prefix-lookup accepts") {
+    idx // force the build
+    DictRegistry.register(factPath, idx)
+    try {
+      val sub = s"$factPath/part-00000.parquet"
+      assert(DictRegistry.lookup(sub).isDefined)
+      assert(DictRegistry.lookupExact(sub).isEmpty,
+        "a pruned file-subset read must not route onto the full encoded copy")
+      assert(DictRegistry.lookupExact(factPath).isDefined)
+    } finally DictRegistry.unregister(factPath)
+  }
+
   test("unregistered tables and non-attribute groupings are untouched") {
     // no registration at all → raw scan
     val plain = fact.groupBy($"l_returnflag").agg(count(lit(1)))
