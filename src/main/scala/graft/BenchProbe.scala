@@ -238,6 +238,45 @@ object BenchProbe {
       // rebuilt only when absent and sits beside the scale data
     }
 
+    if (which == "knnpacked") {
+      // array<float> vs packed-binary knn at the sf100 point (10M × 64
+      // dims, the p5 shape): same 16 queries, k=10, answers asserted
+      // set-equal; the packed copy is the fixed-width raw-forward-
+      // index layout an embedding store would persist
+      import graft.operators.Similarity
+      val kDir = s"${BenchScale.dataRoot}/scale_sf100"
+      val emb = spark.read.parquet(s"$kDir/emb_cells.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val packedPath = s"$kDir/emb_packed_probe.parquet"
+      if (!new java.io.File(packedPath).exists()) {
+        emb.select(col("vec_id"),
+            graft.functions.GraftFunctions.packFloats(col("embedding")).as("embedding"))
+          .write.mode("overwrite").parquet(packedPath)
+      }
+      val packed = spark.read.parquet(packedPath)
+      val qA = emb.filter(col("vec_id") < 16).cache(); qA.count()
+      val qP = packed.filter(col("vec_id") < 16).cache(); qP.count()
+      val arrSet = Similarity.knnJoin(qA, "vec_id", emb, "vec_id", "embedding", 10,
+        excludeSelf = true).select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pkSet = Similarity.knnJoin(qP, "vec_id", packed, "vec_id", "embedding", 10,
+        excludeSelf = true).select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(arrSet == pkSet, "packed knn answers diverged from array knn")
+      def timeIt(name: String, reps: Int)(f: => Unit): Unit = {
+        val ts = (1 to reps).map { _ => System.gc(); time(f) }
+        println(f"[probe] $name%-40s p50=${p50(ts)}%.3f reps=${ts.map(x => f"$x%.3f").mkString(",")}")
+      }
+      timeIt("p5 knn array<float>", 3) {
+        Similarity.knnJoin(qA, "vec_id", emb, "vec_id", "embedding", 10,
+          excludeSelf = true).count(); ()
+      }
+      timeIt("p5 knn packed binary", 3) {
+        Similarity.knnJoin(qP, "vec_id", packed, "vec_id", "embedding", 10,
+          excludeSelf = true).count(); ()
+      }
+    }
+
     if (which == "all" || which == "page") {
       val s2 = () => t.select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
         .orderBy(col("DaysSinceEpoch"), col("FlightNum"))

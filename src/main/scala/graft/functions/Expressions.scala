@@ -132,6 +132,81 @@ object exprs {
     override def prettyName: String = "l2_distance"
   }
 
+  /** Cosine similarity of two PACKED float32-LE binary vectors
+    * (the fixed-width raw-forward-index layout — no per-element
+    * ArrayData accessor on the hot path). */
+  case class CosineSimPacked(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.cosinePacked(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.cosinePacked($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimPacked =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim_packed"
+  }
+
+  /** Dot product of two packed float32-LE binary vectors. */
+  case class DotProductPacked(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.dotPacked(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.dotPacked($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductPacked =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product_packed"
+  }
+
+  /** Euclidean distance of two packed float32-LE binary vectors
+    * (single-pass stable sum((a_i-b_i)^2) kernel). */
+  case class L2DistancePacked(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.l2Packed(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.l2Packed($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistancePacked =
+      copy(left = l, right = r)
+    override def prettyName: String = "l2_distance_packed"
+  }
+
+  /** array<float|double> → packed float32-LE binary (narrowing from
+    * double, as a float32 embedding store would). */
+  case class PackFloats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(VecArray)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.packFloats(v.asInstanceOf[ArrayData], isF(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.packFloats($c, ${isF(child)})")
+    override protected def withNewChildInternal(newChild: Expression): PackFloats =
+      copy(child = newChild)
+    override def prettyName: String = "pack_floats"
+  }
+
+  /** Packed float32-LE binary → array<float> ([[PackFloats]] inverse;
+    * bit-exact round trip for float inputs). */
+  case class UnpackFloats(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.unpackFloats(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.unpackFloats($c)")
+    override protected def withNewChildInternal(newChild: Expression): UnpackFloats =
+      copy(child = newChild)
+    override def prettyName: String = "unpack_floats"
+  }
+
   /** Random-hyperplane LSH bucket of an array<double> column → bigint
     * with the low `numPlanes` bits populated. */
   case class LshBucket(child: Expression, numPlanes: Int)
@@ -588,6 +663,21 @@ object GraftFunctions {
 
   def l2Distance(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.L2Distance(expr(a), expr(b)))
+
+  def cosinePacked(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.CosineSimPacked(expr(a), expr(b)))
+
+  def dotPacked(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.DotProductPacked(expr(a), expr(b)))
+
+  def l2DistancePacked(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.L2DistancePacked(expr(a), expr(b)))
+
+  def packFloats(v: Column): Column =
+    GraftSqlBridge.column(exprs.PackFloats(expr(v)))
+
+  def unpackFloats(v: Column): Column =
+    GraftSqlBridge.column(exprs.UnpackFloats(expr(v)))
 
   def lshBucket(vec: Column, numPlanes: Int): Column =
     GraftSqlBridge.column(exprs.LshBucket(expr(vec), numPlanes))

@@ -896,6 +896,131 @@ object HashOps {
   def l2Distance(a: ArrayData, b: ArrayData): Double =
     l2DistanceAny(a, b, af = false, bf = false)
 
+  // ---- packed float32 vectors (fixed-width binary layout) -------------
+  //
+  // The reference stores fixed-width values as raw forward indexes
+  // (`segment/index/readers/forward/FixedByteChunkSVForwardIndexReader`
+  // family) rather than per-element object containers. The packed
+  // layout here is the same idea for embedding columns: one BINARY
+  // cell = dim × 4 bytes, float32 little-endian, no per-element
+  // ArrayData accessor on the kernel hot path — the inner loop reads
+  // ints from a byte[] and widens, which the JIT vectorizes. Values
+  // are float32 by definition (pack from array<double> narrows, as a
+  // float32 embedding store would).
+
+  @inline private def floatLE(a: Array[Byte], off: Int): Double =
+    java.lang.Float.intBitsToFloat(
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+        ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)).toDouble
+
+  @inline private def checkPacked(a: Array[Byte], b: Array[Byte], op: String): Int = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"$op: packed vector byte lengths differ (${a.length} vs ${b.length})")
+    if ((a.length & 3) != 0)
+      throw new IllegalArgumentException(
+        s"$op: packed vector length ${a.length} is not a multiple of 4")
+    a.length >> 2
+  }
+
+  def cosinePacked(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = checkPacked(a, b, "cosine_sim_packed")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = floatLE(a, i << 2)
+      val y = floatLE(b, i << 2)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  def dotPacked(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = checkPacked(a, b, "dot_product_packed")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += floatLE(a, i << 2) * floatLE(b, i << 2)
+      i += 1
+    }
+    dot
+  }
+
+  def l2Packed(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = checkPacked(a, b, "l2_distance_packed")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = floatLE(a, i << 2) - floatLE(b, i << 2)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** array<float|double> → packed float32-LE binary. Null elements are
+    * rejected loudly — a silent 0.0 would corrupt similarity math. */
+  def packFloats(v: ArrayData, f: Boolean): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n << 2)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pack_floats: null element at index $i")
+      val bits = java.lang.Float.floatToIntBits(
+        if (f) v.getFloat(i) else v.getDouble(i).toFloat)
+      val off = i << 2
+      out(off) = bits.toByte
+      out(off + 1) = (bits >> 8).toByte
+      out(off + 2) = (bits >> 16).toByte
+      out(off + 3) = (bits >> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Packed float32-LE binary → array<float> (the [[packFloats]]
+    * inverse; bit-exact round trip for float inputs). */
+  def unpackFloats(a: Array[Byte]): ArrayData = {
+    if ((a.length & 3) != 0)
+      throw new IllegalArgumentException(
+        s"unpack_floats: length ${a.length} is not a multiple of 4")
+    val n = a.length >> 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val off = i << 2
+      out(i) = java.lang.Float.intBitsToFloat(
+        (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+          ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Driver-side helper: pack a query vector for use as a literal. */
+  def packFloatSeq(v: Seq[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length << 2)
+    var i = 0
+    while (i < v.length) {
+      val bits = java.lang.Float.floatToIntBits(v(i))
+      val off = i << 2
+      out(off) = bits.toByte
+      out(off + 1) = (bits >> 8).toByte
+      out(off + 2) = (bits >> 16).toByte
+      out(off + 3) = (bits >> 24).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Random-hyperplane LSH bucket id. Exactly reproduces the previous
     * declarative formula: component(p, i) =
     * (pmod(xxhash64(p:int, i:int), 2000001) - 1e6) / 1e6 with Spark's

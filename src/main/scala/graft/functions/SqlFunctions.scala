@@ -40,6 +40,11 @@ object SqlFunctions {
     "cosine_sim" -> { case Seq(a, b) => exprs.CosineSim(a, b) },
     "dot_product" -> { case Seq(a, b) => exprs.DotProduct(a, b) },
     "l2_distance" -> { case Seq(a, b) => exprs.L2Distance(a, b) },
+    "cosine_sim_packed" -> { case Seq(a, b) => exprs.CosineSimPacked(a, b) },
+    "dot_product_packed" -> { case Seq(a, b) => exprs.DotProductPacked(a, b) },
+    "l2_distance_packed" -> { case Seq(a, b) => exprs.L2DistancePacked(a, b) },
+    "pack_floats" -> { case Seq(v) => exprs.PackFloats(v) },
+    "unpack_floats" -> { case Seq(v) => exprs.UnpackFloats(v) },
     "sig_agreement" -> { case Seq(a, b) => exprs.SigAgreement(a, b) },
     "lang_id" -> { case Seq(c) => exprs.LangId(c) },
     "quality_score" -> { case Seq(c) => exprs.QualityScore(c) },

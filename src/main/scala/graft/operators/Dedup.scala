@@ -97,9 +97,18 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame =
+    // semiFilterSigs = false: here the signature frame is the INLINE
+    // text→shingle→minhash kernel, not a stored segment. The
+    // candidate-id broadcast that the semi-filter needs re-executes
+    // the banding subtree, and every extra consumer of the signature
+    // frame re-runs the kernel over the corpus — measured 4× wall on
+    // the one-shot sf0.1 oracle queries (q_near_dup 1.4→5.6 s) for a
+    // shuffle-size win that only matters when signatures are wide and
+    // the corpus is huge, i.e. exactly the regime where the caller
+    // should be on the stored-segment + cached staged path instead.
     candidatePairsFromSignatures(
       minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
-      idCol, numHashes, bands, minEstJaccard)
+      idCol, numHashes, bands, minEstJaccard, semiFilterSigs = false)
 
   /** LSH banding + estimate filter over a PRE-COMPUTED signature frame
     * (`(idCol, sig)` — the [[minhashSignatures]] shape, typically
@@ -107,7 +116,7 @@ object Dedup {
     * text kernels). */
   def candidatePairsFromSignatures(withSig: DataFrame, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, semiFilterSigs: Boolean = true): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
         "components would otherwise be silently dropped, weakening recall")
@@ -128,15 +137,20 @@ object Dedup {
     // the broadcast candidate-id set first (same boundedness argument
     // as the verify stage's candIds: ~16 B/id, and a candidate set
     // near corpus size means the banding is misconfigured for the
-    // threshold). The pairs subtree appears under the broadcast build
-    // AND the main path; its distinct's exchange is reused, not
-    // recomputed.
-    val pairIds = broadcast(
-      pairs.select(col("id_a").as("_pid"))
-        .union(pairs.select(col("id_b").as("_pid"))).distinct())
-    val sigs = withSig
-      .join(pairIds, col(idCol) === col("_pid"), "left_semi")
-      .select(col(idCol), col("sig"))
+    // threshold). Stored-segment callers only (`semiFilterSigs`): the
+    // candidate-id broadcast re-executes the banding subtree, which is
+    // a segment re-scan here but a full text-kernel corpus pass in the
+    // inline [[minhashCandidatePairs]] path.
+    val sigs0 = withSig.select(col(idCol), col("sig"))
+    val sigs =
+      if (!semiFilterSigs) sigs0
+      else {
+        val pairIds = broadcast(
+          pairs.select(col("id_a").as("_pid"))
+            .union(pairs.select(col("id_b").as("_pid"))).distinct())
+        sigs0.join(pairIds, col(idCol) === col("_pid"), "left_semi")
+          .select(col(idCol), col("sig"))
+      }
     pairs
       .join(sigs.toDF("id_a", "sig_a"), "id_a")
       .join(sigs.toDF("id_b", "sig_b"), "id_b")

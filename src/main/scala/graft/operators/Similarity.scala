@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftAggs, GraftFunctions}
+import graft.functions.{GraftAggs, GraftFunctions, HashOps}
 
 /** Approximate-nearest-neighbor / similarity search over embedding
   * columns (`ArrayType(FloatType)`).
@@ -51,13 +51,34 @@ object Similarity {
     * catastrophically (the near-dup regime this engine targets). */
   def l2Distance(a: Column, b: Column): Column = GraftFunctions.l2Distance(a, b)
 
+  /** Cosine over packed float32-LE binary vectors (the fixed-width
+    * raw-forward-index layout, [[graft.functions.exprs.CosineSimPacked]]
+    * — no per-element ArrayData accessor in the inner loop). Same
+    * float→double widening as the array kernel, so estimates are
+    * bit-identical to [[cosine]] over the equivalent float arrays. */
+  def cosinePacked(a: Column, b: Column): Column = GraftFunctions.cosinePacked(a, b)
+
+  /** array<float|double> → packed float32-LE binary segment column. */
+  def packVector(v: Column): Column = GraftFunctions.packFloats(v)
+
+  /** True when `vecCol` holds packed binary vectors — the one switch
+    * that routes [[bruteForceKnn]]/[[knnJoin]] onto the packed kernel. */
+  private def isPacked(df: DataFrame, vecCol: String): Boolean =
+    df.schema(vecCol).dataType == org.apache.spark.sql.types.BinaryType
+
   /** Exact top-k by cosine against one literal query vector. The
-    * vector is inlined as an array literal → broadcast by codegen. */
+    * vector is inlined as an array literal → broadcast by codegen.
+    * A BinaryType `vecCol` (packed float32 layout) scores with the
+    * packed kernel against a packed query literal — same values,
+    * fixed-width byte[] inner loop. */
   def bruteForceKnn(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val sim =
+      if (isPacked(corpus, vecCol))
+        cosinePacked(col(vecCol), lit(HashOps.packFloatSeq(query)))
+      else cosine(col(vecCol), array(query.map(v => lit(v.toDouble)): _*))
     corpus
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
+      .select(col(idCol), round(sim, 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -92,8 +113,13 @@ object Similarity {
     val joined =
       if (excludeSelf) c.join(broadcast(q), c("corpus_id") =!= q("query_id"))
       else c.crossJoin(broadcast(q))
+    // packed corpus ⇒ packed kernel; queries must carry the same
+    // layout (both sides come from `vecCol`, so they do by contract)
+    val simExpr =
+      if (isPacked(corpus, vecCol)) cosinePacked(col("q_vec"), col("c_vec"))
+      else cosine(col("q_vec"), col("c_vec"))
     val scored = joined.select(col("query_id"), col("corpus_id"),
-      round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+      round(simExpr, 6).as("sim"))
     topKPerQuery(scored, k)
   }
 

@@ -339,6 +339,29 @@ object PipelineQueries {
     Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, 10)
   }
 
+  /** Brute-force top-k over the PACKED float32 vector layout (the
+    * fixed-width raw-forward-index analog,
+    * `segment/index/readers/forward/FixedByteChunkSVForwardIndexReader`
+    * family): embeddings pack to one binary cell per row, the cosine
+    * kernel reads floats straight out of the byte[] (no per-element
+    * ArrayData accessor), and the float→double widening matches the
+    * array kernel bit-for-bit — so this shares [[qKnnBrute]]'s oracle
+    * verbatim. The packed column is what a 100 TB embedding store
+    * would persist; here it packs in the scan (the layout is the
+    * contract under test, not the segment build). */
+  def qKnnPacked(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.packVector(col("embedding")).as("emb_p"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("emb_p")).head().getAs[Array[Byte]](0)
+    val df = Similarity.bruteForceKnn(emb, "vec_id", "emb_p",
+      graft.functions.HashOps.unpackFloats(q).toFloatArray().toSeq, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("cosine_sim_packed"),
+      s"packed knn must score through the packed kernel:\n$plan")
+    df
+  }
+
   /** knn-join: 3 nearest corpus vectors for each of 5 query vectors
     * (broadcast query side, un-shuffled corpus). Queries ⊆ corpus here,
     * so excludeSelf is valid. */
@@ -691,6 +714,7 @@ object PipelineQueries {
     "q_dedup_ids" -> qDedupIds,
     "q_json_extract" -> qJsonExtract,
     "q_knn_brute" -> qKnnBrute,
+    "q_knn_packed" -> qKnnPacked,
     "q_knn_join" -> qKnnJoin,
     "q_lsh_ann" -> qLshAnn,
     "q_ivf_ann" -> qIvfAnn,
@@ -869,6 +893,13 @@ object PipelineQueries {
         |  count(*) AS cnt, round(sum("value"), 3) AS sum_value
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "q_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
+         |FROM embeddings e, q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    // identical statement: the packed layout must reproduce the array
+    // kernel's answers bit-for-bit (same float→double widening)
+    "q_knn_packed" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 6) AS sim
          |FROM embeddings e, q

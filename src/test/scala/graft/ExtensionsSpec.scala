@@ -84,6 +84,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3)))
   }
 
+  test("packed-vector SQL functions: pack/unpack round trip + kernel parity") {
+    Graft.enable(spark)
+    val r = spark.sql(
+      """SELECT unpack_floats(pack_floats(array(1.5F, -2.25F, 0.125F))) AS rt,
+        |  cosine_sim_packed(pack_floats(array(1.0F, 2.0F, 3.0F)),
+        |                    pack_floats(array(3.0F, 2.0F, 1.0F))) AS cp,
+        |  cosine_sim(array(1.0F, 2.0F, 3.0F), array(3.0F, 2.0F, 1.0F)) AS ca,
+        |  dot_product_packed(pack_floats(array(1.0F, 2.0F)),
+        |                     pack_floats(array(3.0F, 4.0F))) AS dp,
+        |  l2_distance_packed(pack_floats(array(0.0F, 3.0F)),
+        |                     pack_floats(array(4.0F, 0.0F))) AS lp
+        |""".stripMargin).head()
+    assert(r.getSeq[Float](0) === Seq(1.5f, -2.25f, 0.125f))
+    assert(r.getDouble(1) === r.getDouble(2), "packed cosine must equal array cosine")
+    assert(r.getDouble(3) === 11.0)
+    assert(r.getDouble(4) === 5.0)
+  }
+
   test("star-tree routing rule answers covered aggregates from the rollup, not the fact scan") {
     Graft.enable(spark)
     val fact = Tables.load(spark, sfDir, "lineitem")

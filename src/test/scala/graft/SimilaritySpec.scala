@@ -27,6 +27,50 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "descending")
   }
 
+  test("packed layout: round trip, kernel parity, knnJoin equivalence") {
+    import graft.functions.{GraftFunctions, HashOps}
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(500)
+    // pack → unpack is bit-exact for float inputs
+    val rt = emb.select($"embedding",
+        GraftFunctions.unpackFloats(GraftFunctions.packFloats($"embedding")).as("u"))
+      .filter(not($"embedding" <=> $"u")).count()
+    assert(rt === 0L, "pack/unpack round trip must be bit-exact")
+    // packed cosine/dot/l2 are bit-identical to the array kernels
+    // (same float→double widening, same accumulation order)
+    val pairs = emb.select($"vec_id", $"embedding")
+      .crossJoin(emb.select($"embedding".as("e2")).limit(3))
+    val drift = pairs.select(
+        (GraftFunctions.cosine($"embedding", $"e2") <=>
+          GraftFunctions.cosinePacked(GraftFunctions.packFloats($"embedding"),
+            GraftFunctions.packFloats($"e2"))).as("c"),
+        (GraftFunctions.dot($"embedding", $"e2") <=>
+          GraftFunctions.dotPacked(GraftFunctions.packFloats($"embedding"),
+            GraftFunctions.packFloats($"e2"))).as("d"),
+        (GraftFunctions.l2Distance($"embedding", $"e2") <=>
+          GraftFunctions.l2DistancePacked(GraftFunctions.packFloats($"embedding"),
+            GraftFunctions.packFloats($"e2"))).as("l"))
+      .filter(!$"c" || !$"d" || !$"l").count()
+    assert(drift === 0L, "packed kernels must match array kernels bit-for-bit")
+    // knnJoin over the packed column returns the same ranked rows
+    val packed = emb.select($"vec_id",
+      GraftFunctions.packFloats($"embedding").as("embedding"))
+    val arr = Similarity.knnJoin(emb.filter($"vec_id" < 3), "vec_id",
+        emb, "vec_id", "embedding", 4, excludeSelf = true)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val pk = Similarity.knnJoin(packed.filter($"vec_id" < 3), "vec_id",
+        packed, "vec_id", "embedding", 4, excludeSelf = true)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(pk === arr)
+    // zero vectors → 0 similarity (cosineAny contract); width mismatch is loud
+    assert(HashOps.cosinePacked(new Array[Byte](8), new Array[Byte](8)) === 0.0)
+    intercept[IllegalArgumentException] {
+      HashOps.cosinePacked(new Array[Byte](8), new Array[Byte](12))
+    }
+    intercept[IllegalArgumentException] {
+      HashOps.cosinePacked(new Array[Byte](7), new Array[Byte](7))
+    }
+  }
+
   test("ivfKnn: deterministic training, reasonable recall, bounded probe cost") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val m1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 16, iters = 2)
