@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("inline candidate path skips the signature semi-filter; staged path keeps it") {
+    val df = Seq((1L, base), (2L, base.replace("quick", "fast"))).toDF("id", "text")
+    // inline: the semi-filter's candidate-id broadcast would re-run
+    // the text→signature kernel over the corpus (measured 4× wall on
+    // the sf0.1 one-shot oracles) — the plan must carry NO left-semi
+    val inlinePlan = Dedup.minhashCandidatePairs(df, "id", "text", numHashes = 64)
+      .queryExecution.executedPlan.toString
+    assert(!inlinePlan.toLowerCase.contains("leftsemi"),
+      s"inline candidate path must not semi-filter signatures:\n$inlinePlan")
+    // staged (stored-segment shape): the semi-filter is the scale
+    // contract — signatures shuffle for candidate ids only
+    val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 64)
+    val stagedPlan = Dedup.candidatePairsFromSignatures(sigs, "id", numHashes = 64)
+      .queryExecution.executedPlan.toString
+    assert(stagedPlan.toLowerCase.contains("leftsemi"),
+      s"staged candidate path must semi-filter signatures:\n$stagedPlan")
+  }
+
   test("nearDupPairsStagedCached matches the lazy staged pipeline") {
     val nearDup = base.replace("quick", "fast")
     val other = "completely different content about database engines " +
