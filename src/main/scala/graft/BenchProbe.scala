@@ -113,6 +113,24 @@ object BenchProbe {
             graft.operators.Percentiles.Spec(0.95, "p95", nearestRank = false))))
     }
 
+    if (which == "rankselect") {
+      // rank-narrowing selection vs the full-histogram shuffle on the
+      // near-unique g2 shape (judge item 3, round 8)
+      import graft.operators.Percentiles
+      def nearUnique = t.select(
+        pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+          lit(1L << 31)).cast("double").as("v"))
+      val specs = Seq(
+        Percentiles.Spec(0.5, "p50", nearestRank = false),
+        Percentiles.Spec(0.95, "p95", nearestRank = false))
+      val a = Percentiles.rankSelect(nearUnique, "v", specs).head()
+      val b = Percentiles.histogramAggs(nearUnique, Nil, "v", specs).head()
+      println(s"[probe] rankSelect=$a histogram=$b equal=${a == b}")
+      run("g2 rankSelect")(Percentiles.rankSelect(nearUnique, "v", specs))
+      run("g2 histogramAggs")(
+        Percentiles.histogramAggs(nearUnique, Nil, "v", specs))
+    }
+
     if (which == "sorted") {
       // why does the sorted-layout a2 gain lag DuckDB's? A/B the file
       // count: pruning skips row groups per task, so 64 near-empty

@@ -843,13 +843,27 @@ object BenchScale {
     // quantile_cont over its own hash() of the same columns.
     System.gc()
     val g2 = {
-      val df = Percentiles.histogramAggs(
-        table.select(pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
-          lit(1L << 31)).cast("double").as("v")),
-        Nil, "v", Seq(
-          Percentiles.Spec(0.5, "p50", nearestRank = false),
-          Percentiles.Spec(0.95, "p95", nearestRank = false)))
-      QueryResult("g2_nearunique_pctl", "agg", sampleGc(reps)(exec(df)))
+      def nearUnique = table.select(
+        pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+          lit(1L << 31)).cast("double").as("v"))
+      val specs = Seq(
+        Percentiles.Spec(0.5, "p50", nearestRank = false),
+        Percentiles.Spec(0.95, "p95", nearestRank = false))
+      // rank-narrowing selection (Percentiles.rankSelect): ~3 counting
+      // scans instead of shuffling the ~n-distinct-key histogram.
+      // Exactness pinned against the histogram plan once before timing
+      // (up to 100M rows — at 1B the histogram pin alone costs ~250 s;
+      // the SF1000 pin plus PercentilesSpec parity covers the path)
+      if (rows <= 200000000L) {
+        val fromSelect = Percentiles.rankSelect(nearUnique, "v", specs).head()
+        val fromHist = Percentiles.histogramAggs(nearUnique, Nil, "v", specs).head()
+        require(fromSelect.getDouble(0) == fromHist.getDouble(0) &&
+            fromSelect.getDouble(1) == fromHist.getDouble(1),
+          s"rankSelect diverged from the histogram plan: $fromSelect vs $fromHist")
+      }
+      // rankSelect is EAGER — each rep rebuilds the full pass sequence
+      QueryResult("g2_nearunique_pctl", "agg", sampleGc(reps)(
+        { Percentiles.rankSelect(nearUnique, "v", specs).collect(); () }))
     }
 
     // routed star-tree: the (Cancelled, Carrier, Origin, Dest) tree's

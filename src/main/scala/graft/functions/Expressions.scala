@@ -313,12 +313,22 @@ object exprs {
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(IntegerType)
     override def dataType: DataType = StringType
-    override def nullSafeEval(input: Any): Any =
-      values(input.asInstanceOf[Int])
+    override def nullSafeEval(input: Any): Any = {
+      val i = input.asInstanceOf[Int]
+      if (i < 0 || i >= values.length) HashOps.dictDecodeOob(i, values.length)
+      values(i)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("dictValues", values,
         "org.apache.spark.unsafe.types.UTF8String[]")
-      defineCodeGen(ctx, ev, c => s"$ref[$c]")
+      // loud, NAMED failure on a stale/mismatched segment instead of a
+      // bare ArrayIndexOutOfBoundsException from generated code (the
+      // documented -1 non-null sentinel lands here too)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        if ($c < 0 || $c >= ${values.length}) {
+          graft.functions.HashOps.dictDecodeOob($c, ${values.length});
+        }
+        ${ev.value} = $ref[$c];""")
     }
     override protected def withNewChildInternal(newChild: Expression): DictDecode =
       copy(child = newChild)

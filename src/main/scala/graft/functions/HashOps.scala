@@ -275,6 +275,18 @@ object HashOps {
     new ThreadLocal[Array[Byte]] {
       override def initialValue(): Array[Byte] = new Array[Byte](8192)
     }
+  /** Largest normalization buffer RETAINED per thread (256 KB): one
+    * multi-MB outlier document must not pin megabytes on every executor
+    * thread for the session lifetime — past the cap the row pays a
+    * one-off allocation instead. */
+  private final val NormBufRetainMax = 1 << 18
+
+  /** The [[graft.functions.exprs.DictDecode]] out-of-bounds failure —
+    * called from generated code, so it lives on a stable JVM path. */
+  def dictDecodeOob(id: Int, size: Int): UTF8String =
+    throw new IllegalStateException(
+      s"dict_decode: id $id outside dictionary of size $size — " +
+        "stale encoded segment or dictionary/segment version mismatch?")
 
   /** Fused `md5(normalizeWs(text))` as 16 raw bytes — the exact-dedup
     * fingerprint without materializing the normalized string: the
@@ -296,8 +308,14 @@ object HashOps {
     val n = text.numBytes()
     var buf = normBufTl.get()
     if (buf.length < n) {
-      buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n, 1)) << 1)
-      normBufTl.set(buf)
+      // next power of two, guarded against the n > 2^30 overflow where
+      // highestOneBit << 1 wraps negative; buffers past the retain cap
+      // are transient (rare outlier rows allocate, common rows reuse)
+      val size =
+        if (n >= (1 << 30)) n
+        else java.lang.Integer.highestOneBit(math.max(n, 1)) << 1
+      buf = new Array[Byte](size)
+      if (size <= NormBufRetainMax) normBufTl.set(buf)
     }
     var start = 0
     var end = n

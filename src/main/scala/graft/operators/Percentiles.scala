@@ -159,4 +159,220 @@ object Percentiles {
     if (keyCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
     else ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Buckets per narrowing pass of [[rankSelect]]. */
+  private final val SelectBuckets = 8192
+  /** Bracket row bound under which [[rankSelect]] stops narrowing and
+    * runs the final exact histogram (2M rows: one small shuffle + a
+    * single sub-second window task per bracket). */
+  private final val SelectCap = 2L << 20
+  /** Narrowing-iteration backstop: past this the final histogram runs
+    * on whatever bracket remains — correct regardless, just larger. */
+  private final val SelectMaxIters = 8
+
+  /** GLOBAL exact percentiles by iterative rank-narrowing selection —
+    * the NEAR-UNIQUE-column answer where [[histogramAggs]]'s distinct
+    * histogram degenerates to the data itself (a ~10⁸-key shuffle +
+    * window for one global percentile over a hash-like column; the
+    * reference never hits this shape because its exact percentile
+    * buffers per-segment and merges, which also breaks down at 10⁸).
+    *
+    * Semantics are identical to `percentile(v, array(f…))` /
+    * `quantile_cont`: nulls ignored, NaN sorts greatest, linear
+    * interpolation between closest ranks. The plan is quickselect
+    * re-expressed as Spark scans:
+    *
+    *   1. one stats pass (count, NaN count, finite min/max);
+    *   2. narrowing passes: bucket the value range into
+    *      [[SelectBuckets]] equal-width cells and aggregate
+    *      (count, min, max) per cell — `floor((v-lo)/w·B)` is a
+    *      MONOTONE function of v (positive-constant IEEE ops preserve
+    *      order), so per-cell counts are exact rank arithmetic, and
+    *      the next bracket's bounds are the cells' ACTUAL min/max
+    *      values, never float-reconstructed boundaries. Each pass
+    *      shrinks the candidate rows ~[[SelectBuckets]]× for
+    *      uniform-ish data (one pass at 10⁹ rows: 10⁹ → ~3.7·10⁵);
+    *   3. one final pass: exact value histogram of the ≤[[SelectCap]]
+    *      bracket rows (`groupBy(value).count` + per-bracket running
+    *      sum), from which every requested order statistic reads off.
+    *
+    * Every pass is a full scan with a tiny aggregate — no shuffle ever
+    * carries more than bracket-distinct values, nothing sorts more
+    * than one bracket, and the driver holds ≤ `SelectBuckets` cells.
+    * Typical cost: 3 scans total, vs one full-data shuffle + window.
+    *
+    * EAGER: runs its passes at call time and returns the 1-row result
+    * frame (callers timing it must rebuild per repetition). Ties,
+    * skew, and massive duplicate values only stall the geometric
+    * shrink, never correctness — the final histogram is exact on any
+    * bracket, and a rank not covered by its bracket (impossible by
+    * construction) throws rather than returning a wrong value. */
+  def rankSelect(df: DataFrame, valueCol: String, specs: Seq[Spec],
+      cap: Long = SelectCap, buckets: Int = SelectBuckets): DataFrame = {
+    require(specs.nonEmpty, "at least one percentile spec required")
+    require(cap > 0 && buckets > 1, s"bad cap=$cap buckets=$buckets")
+    specs.foreach { s =>
+      require(s.fraction >= 0.0 && s.fraction <= 1.0,
+        s"fraction must be in [0, 1], got ${s.fraction}")
+    }
+    val spark = df.sparkSession
+    val nn = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+
+    def resultFrame(vals: Seq[Any]): DataFrame = {
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val schema = StructType(specs.map(s => StructField(s.name, DoubleType, true)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(vals: _*)), schema)
+    }
+
+    // pass 1: stats
+    val st = nn.agg(
+      count(lit(1)).as("_n"),
+      sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
+      min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
+      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).head()
+    val n = st.getLong(0)
+    if (n == 0) return resultFrame(specs.map(_ => null))
+    val nNaN = st.getLong(1)
+    val nFin = n - nNaN
+    val mn = if (st.isNullAt(2)) Double.NaN else st.getDouble(2)
+    val mx = if (st.isNullAt(3)) Double.NaN else st.getDouble(3)
+
+    // 0-indexed ranks each spec needs (ties between specs dedup)
+    def ranksOf(s: Spec): Seq[Long] =
+      if (s.nearestRank) Seq(math.max(math.ceil(s.fraction * n).toLong, 1L) - 1)
+      else {
+        val h = (n - 1) * s.fraction
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }
+    val valueAt = scala.collection.mutable.Map[Long, Double]()
+    val allRanks = specs.flatMap(ranksOf).distinct.sorted
+    allRanks.filter(_ >= nFin).foreach(k => valueAt(k) = Double.NaN)
+    val finiteRanks = allRanks.filter(_ < nFin)
+
+    // one bracket: [lo, hi] value bounds (ACTUAL data values), the
+    // exact count of finite rows strictly below lo, the exact row
+    // count inside, and the ranks it must answer
+    final case class Bracket(lo: Double, hi: Double, below: Long, rows: Long,
+        ranks: Seq[Long])
+
+    if (finiteRanks.nonEmpty) {
+      var brackets = Seq(Bracket(mn, mx, 0L, nFin, finiteRanks))
+      val canBucket = java.lang.Double.isFinite(mn) &&
+        java.lang.Double.isFinite(mx) && mx - mn > 0 &&
+        java.lang.Double.isFinite(mx - mn)
+      var iter = 0
+      var progress = true
+      // narrowing passes (skipped entirely when the full range already
+      // fits the cap, or the range is a point/±Inf)
+      while (canBucket && progress && iter < SelectMaxIters &&
+          brackets.exists(b => b.rows > cap && b.hi > b.lo)) {
+        iter += 1
+        val active = brackets.filter(b => b.rows > cap && b.hi > b.lo)
+        val done = brackets.filterNot(b => b.rows > cap && b.hi > b.lo)
+        val B = buckets
+        // combined cell id: bracketIdx * B + clamp(floor((v-lo)/w*B))
+        val cell = active.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, (b, j)) =>
+            val w = (b.hi - b.lo) / B
+            val raw = floor((col("_v") - lit(b.lo)) / lit(w)).cast("long")
+            when(col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi),
+              lit(j.toLong * B) + least(greatest(raw, lit(0L)), lit(B - 1L)))
+              .otherwise(acc)
+        }
+        val cells = nn.filter(!isnan(col("_v")))
+          .select(cell.as("_cell"), col("_v"))
+          .filter(col("_cell").isNotNull)
+          .groupBy(col("_cell"))
+          .agg(count(lit(1)).as("_c"), min(col("_v")).as("_cmn"),
+            max(col("_v")).as("_cmx"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+          .toMap
+        progress = false
+        val narrowed = active.zipWithIndex.flatMap { case (b, j) =>
+          val ids = (0 until buckets).map(i => j.toLong * buckets + i)
+            .filter(cells.contains)
+          val counts = ids.map(cells(_)._1)
+          val cum = counts.scanLeft(0L)(_ + _)
+          // per rank: the cell run [i-1, i+1] around the cell holding
+          // the rank (widening costs ~2 cells and removes any boundary
+          // sensitivity from the next pass's >=/<= predicates)
+          b.ranks.map { k =>
+            val local = k - b.below // 0-indexed within the bracket
+            val ci = cum.indexWhere(_ > local) - 1 // cell holding the rank
+            require(ci >= 0 && ci < ids.length,
+              s"rank $k escaped its bracket [${b.lo}, ${b.hi}] — bug")
+            val a = math.max(ci - 1, 0)
+            val z = math.min(ci + 1, ids.length - 1)
+            val rows = (a to z).map(i => counts(i)).sum
+            if (rows < b.rows) progress = true
+            Bracket(cells(ids(a))._2, cells(ids(z))._3,
+              b.below + cum(a), rows, Seq(k))
+          }
+        }
+        // merge overlapping/adjacent brackets (sorted by lo; exact
+        // counts make overlap detection pure arithmetic)
+        val merged = narrowed.sortBy(b => (b.lo, b.hi))
+          .foldLeft(Vector.empty[Bracket]) { (acc, b) =>
+            acc.lastOption match {
+              case Some(p) if b.lo <= p.hi =>
+                // same or overlapping value range: counts align on the
+                // shared lo/hi actual values; keep the wider envelope
+                val lo = math.min(p.lo, b.lo)
+                val hi = math.max(p.hi, b.hi)
+                val below = math.min(p.below, b.below)
+                val rows = math.max(p.below + p.rows, b.below + b.rows) - below
+                acc.init :+ Bracket(lo, hi, below, rows,
+                  (p.ranks ++ b.ranks).distinct.sorted)
+              case _ => acc :+ b
+            }
+          }
+        brackets = (done ++ merged).sortBy(_.lo)
+      }
+
+      // final pass: exact value histogram inside the brackets, running
+      // sum per bracket, order statistics read off at their local ranks
+      val point = brackets.filter(b => b.lo == b.hi) // collapsed: all ties
+      point.foreach(b => b.ranks.foreach(k => valueAt(k) = b.lo))
+      val need = brackets.filterNot(b => b.lo == b.hi)
+      if (need.nonEmpty) {
+        val bid = need.zipWithIndex.foldLeft(lit(null).cast("int")) {
+          case (acc, (b, j)) =>
+            when(col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi), lit(j))
+              .otherwise(acc)
+        }
+        val hist = nn.filter(!isnan(col("_v")))
+          .select(bid.as("_bid"), col("_v"))
+          .filter(col("_bid").isNotNull)
+          .groupBy(col("_bid"), col("_v")).agg(count(lit(1)).as("_c"))
+          .withColumn("_cum", sum(col("_c")).over(
+            Window.partitionBy(col("_bid")).orderBy(col("_v"))))
+        val aggsNeeded = need.zipWithIndex.flatMap { case (b, j) =>
+          b.ranks.map { k =>
+            (k, min(when(col("_bid") === j &&
+              col("_cum") >= k + 1 - b.below, col("_v"))).as(s"_r$k"))
+          }
+        }
+        val row = hist.agg(aggsNeeded.head._2, aggsNeeded.tail.map(_._2): _*).head()
+        aggsNeeded.map(_._1).zipWithIndex.foreach { case (k, i) =>
+          require(!row.isNullAt(i),
+            s"rank $k not covered by its final bracket — bug")
+          valueAt(k) = row.getDouble(i)
+        }
+      }
+    }
+
+    val outVals: Seq[Any] = specs.map { s =>
+      if (s.nearestRank) Double.box(valueAt(ranksOf(s).head))
+      else {
+        val h = (n - 1) * s.fraction
+        val vLo = valueAt(math.floor(h).toLong)
+        val vHi = valueAt(math.ceil(h).toLong)
+        Double.box(vLo + (h - math.floor(h)) * (vHi - vLo))
+      }
+    }
+    resultFrame(outVals)
+  }
 }

@@ -62,6 +62,12 @@ object DictLayout {
   /** Hard cap on per-column dictionary cardinality (1M entries).  */
   final val MaxCardinality: Int = 1 << 20
 
+  /** Hard cap on a single column's total dictionary VALUE bytes
+    * (64 MB): the decode array serializes with every routed plan, so
+    * driver heap and plan size must stay bounded even when the entry
+    * count is under [[MaxCardinality]]. */
+  final val MaxDictBytes: Long = 64L << 20
+
   final case class Index(
       pathPrefix: String,
       encoded: DataFrame,
@@ -105,12 +111,27 @@ object DictLayout {
     }
     val dicts: Map[String, Array[UTF8String]] = dictCols.map { c =>
       val values = fact.select(col(c)).na.drop().distinct()
-        .limit(MaxCardinality + 1).collect().map(r => r.getString(0))
+        .limit(MaxCardinality + 1).collect()
+        .map(r => UTF8String.fromString(r.getString(0)))
       require(values.length <= MaxCardinality,
         s"$c exceeds the $MaxCardinality-entry dictionary cap — " +
           "not a low-cardinality dimension; do not dictionary-encode it")
+      // sort in UTF8String BINARY order (UTF-8 byte compare), the same
+      // comparator DictId's binarySearch, Index.idOf/lowerBound, and
+      // Spark's string sort all use — Java String order (UTF-16 code
+      // units) disagrees for supplementary-plane vs high-BMP values
+      // (emoji sort AFTER U+E000..U+FFFF in UTF-16, BEFORE in UTF-8),
+      // which would silently mis-encode at build and mis-order routed
+      // ORDER BY
+      // size-in-bytes cap alongside the entry cap: the decode array
+      // rides every routed plan, so a mis-declared column with few but
+      // HUGE values must fail at build, not bloat every query
+      val bytes = values.foldLeft(0L)(_ + _.numBytes())
+      require(bytes <= MaxDictBytes,
+        s"$c dictionary is $bytes bytes (cap $MaxDictBytes) — " +
+          "values too large for a per-plan decode array; do not dictionary-encode it")
       java.util.Arrays.sort(values.asInstanceOf[Array[AnyRef]])
-      c -> values.map(UTF8String.fromString)
+      c -> values
     }.toMap
     val encodedCols = fact.schema.fields.map { f =>
       if (dicts.contains(f.name)) {
@@ -297,7 +318,17 @@ case class DictRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The id-space translation helpers shared by the aggregate and
     * selection rewrites, bound to one encoded copy's analyzed plan. */
   private final class Translator(val idx: DictLayout.Index) {
-    val encodedPlan: LogicalPlan = idx.encoded.queryExecution.analyzed
+    // fresh exprIds PER SPLICE: a query referencing the registered
+    // table twice (self-join of two routed aggregates) must not end up
+    // with duplicate attribute ids on both sides — each rewrite call
+    // constructs its own Translator, and newInstance() re-aliases the
+    // relation's output (the byName map below is built from the fresh
+    // instance, so every translated reference binds to it)
+    val encodedPlan: LogicalPlan =
+      idx.encoded.queryExecution.analyzed.transform {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+      }
     val byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
       encodedPlan.output.map(a => a.name -> a).toMap
     def codeAttr(c: String): Option[org.apache.spark.sql.catalyst.expressions.Attribute] =

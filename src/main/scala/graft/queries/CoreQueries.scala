@@ -171,6 +171,22 @@ object CoreQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** GLOBAL exact percentile over a near-unique double column via
+    * rank-narrowing selection ([[graft.operators.Percentiles.rankSelect]])
+    * — the distributed quickselect that replaces the full-histogram
+    * shuffle where the distinct count ≈ the row count (the g2 shape of
+    * the scale bench). Same `quantile_cont` semantics as q_percentile,
+    * different physical plan: ~3 counting scans, nothing ever shuffles
+    * more than the final ≤2M-row bracket. */
+  def qPercentileRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Percentiles.rankSelect(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(graft.operators.Percentiles.Spec(0.5, "_p50", nearestRank = false),
+          graft.operators.Percentiles.Spec(0.95, "_p95", nearestRank = false)))
+      .select(round($"_p50", 3).as("p50"), round($"_p95", 3).as("p95"))
+  }
+
   /** Arithmetic transform functions add/sub/mult/div
     * (TransformFunctionFactory.java:43-50) — native Column arithmetic,
     * codegen'd; no UDFs. */
@@ -758,6 +774,7 @@ object CoreQueries {
     "q_distinct_count" -> qDistinctCount,
     "q_distinct" -> qDistinct,
     "q_percentile" -> qPercentile,
+    "q_percentile_rank" -> qPercentileRank,
     "q_arithmetic" -> qArithmetic,
     "q_time_bucket" -> qTimeBucket,
     "q_datetime_convert" -> qDateTimeConvert,
@@ -835,6 +852,10 @@ object CoreQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 3) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile_rank" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 3) AS p95
+        |FROM lineitem""".stripMargin,
     "q_arithmetic" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 3) AS charged,

@@ -232,4 +232,82 @@ class DictLayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("StringType"))
   }
+
+  test("supplementary-plane values: dictionary order matches UTF8 binary order") {
+    // "ｚ" (U+FF5A, high BMP) sorts BEFORE "😀" (U+1F600, supplementary)
+    // in UTF-8 byte order but AFTER it in UTF-16 code-unit (Java
+    // String) order — a dictionary sorted with the wrong comparator
+    // mis-encodes at build (silent nulls) and mis-orders routed sorts
+    val uPath = tmp("uni_raw")
+    val uEnc = tmp("uni_enc")
+    Seq(("a", 1L), ("ｚ", 2L), ("😀", 3L), ("b", 4L),
+      ("😀", 5L), ("ｚ", 6L))
+      .toDF("dim", "m").write.mode("overwrite").parquet(uPath)
+    val uFact = spark.read.parquet(uPath)
+    val uIdx = DictLayout.build(spark, uFact, uPath, uEnc, Seq("dim"))
+    // every value must be encodable (a UTF-16-sorted dictionary makes
+    // binarySearch miss the emoji at build → null codes)
+    val nullCodes = uIdx.encoded.filter(col("dim__did").isNull).count()
+    assert(nullCodes === 0, "dictionary build silently dropped values")
+    graft.Graft.enable(spark)
+    DictRegistry.register(uPath, uIdx)
+    try {
+      def routedCheck(build: => DataFrame): Unit = {
+        val routed = build
+        val plan = routed.queryExecution.executedPlan.toString
+        assert(plan.contains("uni_enc"), s"not routed:\n$plan")
+      }
+      // EQ on the supplementary-plane literal must hit its rows
+      val eq = uFact.filter($"dim" === "😀")
+        .groupBy($"dim").agg(count(lit(1)).as("cnt"))
+      routedCheck(eq)
+      assert(eq.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("😀", 2L)))
+      // range: > fullwidth z must select exactly the emoji (UTF-8
+      // binary order, matching Spark's raw string sort)
+      val rawRange = uFact.filter($"dim" > "ｚ")
+        .groupBy($"dim").agg(count(lit(1)).as("cnt")).collect().map(_.toSeq).toSet
+      val routedRange = uFact.filter($"dim" > "ｚ")
+        .groupBy($"dim").agg(count(lit(1)).as("cnt"))
+      routedCheck(routedRange)
+      assert(routedRange.collect().map(_.toSeq).toSet === rawRange)
+      // routed ORDER BY on the dict column == raw string sort
+      val rawOrder = uFact.select($"dim", $"m").orderBy($"dim".asc, $"m".asc)
+        .collect().map(_.toSeq).toSeq
+      val routedOrder = uFact.select($"dim", $"m").orderBy($"dim".asc, $"m".asc)
+      assert(routedOrder.collect().map(_.toSeq).toSeq === rawOrder)
+    } finally DictRegistry.unregister(uPath)
+  }
+
+  test("self-join of two routed aggregates gets fresh exprIds per splice") {
+    withDict {
+      val l = fact.groupBy($"l_returnflag").agg(count(lit(1)).as("cnt_l"))
+      val r = fact.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s_r"))
+      val joined = l.join(r, "l_returnflag").orderBy($"l_returnflag")
+      assertRouted(joined)
+      val rows = joined.collect()
+      assert(rows.nonEmpty)
+      // values must match the raw twin computed without routing
+      DictRegistry.unregister(factPath)
+      val raw = fact.groupBy($"l_returnflag").agg(count(lit(1)).as("cnt_l"))
+        .join(fact.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s_r")),
+          "l_returnflag").orderBy($"l_returnflag").collect()
+      DictRegistry.register(factPath, idx)
+      assert(rows.map(_.toSeq).toSeq === raw.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("dict_decode fails loudly (named) on an out-of-range id") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val small = Array(UTF8String.fromString("x"), UTF8String.fromString("y"))
+    val bad = spark.range(1).select(GraftSqlBridge.column(
+      graft.functions.exprs.DictDecode(
+        GraftSqlBridge.expression(lit(17)), small)).as("v"))
+    val e = intercept[Throwable] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("dict_decode")),
+      s"expected a named dict_decode failure, got: $e")
+  }
 }

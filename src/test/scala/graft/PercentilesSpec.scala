@@ -153,4 +153,87 @@ class PercentilesSpec extends SparkSpec {
       plan)
     assert(!plan.contains("percentile"), plan)
   }
+
+  // ---- rankSelect (the near-unique global path) ----
+
+  private val rsSpecs = Seq(
+    Percentiles.Spec(0.0, "p0", nearestRank = false),
+    Percentiles.Spec(0.25, "p25", nearestRank = false),
+    Percentiles.Spec(0.5, "p50", nearestRank = false),
+    Percentiles.Spec(0.95, "p95", nearestRank = false),
+    Percentiles.Spec(1.0, "p100", nearestRank = false),
+    Percentiles.Spec(0.5, "nr50", nearestRank = true),
+    Percentiles.Spec(0.99, "nr99", nearestRank = true))
+
+  private def assertSelectParity(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, cap: Long = 2L << 20, buckets: Int = 8192): Unit = {
+    val got = Percentiles.rankSelect(df, valueCol, rsSpecs, cap, buckets).head()
+    val want = Percentiles.histogramAggs(df, Nil, valueCol, rsSpecs).head()
+    (0 until rsSpecs.length).foreach { i =>
+      (got.isNullAt(i), want.isNullAt(i)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          val (a, b) = (got.getDouble(i), want.getDouble(i))
+          assert(a == b || (a.isNaN && b.isNaN),
+            s"${rsSpecs(i).name}: rankSelect $a != histogram $b")
+        case _ => fail(s"${rsSpecs(i).name}: null mismatch ($got vs $want)")
+      }
+    }
+  }
+
+  test("rankSelect parity: ties, nulls, negatives, singletons") {
+    assertSelectParity(Seq(Some(1.0), Some(1.0), Some(2.0), Some(10.0),
+      None, Some(-3.0), Some(0.0), Some(7.0), Some(7.0), Some(7.0),
+      Some(2.25), Some(2.75)).toDF("v"), "v")
+    assertSelectParity(Seq(5.5).toDF("v"), "v") // single row
+    assertSelectParity(Seq(3.0, 3.0, 3.0, 3.0).toDF("v"), "v") // one giant tie
+  }
+
+  test("rankSelect parity: seeded near-unique data (forces narrowing passes)") {
+    // tiny cap + few buckets force SEVERAL narrowing iterations on
+    // unit-test-sized data — the exact code path the 1B run takes
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 20000).map(_ => rnd.nextDouble() * 1e9 - 5e8)
+    assertSelectParity(data.toDF("v"), "v", cap = 50, buckets = 16)
+    // heavily skewed: 90% in a thin sliver, long sparse tail (most
+    // cells empty; the sliver cell stalls until the range re-centers)
+    val skew = (1 to 20000).map { i =>
+      if (i % 10 == 0) rnd.nextDouble() * 1e12 else 1000.0 + rnd.nextDouble()
+    }
+    assertSelectParity(skew.toDF("v"), "v", cap = 50, buckets = 16)
+    // integer-ish values with massive duplicate ranges: narrowing
+    // cannot shrink past a tie — the final histogram absorbs it
+    val dup = (1 to 20000).map(i => (i % 37).toDouble)
+    assertSelectParity(dup.toDF("v"), "v", cap = 50, buckets = 16)
+    // adjacent-double torture: values one ulp apart (width underflow)
+    val base = 12345.6789
+    val ulps = (1 to 500).map(i =>
+      (1 to i % 7 + 1).map(_ => java.lang.Math.nextUp(base * (1 + (i % 13) * 1e-16)))).flatten
+    assertSelectParity(ulps.toDF("v"), "v", cap = 10, buckets = 4)
+  }
+
+  test("rankSelect: empty input and all-null input give null results") {
+    val empty = Percentiles.rankSelect(
+      Seq.empty[Double].toDF("v"), "v", rsSpecs.take(2)).head()
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    val allNull = Percentiles.rankSelect(
+      Seq[Option[Double]](None, None).toDF("v"), "v", rsSpecs.take(2)).head()
+    assert(allNull.isNullAt(0) && allNull.isNullAt(1))
+  }
+
+  test("rankSelect: NaN sorts greatest (histogramAggs NaN-bucket contract)") {
+    val df = Seq(1.0, 2.0, 3.0, Double.NaN, Double.NaN).toDF("v")
+    val got = Percentiles.rankSelect(df, "v", Seq(
+      Percentiles.Spec(0.25, "p25", nearestRank = false),
+      Percentiles.Spec(1.0, "p100", nearestRank = false)))
+      .head()
+    assert(got.getDouble(0) == 2.0, s"p25 ${got.getDouble(0)}")
+    assert(got.getDouble(1).isNaN, "p100 over a NaN tail must be NaN")
+  }
+
+  test("rankSelect: infinities fall back to the unbucketed final pass") {
+    val df = Seq(Double.NegativeInfinity, 1.0, 2.0, 3.0,
+      Double.PositiveInfinity).toDF("v")
+    assertSelectParity(df, "v")
+  }
 }
