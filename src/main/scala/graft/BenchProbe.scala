@@ -27,6 +27,11 @@ object BenchProbe {
 
   private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -129,6 +134,44 @@ object BenchProbe {
       run("g2 rankSelect")(Percentiles.rankSelect(nearUnique, "v", specs))
       run("g2 histogramAggs")(
         Percentiles.histogramAggs(nearUnique, Nil, "v", specs))
+    }
+
+    if (which == "s2") {
+      // s2_page decomposition on the DSE-sorted copy: (a) today's
+      // subset TakeOrdered, (b) + synthesized sorted-column bound
+      // (page-index pruning), (c) dict-encoded subset (int Origin)
+      val copy = spark.read.parquet(s"$dir/ontime_sorted_dse.parquet")
+      val files = copy.inputFiles.sorted
+      val sub = spark.read.schema(copy.schema).parquet(files.head)
+      println(s"[probe] subset file rows=${sub.count()}")
+      def page(df: DataFrame) = df
+        .select(col("DaysSinceEpoch"), col("FlightNum"), col("Origin"))
+        .orderBy(col("DaysSinceEpoch").asc, col("FlightNum").asc)
+        .offset(1000).limit(100)
+      run("s2 subset plain")(page(sub))
+      run("s2 subset bound<=16000")(page(sub.filter(col("DaysSinceEpoch") <= 16000)))
+      println(sub.filter(col("DaysSinceEpoch") <= 16000)
+        .select(col("DaysSinceEpoch")).queryExecution.executedPlan.toString.take(800))
+      println(s"[probe] bound rows=${sub.filter(col("DaysSinceEpoch") <= 16000).count()}")
+      // keys parity
+      val a = page(sub).select(col("DaysSinceEpoch")).collect().map(_.getInt(0)).toSeq
+      val b = page(sub.filter(col("DaysSinceEpoch") <= 16000))
+        .select(col("DaysSinceEpoch")).collect().map(_.getInt(0)).toSeq
+      println(s"[probe] keys equal=${a == b}")
+      // compound bound: (DSE < 16000) OR (DSE = 16000 AND FlightNum <= F)
+      val fBound = sub.filter(col("DaysSinceEpoch") === 16000)
+        .select(col("FlightNum")).orderBy(col("FlightNum").asc).limit(1100)
+        .agg(max(col("FlightNum"))).head().getInt(0)
+      println(s"[probe] fBound=$fBound")
+      val compound = col("DaysSinceEpoch") < 16000 ||
+        (col("DaysSinceEpoch") === 16000 && col("FlightNum") <= fBound)
+      println(s"[probe] compound rows=${sub.filter(compound).count()}")
+      run("s2 subset compound bound")(page(sub.filter(compound)))
+      val c = page(sub.filter(compound))
+        .select(col("DaysSinceEpoch")).collect().map(_.getInt(0)).toSeq
+      println(s"[probe] compound keys equal=${a == c}")
+      // floor reference: cheapest possible job
+      run("floor range(1)")(spark.range(1).toDF("id"))
     }
 
     if (which == "sorted") {
@@ -254,6 +297,50 @@ object BenchProbe {
       }
       // leave the probe signature segment for re-probing; it is
       // rebuilt only when absent and sits beside the scale data
+    }
+
+    if (which == "p4cfg") {
+      // VERDICT r8 item 6: candidate-stage config sweep at 10M docs —
+      // does widening the signature (16 hashes) pay at the SF1000
+      // scale configuration? Funnel metrics + wall time + recall per
+      // (numHashes, bands); recall bar 0.99 asserted like the bench.
+      val ndDir = s"${BenchScale.dataRoot}/scale_sf100"
+      val ndRows = 10000000L
+      graft.queries.ScaleDocs.ensureDocs(spark, ndDir, ndRows)
+      val docs = spark.read.parquet(s"$ndDir/documents.parquet")
+      val planted = graft.queries.ScaleDocs.plantedPairs(spark, ndRows)
+      val plantedN = planted.count()
+      Seq((8, 4), (16, 4), (16, 8)).foreach { case (nh, nb) =>
+        val sigPath = s"$ndDir/minhash_sigs_probe_${nh}_$nb.parquet"
+        val sigSecs = time {
+          if (!new java.io.File(sigPath).exists()) {
+            graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", nh)
+              .write.mode("overwrite").parquet(sigPath)
+          }
+        }
+        val sigs = spark.read.parquet(sigPath)
+        val staged = graft.operators.Dedup.nearDupPairsStagedCached(
+          docs, "doc_id", "text", sigs, numHashes = nh, bands = nb)
+        val cands = staged.candidateCount
+        val verified = staged.pairs.count()
+        val hit = staged.pairs.select(col("id_a"), col("id_b"))
+          .join(planted, Seq("id_a", "id_b")).count()
+        staged.unpersist()
+        val recall = if (plantedN == 0) 1.0 else hit.toDouble / plantedN
+        System.gc()
+        val ts = (1 to 2).map { _ =>
+          val t = time {
+            val r = graft.operators.Dedup.nearDupPairsStagedCached(
+              docs, "doc_id", "text", sigs, numHashes = nh, bands = nb)
+            r.pairs.count(); r.unpersist()
+          }
+          System.gc(); t
+        }
+        println(f"[probe] p4cfg h=$nh%2d b=$nb%2d sig=${sigSecs}%.1fs " +
+          f"cand=$cands verified=$verified recall=$recall%.4f " +
+          f"p50=${p50(ts)}%.1f reps=${ts.map(x => f"$x%.1f").mkString(",")}")
+        deleteRec(new java.io.File(sigPath))
+      }
     }
 
     if (which == "knnpacked") {

@@ -21,9 +21,12 @@ import graft.queries.ScaleTable
   *
   * Every query enters through the PQL FRONT-END (`Pql.toDataFrame`) —
   * the benchmark measures the engine a reference user would actually
-  * call, not hand-tuned DataFrame code. The DuckDB twin
-  * (`tools/scale_duck.py`) runs the same statements over the same
-  * parquet and merges its timings + ratios into the report.
+  * call, not hand-tuned DataFrame code. The DuckDB twin is
+  * WINDOW-PAIRED since r8: each query's twin statement runs via
+  * `tools/duck_once.py` immediately after that query's Spark reps
+  * (same machine state, same page cache), so a ratio can never move
+  * on twin re-timing alone — `tools/scale_duck.py` remains only as a
+  * legacy merge tool for artifacts produced before r8.
   *
   * Method: generate-once cached parquet (deterministic, see
   * [[ScaleTable]]), 1 warmup + 5 timed reps per query, full-result
@@ -108,12 +111,62 @@ object BenchScale {
     f.delete(); ()
   }
 
-  final case class QueryResult(name: String, cls: String, reps: Seq[Double]) {
+  final case class QueryResult(name: String, cls: String, reps: Seq[Double],
+      duck: Option[Seq[Double]] = None, twinNone: Boolean = false) {
     def p50v: Double = p50(reps)
     def p95v: Double = reps.max
-    def json: String =
-      s""""$name":{"class":"$cls","p50":${r3(p50v)},"p95":${r3(p95v)},"reps":[${reps.map(r3).mkString(",")}]}"""
+    def duckP50: Option[Double] = duck.map(p50)
+    def json: String = {
+      val base =
+        s""""$name":{"class":"$cls","p50":${r3(p50v)},"p95":${r3(p95v)},"reps":[${reps.map(r3).mkString(",")}]"""
+      val twin = duck match {
+        case Some(d) =>
+          val dp = p50(d)
+          s""","duck_p50":${r3(dp)},"duck_reps":[${d.map(r3).mkString(",")}]""" +
+            (if (dp > 0) s""","ratio_p50":${r3(p50v / dp)}""" else "")
+        // declared absence (not DuckDB-expressible / twin unavailable)
+        // instead of a silently missing field — VERDICT r7 item 8
+        case None if twinNone => s""","twin":"none""""
+        case None => ""
+      }
+      base + twin + "}"
+    }
   }
+
+  /** WINDOW-PAIRED DuckDB twin: invoked immediately after a query's
+    * Spark reps, so both engines' timings share one measurement window
+    * (same page-cache state, same background noise) — VERDICT r7's
+    * top item: the r7 headline ratio moved 2.40×→3.11× on Spark-side
+    * times that were flat to the millisecond, purely because the twin
+    * ran in a different window. One python one-shot per query
+    * (`tools/duck_once.py`); startup cost sits outside both engines'
+    * timed regions. Returns None (→ `twin:"none"`) when the runner is
+    * unavailable. */
+  def duckTwin(views: Map[String, String], sql: String, reps: Int): Option[Seq[Double]] = {
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    try {
+      val req = s"""{"views":{${views.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v)}" }.mkString(",")}},"sql":${jstr(sql)},"reps":$reps}"""
+      val pb = new ProcessBuilder("python3", "/root/repo/tools/duck_once.py")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val in = proc.getOutputStream
+      in.write(req.getBytes("UTF-8")); in.close()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+      val code = proc.waitFor()
+      if (code != 0 || !out.startsWith("{")) return None
+      val arr = out.substring(out.indexOf('[') + 1, out.indexOf(']'))
+      val reps0 = arr.split(",").filter(_.nonEmpty).map(_.trim.toDouble).toSeq
+      if (reps0.isEmpty) None else Some(reps0)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The per-scale-dir view map for [[duckTwin]]: `ontime` over the
+    * raw table plus any named copies (`name -> subdir`). */
+  private def duckViews(dir: String, copies: (String, String)*): Map[String, String] =
+    Map("ontime" -> s"$dir/ontime.parquet/*.parquet") ++
+      copies.map { case (n, p) => n -> s"$dir/$p/*.parquet" }
 
   /** Star-tree segment artifact for the routed-vs-scan proof; built
     * once and cached next to the table (segment-load-time work in the
@@ -195,7 +248,7 @@ object BenchScale {
     *     the routing rule answers from the stored all-stars sketch —
     *     the BrokerRequestPreProcessor fastHLL swap end-to-end. */
   private def ensureWorkloadTrees(spark: SparkSession, dir: String,
-      table: DataFrame): (StarTree.Index, StarTree.Index, StarTree.Index) = {
+      table: DataFrame): Seq[StarTree.Index] = {
     def ensure(path: String, markerName: String)(build: => DataFrame): DataFrame = {
       val marker = new java.io.File(s"$dir/$markerName")
       if (!marker.exists()) {
@@ -211,10 +264,20 @@ object BenchScale {
       StarTree.build(table, Seq("OriginState", "DepDelay"), Seq("ArrDelay")).rollup)
     val t3 = ensure(s"$dir/startree_hll_flightnum.parquet", "_ST6_DONE")(
       StarTree.build(table, Seq("Carrier"), Seq("FlightNum"), sketchLgK = 12).rollup)
-    (StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
+    // the a5-matching sibling: dropping Carrier shrinks the rollup
+    // ~15× (490K → ~33K rows at SF1000), so the a5 slice re-aggregates
+    // tens of thousands of rows, not half a million — the registry
+    // picks the smallest covering tree per query automatically
+    val t4 = ensure(s"$dir/startree_cancel_od.parquet", "_ST7_DONE")(
+      StarTree.build(table, Seq("Cancelled", "Origin", "Dest"),
+        Seq("ArrDelay", "DepDelay")).rollup)
+    Seq(
+      StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
         Seq("ArrDelay", "DepDelay"), t1, 0, 0),
       StarTree.Index(Seq("OriginState", "DepDelay"), Seq("ArrDelay"), t2, 0, 0),
-      StarTree.Index(Seq("Carrier"), Seq("FlightNum"), t3, 12, 0))
+      StarTree.Index(Seq("Carrier"), Seq("FlightNum"), t3, 12, 0),
+      StarTree.Index(Seq("Cancelled", "Origin", "Dest"),
+        Seq("ArrDelay", "DepDelay"), t4, 0, 0))
   }
 
   /** One scale point: run the workload + star-tree + approx-error
@@ -231,7 +294,7 @@ object BenchScale {
     // a1_count no longer pays it since it answers from footers.
     exec(table)
 
-    val results = workload.map { case (name, cls, pql, _) =>
+    val results = workload.map { case (name, cls, pql, duckSql) =>
       val df = Pql.toDataFrame(Pql.parse(pql), loader)
       // settle the heap between queries: at 100M rows the group-by
       // queries otherwise inherit the previous query's garbage and a
@@ -239,11 +302,18 @@ object BenchScale {
       // on a6 with a cold heap; the DuckDB twin runs one statement per
       // connection and pays no such cross-query tax)
       System.gc()
-      QueryResult(name, cls, sample(reps)(exec(df)))
+      val sparkReps = sample(reps)(exec(df))
+      // WINDOW-PAIRED twin: same query, same minutes, same cache state
+      val duck = duckTwin(duckViews(dir), duckSql, reps)
+      QueryResult(name, cls, sparkReps, duck, twinNone = duck.isEmpty)
     }
     val classes = results.groupBy(_.cls).toSeq.sortBy(_._1).map { case (cls, rs) =>
       val total = rs.map(_.p50v).sum
-      s""""$cls":{"total_p50":${r3(total)},"qps":${r3(rs.size / total)}}"""
+      val duckTot = if (rs.forall(_.duckP50.isDefined))
+        Some(rs.flatMap(_.duckP50).sum) else None
+      val dj = duckTot.map(d =>
+        s""","duck_total_p50":${r3(d)},"ratio_p50":${r3(total / d)}""").getOrElse("")
+      s""""$cls":{"total_p50":${r3(total)},"qps":${r3(rs.size / total)}$dj}"""
     }
 
     // star-tree: routed group-by vs the fact scan, value-checked equal
@@ -274,7 +344,8 @@ object BenchScale {
     // scan has no analogue for.
     val routedSection = {
       import graft.plans.StarTreeRegistry
-      val (idx, idx2, idx3) = ensureWorkloadTrees(spark, dir, table)
+      val trees = ensureWorkloadTrees(spark, dir, table)
+      val idx = trees.head
       // a2/a3 are GLOBAL aggregates (dim-filtered, no GROUP BY) — the
       // routing rule merges the filtered slice back down to one row
       val routable = Seq("a2_agg_1pred", "a3_agg_2pred",
@@ -285,19 +356,21 @@ object BenchScale {
         name -> Pql.toDataFrame(Pql.parse(pql), loader).collect()
       }.toMap
       Graft.enable(spark)
-      StarTreeRegistry.register(s"$dir/ontime.parquet", idx)
-      StarTreeRegistry.register(s"$dir/ontime.parquet", idx2)
-      StarTreeRegistry.register(s"$dir/ontime.parquet", idx3)
+      trees.foreach(t => StarTreeRegistry.register(s"$dir/ontime.parquet", t))
       try {
         val rs = routable.map { name =>
-          val pql = workload.find(_._1 == name).get._3
+          val (_, _, pql, duckSql) = workload.find(_._1 == name).get
           val df = Pql.toDataFrame(Pql.parse(pql), loader)
           val plan = df.queryExecution.executedPlan.toString
           require(!plan.contains("ontime.parquet"),
             s"$name did not route to the star-tree:\n$plan")
           verifyRoutedRows(name, df.collect(), expected(name))
           System.gc()
-          QueryResult(name, "agg", sample(reps)(exec(df)))
+          val sparkReps = sample(reps)(exec(df))
+          // twin = DuckDB's best raw-parquet answer (no rollup
+          // artifact there), window-paired with THESE reps
+          val duck = duckTwin(duckViews(dir), duckSql, reps)
+          QueryResult(name, "agg", sparkReps, duck, twinNone = duck.isEmpty)
         }
         // h1 through the derived-HLL route: the PQL text is UNCHANGED
         // ("SELECT DISTINCTCOUNTHLL(FlightNum) FROM ontime"); the
@@ -306,7 +379,7 @@ object BenchScale {
         // and the raw path are estimates, so scan-vs-routed equality
         // is not the contract — the lgK-12 envelope is).
         val hllEntry = {
-          val pql = workload.find(_._1 == "h1_hll").get._3
+          val (_, _, pql, duckSql) = workload.find(_._1 == "h1_hll").get
           val df = Pql.toDataFrame(Pql.parse(pql), loader)
           val plan = df.queryExecution.executedPlan.toString
           require(!plan.contains("ontime.parquet"),
@@ -316,7 +389,9 @@ object BenchScale {
           require(math.abs(est - exact) <= 0.05 * exact,
             s"routed derived-HLL estimate $est outside 5% of exact $exact")
           System.gc()
-          QueryResult("h1_hll", "apx", sample(reps)(exec(df)))
+          val sparkReps = sample(reps)(exec(df))
+          val duck = duckTwin(duckViews(dir), duckSql, reps)
+          QueryResult("h1_hll", "apx", sparkReps, duck, twinNone = duck.isEmpty)
         }
         s""""routed":{${(rs :+ hllEntry).map(_.json).mkString(",")},""" +
           s""""rollup_rows":${idx.rollup.count()}}"""
@@ -380,10 +455,14 @@ object BenchScale {
       val sLoader: String => DataFrame = _ => sorted
       exec(sorted) // warm the copy's page cache like the main table
       val rs = Seq("a2_agg_1pred", "a3_agg_2pred").map { name =>
-        val pql = workload.find(_._1 == name).get._3
+        val (_, _, pql, duckSql) = workload.find(_._1 == name).get
         val df = Pql.toDataFrame(Pql.parse(pql), sLoader)
         System.gc()
-        QueryResult(name, "agg", sample(reps)(exec(df)))
+        val sparkReps = sample(reps)(exec(df))
+        // paired twin over the SAME sorted copy (identical bytes)
+        val duck = duckTwin(duckViews(dir, "ontime_sorted" -> "ontime_sorted.parquet"),
+          duckSql.replace("FROM ontime", "FROM ontime_sorted"), reps)
+        QueryResult(name, "agg", sparkReps, duck, twinNone = duck.isEmpty)
       }
       // ORDERED-READ fast path (SortedInvertedIndexBasedFilterOperator
       // analog, graft.sources.SortedLayout): copies range-partitioned
@@ -407,7 +486,7 @@ object BenchScale {
         }
         val copy = spark.read.parquet(path)
         val ldr: String => DataFrame = _ => copy
-        val pql = workload.find(_._1 == name).get._3
+        val (_, _, pql, duckSql) = workload.find(_._1 == name).get
         val df = Pql.toDataFrame(Pql.parse(pql), ldr)
         require(df.inputFiles.length < copy.inputFiles.length,
           s"$name ordered read did not prune " +
@@ -422,7 +501,11 @@ object BenchScale {
         require(fastKeys == scanKeys,
           s"$name ordered-read page diverged from the scan plan on $keyCols")
         System.gc()
-        QueryResult(name, "sel", sample(reps)(exec(df)))
+        val sparkReps = sample(reps)(exec(df))
+        val view = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
+        val duck = duckTwin(duckViews(dir, view -> s"$view.parquet"),
+          duckSql.replace("FROM ontime", s"FROM $view"), reps)
+        QueryResult(name, "sel", sparkReps, duck, twinNone = duck.isEmpty)
       }
       s""""sorted":{${(rs ++ ordRs).map(_.json).mkString(",")}}"""
     }
@@ -476,7 +559,7 @@ object BenchScale {
       DictRegistry.register(factPath, idx)
       try {
         val rs = names.map { name =>
-          val pql = workload.find(_._1 == name).get._3
+          val (_, _, pql, duckSql) = workload.find(_._1 == name).get
           val df = Pql.toDataFrame(Pql.parse(pql), loader)
           val plan = df.queryExecution.executedPlan.toString
           require(!plan.contains("ontime.parquet") && plan.contains("ontime_dict"),
@@ -493,8 +576,12 @@ object BenchScale {
               s"$name routed page diverged from the raw plan on $keyCol")
           } else verifyRoutedRows(name, df.collect(), expected(name))
           System.gc()
+          val sparkReps = sample(reps)(exec(df))
+          // twin = DuckDB's best raw-parquet answer (it has no dict
+          // artifact), window-paired with THESE reps
+          val duck = duckTwin(duckViews(dir), duckSql, reps)
           QueryResult(name, if (selNames.contains(name)) "sel" else "agg",
-            sample(reps)(exec(df)))
+            sparkReps, duck, twinNone = duck.isEmpty)
         }
         s""""dict":{${rs.map(_.json).mkString(",")}}"""
       } finally DictRegistry.unregister(factPath)
@@ -528,15 +615,21 @@ object BenchScale {
       val nativePath = s"$dir/ontime_sorted_dse.parquet" // built by sortedSection
       val native = spark.read.parquet(nativePath)
       val nLoader: String => DataFrame = _ => native
-      val (idx, idx2, idx3) = ensureWorkloadTrees(spark, dir, table)
+      val trees = ensureWorkloadTrees(spark, dir, table)
+      // layoutBy: the encoded copy keeps the native table's
+      // (DaysSinceEpoch, FlightNum) physical sort, so the s2 page
+      // COMPOSES the sorted-subset read with id-space sort keys + late
+      // decode (DictLayout.orderedDictPage). Marker v2: the layout
+      // contract changed in r8, older flat copies must rebuild.
       val dPath = s"$dir/ontime_native_dict.parquet"
-      val dMarker = new java.io.File(s"$dir/_NATIVE_DICT_DONE")
+      val dMarker = new java.io.File(s"$dir/_NATIVE_DICT2_DONE")
       val dictIdx =
         if (dMarker.exists() && new java.io.File(dPath).exists())
           DictLayout.load(spark, nativePath, dPath)
         else {
           val i = DictLayout.build(spark, native, nativePath, dPath,
-            Seq("Carrier", "Origin", "Dest", "OriginState"))
+            Seq("Carrier", "Origin", "Dest", "OriginState"),
+            layoutBy = Seq("DaysSinceEpoch", "FlightNum"))
           java.nio.file.Files.write(dMarker.toPath, java.util.Arrays.asList("ok"))
           i
         }
@@ -553,9 +646,7 @@ object BenchScale {
       val pctExact = table.select(expr("percentile(ArrDelay, array(0.5, 0.95))"))
         .head().getSeq[Double](0)
       Graft.enable(spark)
-      StarTreeRegistry.register(nativePath, idx)
-      StarTreeRegistry.register(nativePath, idx2)
-      StarTreeRegistry.register(nativePath, idx3)
+      trees.foreach(t => StarTreeRegistry.register(nativePath, t))
       DictRegistry.register(nativePath, dictIdx)
       try {
         // which structure must answer each query, asserted on the plan:
@@ -567,7 +658,7 @@ object BenchScale {
         val treeRouted = Set("a2_agg_1pred", "a3_agg_2pred",
           "a4_groupby_1dim", "a5_groupby_2dim", "h1_hll")
         val dictRouted = Set("a6_groupby_3dim", "s1_filter_topn", "s3_point_topn")
-        val rs = workload.map { case (name, cls, pql, _) =>
+        val rs = workload.map { case (name, cls, pql, duckSql) =>
           val df = Pql.toDataFrame(Pql.parse(pql), nLoader)
           val plan = df.queryExecution.executedPlan.toString
           if (treeRouted(name))
@@ -576,10 +667,17 @@ object BenchScale {
           if (dictRouted(name))
             require(plan.contains("ontime_native_dict"),
               s"$name did not route to the dictionary layout:\n$plan")
-          if (name == "s2_page")
+          if (name == "s2_page") {
             require(df.inputFiles.length < native.inputFiles.length,
               s"s2 ordered read did not prune " +
                 s"(${df.inputFiles.length}/${native.inputFiles.length} files)")
+            // the COMPOSED route: sorted-subset read OF THE ENCODED
+            // copy (id-space page, decode fused into the top-K project)
+            require(plan.contains("ontime_native_dict"),
+              s"s2 did not compose the dict layout with the sorted read:\n$plan")
+            require(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+              s"s2 page does not late-decode dictionary values:\n$plan")
+          }
           name match {
             case "h1_hll" =>
               val est = df.head().getLong(0)
@@ -604,11 +702,22 @@ object BenchScale {
               verifyRoutedRows(n, df.collect(), expected(n))
           }
           System.gc()
-          QueryResult(name, cls, sample(reps)(exec(df)))
+          val sparkReps = sample(reps)(exec(df))
+          // the twin reads the SAME time-sorted files (identical
+          // bytes); the sidecar artifacts are the capability under
+          // test — window-paired per query
+          val duck = duckTwin(
+            duckViews(dir, "ontime_native" -> "ontime_sorted_dse.parquet"),
+            duckSql.replace("FROM ontime", "FROM ontime_native"), reps)
+          QueryResult(name, cls, sparkReps, duck, twinNone = duck.isEmpty)
         }
         val nClasses = rs.groupBy(_.cls).toSeq.sortBy(_._1).map { case (cls, qs) =>
           val total = qs.map(_.p50v).sum
-          s""""$cls":{"total_p50":${r3(total)},"qps":${r3(qs.size / total)}}"""
+          val duckTot = if (qs.forall(_.duckP50.isDefined))
+            Some(qs.flatMap(_.duckP50).sum) else None
+          val dj = duckTot.map(d =>
+            s""","duck_total_p50":${r3(d)},"ratio_p50":${r3(total / d)}""").getOrElse("")
+          s""""$cls":{"total_p50":${r3(total)},"qps":${r3(qs.size / total)}$dj}"""
         }
         s""""native":{"queries":{${rs.map(_.json).mkString(",")}},""" +
           s""""classes":{${nClasses.mkString(",")}}}"""
@@ -649,10 +758,16 @@ object BenchScale {
     exec(docs.select("doc_id", "n_chars")) // page in the metadata side
     System.gc()
 
-    // p1: token counting (DuckDB-expressible twin)
-    val p1 = QueryResult("p1_token_stats", "pipe", sample(reps)(exec(
-      docs.agg(avg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
-        count(lit(1)).as("n")))))
+    // p1: token counting (DuckDB-expressible twin, window-paired)
+    val docsViews = Map("docs" -> s"$dir/documents.parquet/*.parquet")
+    val p1 = {
+      val sparkReps = sample(reps)(exec(
+        docs.agg(avg(TextAnalysis.tokenCount(col("text"))).as("avg_tokens"),
+          count(lit(1)).as("n"))))
+      val duck = duckTwin(docsViews,
+        "SELECT avg(len(string_split(text, ' '))), count(*) FROM docs", reps)
+      QueryResult("p1_token_stats", "pipe", sparkReps, duck, twinNone = duck.isEmpty)
+    }
     System.gc()
     // p2: language-id + quality scoring through the FUSED kernel —
     // struct(lang, quality) in one text pass where the separate
@@ -663,7 +778,7 @@ object BenchScale {
       docs.select(TextAnalysis.langQuality(col("text")).as("lq"))
         .groupBy(col("lq.lang").as("lang_id"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("lq.quality")), 6).as("avg_q")))))
+          round(avg(col("lq.quality")), 6).as("avg_q")))), twinNone = true)
     System.gc()
     // p3: exact dedup — survivors = rows − planted exact dups (ids ≡ 1
     // mod 50 duplicate id−1), a closed-form correctness pin. Measures
@@ -676,8 +791,14 @@ object BenchScale {
     val expectedSurvivors = rows - ((rows + 48) / 50)
     require(survivors == expectedSurvivors,
       s"exact dedup found $survivors survivors, planted structure says $expectedSurvivors")
-    val p3 = QueryResult("p3_dedup_exact", "pipe", sample(reps)(
-      { Dedup.exactDedupIds(docs, "doc_id", "text").count(); () }))
+    val p3 = {
+      val sparkReps = sample(reps)(
+        { Dedup.exactDedupIds(docs, "doc_id", "text").count(); () })
+      val duck = duckTwin(docsViews,
+        "SELECT count(*) FROM (SELECT md5(text) AS f, min(doc_id) FROM docs GROUP BY f)",
+        reps)
+      QueryResult("p3_dedup_exact", "pipe", sparkReps, duck, twinNone = duck.isEmpty)
+    }
     System.gc()
 
     // p4: near-dup pipeline over a STORED signature segment (the
@@ -723,7 +844,7 @@ object BenchScale {
     val p4 = QueryResult("p4_near_dup", "pipe", sampleGc(p4Reps)(
       { val r = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
           numHashes = nHashes, bands = nBands)
-        r.pairs.count(); r.unpersist(); () }))
+        r.pairs.count(); r.unpersist(); () }), twinNone = true)
     // the signature segment has served its purpose (build cost and
     // staged-pipeline timings are recorded); drop it so the embedding
     // phase and later ladder points have the disk
@@ -771,7 +892,7 @@ object BenchScale {
     System.gc()
     val p5 = QueryResult("p5_knn_brute", "pipe", sample(reps)(
       { Similarity.knnJoin(queries, "vec_id", emb, "vec_id", "embedding", 10,
-        excludeSelf = true).count(); () }))
+        excludeSelf = true).count(); () }), twinNone = true)
     val centroids: Array[Array[Double]] = {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/ivf_centroids.json"))).trim
@@ -789,7 +910,7 @@ object BenchScale {
     val p6 = QueryResult("p6_ivf_ann", "pipe", sample(reps)(
       { Similarity.ivfKnn(queries, "vec_id", emb, "vec_id", "embedding",
         10, model, nprobe = 8, excludeSelf = true,
-        cellCol = Some("ivf_cell")).count(); () }))
+        cellCol = Some("ivf_cell")).count(); () }), twinNone = true)
     queries.unpersist()
     val ivfMeta =
       s""""ivf":{"setup_sec":${r3(ivfSecs)},"recall_at10":${r3(recall10)},""" +
@@ -822,17 +943,45 @@ object BenchScale {
     def pqlDf(name: String): DataFrame =
       Pql.toDataFrame(Pql.parse(workload.find(_._1 == name).get._3), loader)
 
+    // window-paired twins, memoized per statement WITHIN this heavy
+    // run (routed/dict entries reuse their scan twin from the same
+    // window instead of re-running a ~70 s 1B-row DuckDB group-by —
+    // the ratio convention is unchanged: DuckDB's best raw answer)
+    val twinMemo = scala.collection.mutable.Map[String, Option[Seq[Double]]]()
+    def pairedTwin(duckSql: String): Option[Seq[Double]] =
+      twinMemo.getOrElseUpdate(duckSql, duckTwin(duckViews(dir), duckSql, reps))
+    def duckSqlOf(name: String): String = workload.find(_._1 == name).get._4
+    // heavy-shape twins not in the workload table (DuckDB's hash()
+    // differs from xxhash64 in values but not distribution — the
+    // near-unique twin measures the same ~distinct-per-row workload)
+    val g1Duck =
+      "SELECT Carrier, quantile_cont(ArrDelay, 0.5) AS p50, quantile_cont(ArrDelay, 0.95) AS p95 " +
+        "FROM ontime GROUP BY Carrier ORDER BY p50 DESC LIMIT 15"
+    val g2Duck =
+      "SELECT quantile_cont(v, 0.5), quantile_cont(v, 0.95) FROM " +
+        "(SELECT CAST(hash(FlightNum, ArrTime, Distance) % 2147483648 AS DOUBLE) AS v FROM ontime)"
+
     System.gc()
-    val a6 = QueryResult("a6_groupby_3dim", "agg", sampleGc(reps)(exec(pqlDf("a6_groupby_3dim"))))
+    val a6 = {
+      val sparkReps = sampleGc(reps)(exec(pqlDf("a6_groupby_3dim")))
+      val duck = pairedTwin(duckSqlOf("a6_groupby_3dim"))
+      QueryResult("a6_groupby_3dim", "agg", sparkReps, duck, twinNone = duck.isEmpty)
+    }
     System.gc()
-    val h1 = QueryResult("h1_hll", "apx", sampleGc(reps)(exec(pqlDf("h1_hll"))))
+    val h1 = {
+      val sparkReps = sampleGc(reps)(exec(pqlDf("h1_hll")))
+      val duck = pairedTwin(duckSqlOf("h1_hll"))
+      QueryResult("h1_hll", "apx", sparkReps, duck, twinNone = duck.isEmpty)
+    }
     // grouped exact percentiles through the PQL front-end (the
     // distributed-histogram path, one histogram per (Carrier, value))
     val g1Pql = "SELECT PERCENTILE50(ArrDelay), PERCENTILE95(ArrDelay) FROM ontime GROUP BY Carrier TOP 15"
     System.gc()
     val g1 = {
       val df = Pql.toDataFrame(Pql.parse(g1Pql), loader)
-      QueryResult("g1_grouped_pctl", "agg", sampleGc(reps)(exec(df)))
+      val sparkReps = sampleGc(reps)(exec(df))
+      val duck = pairedTwin(g1Duck)
+      QueryResult("g1_grouped_pctl", "agg", sparkReps, duck, twinNone = duck.isEmpty)
     }
     // the rank-pass cliff: exact percentiles over a NEAR-UNIQUE value
     // (~2^31 hash domain over 1B rows → ~8·10^8 distinct histogram
@@ -862,8 +1011,11 @@ object BenchScale {
           s"rankSelect diverged from the histogram plan: $fromSelect vs $fromHist")
       }
       // rankSelect is EAGER — each rep rebuilds the full pass sequence
-      QueryResult("g2_nearunique_pctl", "agg", sampleGc(reps)(
-        { Percentiles.rankSelect(nearUnique, "v", specs).collect(); () }))
+      val sparkReps = sampleGc(reps)(
+        { Percentiles.rankSelect(nearUnique, "v", specs).collect(); () })
+      val duck = pairedTwin(g2Duck)
+      QueryResult("g2_nearunique_pctl", "agg", sparkReps, duck,
+        twinNone = duck.isEmpty)
     }
 
     // routed star-tree: the (Cancelled, Carrier, Origin, Dest) tree's
@@ -882,14 +1034,30 @@ object BenchScale {
     }
     val idx = StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
       Seq("ArrDelay", "DepDelay"), spark.read.parquet(stPath), 0, 0)
+    // the a5-matching sibling (see ensureWorkloadTrees): at 1B rows the
+    // 490K-row 4-dim rollup was the routed-a5 residual; the 3-dim tree
+    // re-aggregates ~33K rows instead
+    val st7Path = s"$dir/startree_cancel_od.parquet"
+    val marker7 = new java.io.File(s"$dir/_ST7_DONE")
+    if (!marker7.exists()) {
+      StarTree.build(table, Seq("Cancelled", "Origin", "Dest"),
+        Seq("ArrDelay", "DepDelay")).rollup
+        .write.mode("overwrite").parquet(st7Path)
+      java.nio.file.Files.write(marker7.toPath, java.util.Arrays.asList("ok"))
+    }
+    val idx7 = StarTree.Index(Seq("Cancelled", "Origin", "Dest"),
+      Seq("ArrDelay", "DepDelay"), spark.read.parquet(st7Path), 0, 0)
     val routable = Seq("a4_groupby_1dim", "a5_groupby_2dim")
     val scanRs = routable.map { name =>
       System.gc()
-      name -> QueryResult(name, "agg", sampleGc(reps)(exec(pqlDf(name))))
+      val sparkReps = sampleGc(reps)(exec(pqlDf(name)))
+      val duck = pairedTwin(duckSqlOf(name))
+      name -> QueryResult(name, "agg", sparkReps, duck, twinNone = duck.isEmpty)
     }
     val expected = routable.map(name => name -> pqlDf(name).collect()).toMap
     Graft.enable(spark)
     StarTreeRegistry.register(s"$dir/ontime.parquet", idx)
+    StarTreeRegistry.register(s"$dir/ontime.parquet", idx7)
     val routedRs =
       try routable.map { name =>
         val df = pqlDf(name)
@@ -898,7 +1066,9 @@ object BenchScale {
           s"$name did not route to the star-tree:\n$plan")
         verifyRoutedRows(name, df.collect(), expected(name))
         System.gc()
-        QueryResult(name, "agg", sampleGc(reps)(exec(df)))
+        val sparkReps = sampleGc(reps)(exec(df))
+        val duck = pairedTwin(duckSqlOf(name)) // memoized same-window twin
+        QueryResult(name, "agg", sparkReps, duck, twinNone = duck.isEmpty)
       } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
 
     // dictionary layout at 1B rows: the dict-id group-by must scale
@@ -929,7 +1099,9 @@ object BenchScale {
         require(!plan.contains("ontime.parquet") && plan.contains("ontime_dict"),
           s"$name did not route to the dictionary layout:\n$plan")
         System.gc()
-        QueryResult(name, "agg", sampleGc(reps)(exec(df)))
+        val sparkReps = sampleGc(reps)(exec(df))
+        val duck = pairedTwin(duckSqlOf(name)) // memoized same-window twin
+        QueryResult(name, "agg", sparkReps, duck, twinNone = duck.isEmpty)
       } finally DictRegistry.unregister(factPath)
     }
 
@@ -1023,7 +1195,7 @@ object BenchScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r07.json"
+    val outFile = if (args.nonEmpty) args(0) else "/root/repo/BENCH_SCALE_r08.json"
     // optional second arg restricts the scale ladder ("sf1,sf100") —
     // smoke runs and resumes after an interrupted ladder
     val wanted: Set[String] =

@@ -101,7 +101,8 @@ object DictLayout {
     * cardinality ≪ rows, so each is a cheap partial-agg shuffle) and
     * ONE full read/write of the fact for the encoding pass. */
   def build(spark: SparkSession, fact: DataFrame, factPath: String,
-      encodedPath: String, dictCols: Seq[String]): Index = {
+      encodedPath: String, dictCols: Seq[String],
+      layoutBy: Seq[String] = Nil): Index = {
     require(dictCols.nonEmpty, "dictCols must be non-empty")
     dictCols.foreach { c =>
       val f = fact.schema.fields.find(_.name == c).getOrElse(
@@ -151,8 +152,20 @@ object DictLayout {
         stored.as(f.name + "__did")
       } else col(f.name)
     }
-    fact.select(encodedCols.toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(encodedPath)
+    // `layoutBy`: ALSO range-partition + sort the encoded copy on the
+    // given (non-dict) columns, so [[graft.sources.SortedLayout]]
+    // detects the encoded copy as a sorted layout too — the composed
+    // sorted-page + id-space route ([[orderedDictPage]]). Without it,
+    // the narrow select-write packs input splits by size and destroys
+    // per-file range disjointness.
+    val encoded0 = fact.select(encodedCols.toIndexedSeq: _*)
+    val encoded1 =
+      if (layoutBy.isEmpty) encoded0
+      else encoded0
+        .repartitionByRange(math.max(fact.inputFiles.length, 8),
+          layoutBy.map(col): _*)
+        .sortWithinPartitions(layoutBy.map(col): _*)
+    encoded1.write.mode("overwrite").parquet(encodedPath)
     // persist the dictionaries INSIDE the segment dir under an
     // underscore prefix (parquet readers skip `_`/`.` paths, like
     // _SUCCESS) so the artifact is self-contained and re-loadable
@@ -164,6 +177,69 @@ object DictLayout {
         .parquet(s"$encodedPath/_dicts/$c")
     }
     Index(factPath, spark.read.parquet(encodedPath), dicts)
+  }
+
+  /** COMPOSED sorted-page + dictionary route: an unfiltered
+    * `SELECT cols ORDER BY ... LIMIT offset, size` over a registered
+    * raw table answers from the ENCODED copy's sorted layout — file
+    * subset + boundary tightening from [[graft.sources.SortedLayout]],
+    * sort keys on dict columns compare int ids (sorted dictionary ⇒
+    * id order ≡ value order, null ids iff null values), and values
+    * decode AFTER the offset/limit cut — `size` decodes, not
+    * file-rows. This is the composition [[DictRegistry.lookupExact]]
+    * deliberately blocks at the rule level (a pruned subset relation
+    * must not be hijacked onto the FULL encoded copy); here the
+    * pruning and the encoding come from the same artifact, so both
+    * levers apply. Requires the encoded copy built with
+    * `layoutBy = <primary order column>` (otherwise its footers fail
+    * the sorted-layout detection and this returns None).
+    *
+    * `selectIdents` are the query's plainly-named output columns;
+    * `selectCount` is the FULL select-list length — a computed select
+    * expression makes them differ, and the route bails. */
+  def orderedDictPage(base: DataFrame, selectIdents: Seq[String],
+      selectCount: Int, orderBy: Seq[(String, Boolean)],
+      offset: Int, size: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    if (selectIdents.isEmpty || selectIdents.length != selectCount ||
+      orderBy.isEmpty) return None
+    val idx = base.queryExecution.analyzed match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths match {
+          case Seq(single) => DictRegistry.lookupExact(single.toString)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    idx.flatMap { i =>
+      val enc = i.encoded
+      val names = selectIdents ++ orderBy.map(_._1)
+      def encName(c: String): String = if (i.dicts.contains(c)) c + "__did" else c
+      val covered = names.forall(n => enc.schema.fieldNames.contains(encName(n)))
+      // the primary order column must be a RAW (non-dict) column: the
+      // encoded copy's sorted layout is physical on the raw values
+      if (!covered || i.dicts.contains(orderBy.head._1)) None
+      else {
+        val order = orderBy.map { case (c, asc) => (encName(c), asc) }
+        graft.sources.SortedLayout.orderedSelection(
+          enc, order, None, offset.toLong + size.toLong, { sub =>
+            val sortCols = order.map { case (c, asc) =>
+              if (asc) col(c).asc else col(c).desc }
+            val paged = sub
+              .select(names.distinct.map(n => col(encName(n))): _*)
+              .orderBy(sortCols: _*)
+            val cut = (if (offset > 0) paged.offset(offset) else paged).limit(size)
+            cut.select(selectIdents.map { n =>
+              if (i.dicts.contains(n))
+                GraftSqlBridge.column(exprs.DictDecode(
+                  GraftSqlBridge.expression(col(n + "__did")), i.dicts(n))).as(n)
+              else col(n)
+            }: _*)
+          })
+      }
+    }
   }
 
   /** Re-open a previously [[build]]-written encoded segment: reads the

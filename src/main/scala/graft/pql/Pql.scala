@@ -850,12 +850,27 @@ object Pql {
       // detected from footer metadata, never assumed. DISTINCT pages
       // are excluded: dedup could shrink the page below `size` after
       // pruning decided the subset from raw row counts.
+      //
+      // COMPOSED route first: when the table also has a registered
+      // dictionary layout whose encoded copy is range-partitioned on
+      // the same primary column, the page runs over the ENCODED subset
+      // — id-space sort keys, dictionary values decoded AFTER the page
+      // cut (the reference's sorted forward index + selection result
+      // assembly, `SelectionOperatorService.java:46-95`).
       val fastPage: Option[DataFrame] =
         if (q.orderBy.isEmpty || q.distinct) None
-        else graft.sources.SortedLayout.orderedSelection(
-          base, q.orderBy.head._1, q.orderBy.head._2,
-          q.where.map(w => predicate(w, base.schema)),
-          offset.toLong + size.toLong, finish)
+        else {
+          val needed = offset.toLong + size.toLong
+          val composed =
+            if (q.where.nonEmpty || q.select == Seq(Star)) None
+            else graft.plans.DictLayout.orderedDictPage(
+              base, q.select.collect { case Ident(n) => n },
+              q.select.length, q.orderBy, offset, size)
+          composed.orElse(graft.sources.SortedLayout.orderedSelection(
+            base, q.orderBy,
+            q.where.map(w => predicate(w, base.schema)),
+            needed, finish))
+        }
       fastPage.getOrElse(finish(filtered))
     }
   }

@@ -297,6 +297,60 @@ class DictLayoutSpec extends SparkSpec {
     }
   }
 
+  test("composed route: sorted encoded subset + id-space sort + late decode") {
+    import graft.pql.Pql
+    // a copy of lineitem range-partitioned on l_orderkey (the sorted
+    // segment), dict-encoded WITH the same layout — the two levers the
+    // r7 design kept mutually exclusive
+    val rawPath = tmp("comp_raw")
+    val encPath = tmp("comp_enc")
+    fact.repartitionByRange(8, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+      .write.mode("overwrite").parquet(rawPath)
+    val sortedRaw = spark.read.parquet(rawPath)
+    val cIdx = DictLayout.build(spark, sortedRaw, rawPath, encPath,
+      Seq("l_returnflag", "l_linestatus"),
+      layoutBy = Seq("l_orderkey", "l_linenumber"))
+    graft.Graft.enable(spark)
+    DictRegistry.register(rawPath, cIdx)
+    try {
+      val resolve: String => org.apache.spark.sql.DataFrame = {
+        case "li_sorted" => sortedRaw
+        case n => graft.sources.Tables.load(spark, sfDir, n)
+      }
+      val pql = "SELECT l_orderkey, l_linenumber, l_returnflag FROM li_sorted " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 40, 25"
+      val df = Pql.toDataFrame(Pql.parse(pql), resolve)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("comp_enc"), s"page not composed onto the encoded copy:\n$plan")
+      // the decode projection fuses INTO TakeOrderedAndProject (whose
+      // simpleString hides the project list) — assert it on the
+      // optimized plan + the fused top-K operator on the physical one
+      assert(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+        s"page does not late-decode:\n${df.queryExecution.optimizedPlan}")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"page did not fuse into the top-K operator:\n$plan")
+      assert(df.inputFiles.length < cIdx.encoded.inputFiles.length,
+        s"encoded subset not pruned (${df.inputFiles.length})")
+      // values: (l_orderkey, l_linenumber) is a total order over the
+      // page, so full-row equality with the raw plan holds
+      val expect = fact.select($"l_orderkey", $"l_linenumber", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber").offset(40).limit(25)
+        .collect().map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq === expect)
+      // a filtered page must NOT take the composed route (predicate
+      // translation is the rule's job), but still answers correctly
+      val fpql = "SELECT l_orderkey, l_returnflag FROM li_sorted " +
+        "WHERE l_quantity > 10 ORDER BY l_orderkey LIMIT 15"
+      val fdf = Pql.toDataFrame(Pql.parse(fpql), resolve)
+      val fexp = fact.filter($"l_quantity" > 10)
+        .select($"l_orderkey", $"l_returnflag")
+        .orderBy($"l_orderkey").limit(15)
+        .collect().map(_.toSeq).toSeq
+      assert(fdf.collect().map(_.toSeq).toSeq.map(_.head) === fexp.map(_.head))
+    } finally DictRegistry.unregister(rawPath)
+  }
+
   test("dict_decode fails loudly (named) on an out-of-range id") {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.unsafe.types.UTF8String

@@ -1,5 +1,10 @@
 #!/usr/bin/env python3
-"""DuckDB twin of graft.BenchScale (dev tooling, like selfcheck.py):
+"""LEGACY DuckDB twin merger (pre-r8 artifacts only): since r8 the
+twin is WINDOW-PAIRED inside graft.BenchScale via tools/duck_once.py,
+so fresh artifacts never need this script. Kept to re-derive ratios
+for old reports.
+
+Original behavior:
 runs the same B2/B3/B4 statements over the same generated parquet,
 with the same method (1 warmup + 5 timed reps, p50 = median,
 p95 = max), and merges per-query timings + ratios into the
