@@ -136,6 +136,39 @@ object BenchProbe {
         Percentiles.histogramAggs(nearUnique, Nil, "v", specs))
     }
 
+    if (which == "a5") {
+      // which tree does a5 route to, and where does the 0.57 s go?
+      import graft.plans.{StarTree, StarTreeRegistry}
+      val t4 = StarTree.Index(Seq("Cancelled", "Origin", "Dest"),
+        Seq("ArrDelay", "DepDelay"),
+        spark.read.parquet(s"$dir/startree_cancel_od.parquet"), 0, 0)
+      val t1 = StarTree.Index(Seq("Cancelled", "Carrier", "Origin", "Dest"),
+        Seq("ArrDelay", "DepDelay"),
+        spark.read.parquet(s"$dir/startree_cancel_carrier_od.parquet"), 0, 0)
+      println(s"[probe] t4 rows=${t4.rollup.count()} t1 rows=${t1.rollup.count()}")
+      Graft.enable(spark)
+      val pql = BenchScale.workload.find(_._1 == "a5_groupby_2dim").get._3
+      def df = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(pql), _ => t)
+      StarTreeRegistry.register(s"$dir/ontime.parquet", t1)
+      StarTreeRegistry.register(s"$dir/ontime.parquet", t4)
+      try {
+        val plan = df.queryExecution.executedPlan.toString
+        println("[probe] a5 scans cancel_od: " + plan.contains("startree_cancel_od"))
+        println("[probe] a5 scans carrier_od: " + plan.contains("startree_cancel_carrier_od"))
+        run("a5 routed (both trees)")(df)
+      } finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
+      StarTreeRegistry.register(s"$dir/ontime.parquet", t1)
+      try run("a5 routed (t1 only)")(df)
+      finally StarTreeRegistry.unregister(s"$dir/ontime.parquet")
+      // the slice itself, hand-written over t4's rollup
+      val slice = t4.rollup.filter(col("Cancelled") === 0 &&
+          col("Origin").isNotNull && col("Dest").isNotNull)
+        .groupBy(col("Origin"), col("Dest"))
+        .agg((sum(col("sum_ArrDelay")) / sum(col("star_count"))).as("a"))
+        .orderBy(col("a").desc).limit(100)
+      run("a5 hand slice over t4")(slice)
+    }
+
     if (which == "s2") {
       // s2_page decomposition on the DSE-sorted copy: (a) today's
       // subset TakeOrdered, (b) + synthesized sorted-column bound
