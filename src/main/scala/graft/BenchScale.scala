@@ -754,7 +754,14 @@ object BenchScale {
     // the noise the est filter + exact-verify stages exist to kill, so
     // the recorded candidate/verified counts show the funnel working.
     // The recall assertion below keeps the tradeoff honest.
-    val (nHashes, nBands) = if (rows >= 50000000L) (8, 4) else (64, 16)
+    // (8,4) from 10M docs up — the r8 p4cfg probe showed the knee:
+    // at 10M docs (8,4) runs 17.4 s / recall 0.9997 where (64,16) ran
+    // 117.7 s / recall 1.0 with an IDENTICAL candidate funnel shape
+    // (600.6K candidates either way — accidental collisions are ~1%
+    // of candidates, so extra hashes buy nothing the verify stage
+    // doesn't already kill). Tiny corpora keep the wide signature
+    // (storage is free there and the recall bar stays trivially met).
+    val (nHashes, nBands) = if (rows >= 10000000L) (8, 4) else (64, 16)
     exec(docs.select("doc_id", "n_chars")) // page in the metadata side
     System.gc()
 
@@ -853,8 +860,10 @@ object BenchScale {
       s""""minhash":{"num_hashes":$nHashes,"bands":$nBands,""" +
         s""""sig_build_sec":${r3(sigSecs)},"cand_pairs":$cands,""" +
         s""""verified_pairs":$verified,"planted_pairs":$plantedN,""" +
-        s""""recall":${r3(recall)},""" +
-        s""""precision":${r3(if (verified == 0) 1.0 else hit.toDouble / verified)}}"""
+        // 6 decimals: r3 rounds 0.9997 to "1.000", overstating recall
+        s""""recall":${String.format(java.util.Locale.US, "%.6f", Double.box(recall))},""" +
+        s""""precision":${String.format(java.util.Locale.US, "%.6f",
+          Double.box(if (verified == 0) 1.0 else hit.toDouble / verified))}}"""
 
     // p5/p6: knn-join (brute, the exactness baseline) and IVF (the
     // scale path) — 16 queries drawn from the corpus, k = 10.

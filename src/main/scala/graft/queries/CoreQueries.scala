@@ -548,6 +548,48 @@ object CoreQueries {
     } finally DictRegistry.unregister(factPath)
   }
 
+  private val composedCache =
+    new SessionCache[(String, graft.plans.DictLayout.Index)]
+
+  /** COMPOSED page route (r8): a SORTED segment whose dictionary-
+    * encoded copy keeps the same physical order (`DictLayout.build
+    * layoutBy = sort key`) answers an unfiltered ordered page from the
+    * ENCODED file subset — footer pruning + boundary tightening from
+    * [[graft.sources.SortedLayout]], id-space page cut, dictionary
+    * values decoded only for the LIMIT rows
+    * ([[graft.plans.DictLayout.orderedDictPage]], the reference's
+    * sorted forward index + `SelectionOperatorService` result
+    * assembly). Unique `o_orderkey` order makes the page exact. */
+  def qComposedPage(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{DictLayout, DictRegistry}
+    graft.Graft.enable(s)
+    val fact = t(s, dir, "orders")
+    val (sortedPath, idx) = composedCache.getOrElseUpdate(s, s"comp|$dir") {
+      val tag = TmpTag(dir)
+      val rawDir = s"${System.getProperty("java.io.tmpdir")}/graft_comp_raw_$tag"
+      fact.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(rawDir)
+      val sorted = s.read.parquet(rawDir)
+      val encDir = s"${System.getProperty("java.io.tmpdir")}/graft_comp_enc_$tag"
+      (rawDir, DictLayout.build(s, sorted, rawDir, encDir,
+        Seq("o_orderstatus", "o_orderpriority"), layoutBy = Seq("o_orderkey")))
+    }
+    DictRegistry.register(sortedPath, idx)
+    try {
+      val pql = "SELECT o_orderkey, o_orderstatus, o_orderpriority " +
+        "FROM orders_sorted ORDER BY o_orderkey LIMIT 100, 40"
+      val df = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(pql),
+        _ => s.read.parquet(sortedPath))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("graft_comp_enc"),
+        s"page must compose onto the encoded copy:\n$plan")
+      require(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+        "composed page must late-decode dictionary values")
+      df
+    } finally DictRegistry.unregister(sortedPath)
+  }
+
   private val bucketReady = new SessionCache[(String, String)]
 
   /** Write-once bucketed twins of (lineitem, orders) hashed on the
@@ -775,6 +817,7 @@ object CoreQueries {
     "q_distinct" -> qDistinct,
     "q_percentile" -> qPercentile,
     "q_percentile_rank" -> qPercentileRank,
+    "q_composed_page" -> qComposedPage,
     "q_arithmetic" -> qArithmetic,
     "q_time_bucket" -> qTimeBucket,
     "q_datetime_convert" -> qDateTimeConvert,
@@ -856,6 +899,9 @@ object CoreQueries {
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 3) AS p95
         |FROM lineitem""".stripMargin,
+    "q_composed_page" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderkey LIMIT 40 OFFSET 100""".stripMargin,
     "q_arithmetic" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 3) AS charged,
