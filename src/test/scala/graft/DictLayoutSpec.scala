@@ -338,6 +338,21 @@ class DictLayoutSpec extends SparkSpec {
         .orderBy($"l_orderkey", $"l_linenumber").offset(40).limit(25)
         .collect().map(_.toSeq).toSeq
       assert(df.collect().map(_.toSeq).toSeq === expect)
+      // dict column as the SECONDARY sort key: the id-space sort and
+      // the boundary-tightening probe both run on the int code column,
+      // whose order equals value order by the UTF8-binary dictionary
+      val dpql = "SELECT l_orderkey, l_returnflag, l_linenumber FROM li_sorted " +
+        "ORDER BY l_orderkey, l_returnflag LIMIT 10, 30"
+      val ddf = Pql.toDataFrame(Pql.parse(dpql), resolve)
+      assert(ddf.queryExecution.executedPlan.toString.contains("comp_enc"))
+      val dexp = fact.select($"l_orderkey", $"l_returnflag", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_returnflag").offset(10).limit(30)
+        .select($"l_orderkey", $"l_returnflag")
+        .collect().map(_.toSeq).toSeq
+      // (l_orderkey, l_returnflag) may tie inside a page row-set, so
+      // compare the ORDER-pinned columns only
+      assert(ddf.select($"l_orderkey", $"l_returnflag")
+        .collect().map(_.toSeq).toSeq === dexp)
       // a filtered page must NOT take the composed route (predicate
       // translation is the rule's job), but still answers correctly
       val fpql = "SELECT l_orderkey, l_returnflag FROM li_sorted " +
