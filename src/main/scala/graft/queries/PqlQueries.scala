@@ -99,7 +99,22 @@ object PqlQueries {
       Pql.toDataFrame(Pql.parse(
         "SELECT COUNT(*) FROM documents " +
           "GROUP BY VALUEIN(words, 'scan', 'join', 'filter', 'the') TOP 10"), resolver)
-    })) + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
+    })) + ("q_pql_percentile_rank" -> ((s: SparkSession, dir: String) =>
+      // r9: the rankSelect PQL routing — GLOBAL exact PERCENTILE over
+      // a wide double column (near-unique values) compiles to
+      // Percentiles.rankSelect (distributed quickselect) instead of
+      // the per-group value-buffer `percentile()`; same quantile_cont
+      // semantics, no full-width shuffle (asserted in PqlSpec).
+      // Rounded AFTER the PQL frame for cross-engine hash parity.
+      Pql.run(s, dir,
+          """SELECT PERCENTILE50(l_extendedprice), PERCENTILE95(l_extendedprice)
+            |FROM lineitem WHERE l_quantity > 5""".stripMargin)
+        .select(
+          round(col("percentile50_l_extendedprice"), 3)
+            .as("percentile50_l_extendedprice"),
+          round(col("percentile95_l_extendedprice"), 3)
+            .as("percentile95_l_extendedprice")))
+    ) + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
       Pql.run(s, dir, pqlMvAgg).select(
         col("label"),
         col("countmv_embedding"),
@@ -186,6 +201,11 @@ object PqlQueries {
       """SELECT count(*) AS count_star, max(o_totalprice) AS max_o_totalprice
         |FROM orders
         |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL""".stripMargin,
+    "q_pql_percentile_rank" ->
+      """SELECT
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS percentile50_l_extendedprice,
+        |  round(quantile_cont(l_extendedprice, 0.95), 3) AS percentile95_l_extendedprice
+        |FROM lineitem WHERE l_quantity > 5""".stripMargin,
     // unnest = explode; float min/max/range use float arithmetic in
     // both engines (bit-identical) before the widening round; sum/avg
     // widen per-element to double then round away the order difference

@@ -301,6 +301,48 @@ class PqlSpec extends SparkSpec {
     assert(rows("b") === ((None, None, 3.0)))
   }
 
+  test("global exact PERCENTILE over wide columns routes to rankSelect " +
+      "(no full-width shuffle, no value-buffer percentile agg)") {
+    // r9: l_extendedprice is double (near-unique at scale) → the PQL
+    // compiler runs Percentiles.rankSelect eagerly and the RETURNED
+    // frame is a local 1-row relation: no Exchange, no `percentile(`
+    // buffer aggregate anywhere in what a caller would execute.
+    val out = run(
+      "SELECT PERCENTILE50(l_extendedprice), PERCENTILE95(l_extendedprice) " +
+        "FROM lineitem WHERE l_quantity > 5")
+    assert(out.columns.toSeq === Seq(
+      "percentile50_l_extendedprice", "percentile95_l_extendedprice"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"shuffle in rank-routed plan:\n$phys")
+    assert(!phys.contains("percentile("), s"buffer agg in rank-routed plan:\n$phys")
+    // values identical to the percentile() formula over the same filter
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" > 5)
+    val Seq((w50, w95)) = li.select(
+        percentile($"l_extendedprice", lit(0.5)),
+        percentile($"l_extendedprice", lit(0.95)))
+      .as[(Double, Double)].collect().toSeq
+    val row = out.head()
+    assert(row.getDouble(0) === w50)
+    assert(row.getDouble(1) === w95)
+    // mixed with sketch/plain aggregations: the rank frame crossJoins
+    // in and only the OTHER aggregations scan the fact table
+    val mixed = run(
+      "SELECT COUNT(*), PERCENTILE50(l_extendedprice), MAX(l_quantity) FROM lineitem")
+    assert(mixed.columns.toSeq === Seq(
+      "count_star", "percentile50_l_extendedprice", "max_l_quantity"))
+    val mplan = mixed.queryExecution.optimizedPlan.toString
+    assert(!mplan.contains("percentile("), s"buffer agg leaked back:\n$mplan")
+    val mrow = mixed.head()
+    val want50 = li.sparkSession.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(percentile($"l_extendedprice", lit(0.5))).as[Double].head()
+    assert(mrow.getDouble(1) === want50)
+    // LongType columns (unbounded distinct) route too; int columns
+    // keep the histogram (covered by the integral-routing test above)
+    val longCol = run("SELECT PERCENTILE50(l_orderkey) FROM lineitem")
+    assert(!longCol.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
     // global aggregation: two fractions, ONE percentile_approx in the plan
     val global = run(
