@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout through RAW instead of piping it into
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// broke the driver's JSON-line parse of Bench output (BENCH_r08
+// shipped parsed:null because of exactly this prefix)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

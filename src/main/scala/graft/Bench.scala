@@ -192,14 +192,27 @@ object Bench {
       "q_dict_page", "q_merge_rollup", "q_dedup_exact", "q_near_dup",
       "q_minhash_pairs", "q_knn_brute", "q_ivf_ann", "q_lang_quality",
       "q_token_stats", "q_pql_udf_group")
+    // a renamed/removed query must fail LOUDLY, not silently shrink
+    // the stdout artifact (it still shows up in `failed` if it threw)
+    val stale = headline.filterNot(names.contains)
+    require(stale.isEmpty, s"headline names not in SparkEntry.queries: $stale")
     val hq = results.filter(r => headline.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,""" +
         s""""queries_headline_only":true,"full":"BENCH_FULL.json","failed":$fj,""" +
         s""""floor_sec":${r3(floor)}$ingestJson,"sf":"$sfDir"}"""
-    println(line)
     spark.stop()
+    // the driver tail-captures stdout and json-parses the final line;
+    // sbt's in-process runner wraps println output in its "[info] "
+    // logger prefix, which is exactly why BENCH_r08 shipped
+    // parsed:null. Writing to the REAL fd 1 (FileDescriptor.out)
+    // bypasses the System.setOut capture and lands the line bare.
+    System.out.flush(); Console.out.flush(); System.err.flush()
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(line)
+    raw.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -149,15 +149,28 @@ object BenchScale {
       val req = s"""{"views":{${views.map { case (k, v) =>
           s"${jstr(k)}:${jstr(v)}" }.mkString(",")}},"sql":${jstr(sql)},"reps":$reps}"""
       val pb = new ProcessBuilder("python3", "/root/repo/tools/duck_once.py")
-      pb.redirectErrorStream(false)
+      // merge stderr into stdout: an UNREAD stderr pipe that fills its
+      // ~64 KB buffer blocks the child's writes while we block on
+      // readAllBytes(stdout) — a whole-ladder deadlock from one chatty
+      // duckdb/python warning burst (ADVICE r8). Non-JSON chatter is
+      // stripped by keying on the "reps" payload line below.
+      pb.redirectErrorStream(true)
       val proc = pb.start()
       val in = proc.getOutputStream
       in.write(req.getBytes("UTF-8")); in.close()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
       val code = proc.waitFor()
-      if (code != 0 || !out.startsWith("{")) return None
-      val arr = out.substring(out.indexOf('[') + 1, out.indexOf(']'))
-      val reps0 = arr.split(",").filter(_.nonEmpty).map(_.trim.toDouble).toSeq
+      if (code != 0) return None
+      // locate the reps array AFTER its key, on the last line carrying
+      // it — robust to any prefix lines the merged stderr adds
+      val line = out.linesIterator.toSeq.reverse
+        .find(l => l.trim.startsWith("{") && l.contains("\"reps\""))
+        .getOrElse(return None)
+      val ki = line.indexOf("\"reps\"")
+      val (ai, zi) = (line.indexOf('[', ki), line.indexOf(']', ki))
+      if (ai < 0 || zi < ai) return None
+      val reps0 = line.substring(ai + 1, zi)
+        .split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble).toSeq
       if (reps0.isEmpty) None else Some(reps0)
     } catch { case scala.util.control.NonFatal(_) => None }
   }

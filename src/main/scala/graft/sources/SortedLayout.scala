@@ -199,14 +199,27 @@ object SortedLayout {
     val probe = frame.select(cols.map(c => col(c._1)): _*)
       .orderBy(sortCols: _*).offset((needed - 1).toInt).limit(1)
       .collect().headOption
+    // the literal must carry the COLUMN's exact DataType: lit() on a
+    // collected BigDecimal typically derives a different precision/
+    // scale than the column, so the comparison gets wrapped in Casts
+    // and silently loses the parquet page-index pushdown this whole
+    // optimization exists for (ADVICE r8). Literal.create with the
+    // column's own type produces a cast-free pushable predicate; any
+    // conversion failure just skips tightening (correct either way).
+    def typedLit(name: String, v: Any): Option[Column] =
+      try Some(org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, frame.schema(name).dataType)))
+      catch { case scala.util.control.NonFatal(_) => None }
     probe match {
       case None => frame // fewer matching rows than the page — no cut
       case Some(r) =>
         val (pName, pAsc) = cols.head
         val pv = r.get(0)
         if (pv == null || !litable(pv)) return frame
+        val pLit = typedLit(pName, pv).getOrElse(return frame)
         val pCol = col(pName)
-        val strictPrim = if (pAsc) pCol < lit(pv) else pCol > lit(pv)
+        val strictPrim = if (pAsc) pCol < pLit else pCol > pLit
         val tiePred =
           if (cols.size < 2) lit(true)
           else {
@@ -215,10 +228,13 @@ object SortedLayout {
             val sCol = col(sName)
             if (sv == null) { if (sAsc) sCol.isNull else lit(true) }
             else if (!litable(sv)) lit(true)
-            else if (sAsc) (sCol <= lit(sv)) || sCol.isNull
-            else sCol >= lit(sv)
+            else typedLit(sName, sv) match {
+              case None => lit(true)
+              case Some(sLit) =>
+                if (sAsc) (sCol <= sLit) || sCol.isNull else sCol >= sLit
+            }
           }
-        frame.where(strictPrim || (pCol === lit(pv) && tiePred))
+        frame.where(strictPrim || (pCol === pLit && tiePred))
     }
   }
 
