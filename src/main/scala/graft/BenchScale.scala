@@ -724,7 +724,39 @@ object BenchScale {
             duckSql.replace("FROM ontime", "FROM ontime_native"), reps)
           QueryResult(name, cls, sparkReps, duck, twinNone = duck.isEmpty)
         }
-        val nClasses = rs.groupBy(_.cls).toSeq.sortBy(_._1).map { case (cls, qs) =>
+        // s2 WITH a predicate (r9): the filtered composed page — dict
+        // EQ translated to id space (pushed int filter on the encoded
+        // subset), adaptive sorted-subset walk, decode after the cut.
+        // The reference's SelectionOrderByOperator shape (filter +
+        // sort + page) measured on its own declared layout.
+        val s2f = {
+          val pql = "SELECT DaysSinceEpoch, FlightNum, Origin FROM ontime " +
+            "WHERE Dest = 'A07' ORDER BY DaysSinceEpoch, FlightNum LIMIT 1000, 100"
+          val df = Pql.toDataFrame(Pql.parse(pql), nLoader)
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("ontime_native_dict"),
+            s"filtered s2 did not compose the dict layout:\n$plan")
+          require(plan.contains("Dest__did"),
+            s"filtered s2 predicate must run in id space:\n$plan")
+          require(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+            s"filtered s2 page does not late-decode:\n$plan")
+          // page contract vs the raw plan on the primary order column
+          val exp = Pql.toDataFrame(Pql.parse(pql), loader)
+            .select(col("DaysSinceEpoch")).collect().map(_.get(0)).toSeq
+          val got = df.select(col("DaysSinceEpoch")).collect().map(_.get(0)).toSeq
+          require(got == exp, "filtered s2 page diverged from the raw plan")
+          System.gc()
+          val sparkReps = sample(reps)(exec(df))
+          val duck = duckTwin(
+            duckViews(dir, "ontime_native" -> "ontime_sorted_dse.parquet"),
+            "SELECT DaysSinceEpoch, FlightNum, Origin FROM ontime_native " +
+              "WHERE Dest = 'A07' ORDER BY DaysSinceEpoch, FlightNum " +
+              "LIMIT 100 OFFSET 1000", reps)
+          QueryResult("s2f_page_filtered", "sel", sparkReps, duck,
+            twinNone = duck.isEmpty)
+        }
+        val rsAll = rs :+ s2f
+        val nClasses = rsAll.groupBy(_.cls).toSeq.sortBy(_._1).map { case (cls, qs) =>
           val total = qs.map(_.p50v).sum
           val duckTot = if (qs.forall(_.duckP50.isDefined))
             Some(qs.flatMap(_.duckP50).sum) else None
@@ -732,7 +764,7 @@ object BenchScale {
             s""","duck_total_p50":${r3(d)},"ratio_p50":${r3(total / d)}""").getOrElse("")
           s""""$cls":{"total_p50":${r3(total)},"qps":${r3(qs.size / total)}$dj}"""
         }
-        s""""native":{"queries":{${rs.map(_.json).mkString(",")}},""" +
+        s""""native":{"queries":{${rsAll.map(_.json).mkString(",")}},""" +
           s""""classes":{${nClasses.mkString(",")}}}"""
       } finally {
         StarTreeRegistry.unregister(nativePath)

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+import graft.queries.ScaleDocs
+
+/** Scratch stage-decomposition probe for the p4 near-dup pipeline —
+  * where do the seconds go at 10M docs, and does fusing the shingle
+  * build into the verify join's stream side beat the cached docSh
+  * frame? Not part of the shipped surface.
+  */
+object P4Probe {
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def sample(reps: Int)(f: => Unit): Seq[Double] = {
+    f
+    (1 to reps).map(_ => time(f))
+  }
+  private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"${BenchScale.dataRoot}/scale_p4probe"
+    ScaleDocs.ensureDocs(spark, dir, rows)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (nHashes, nBands) = if (rows >= 10000000L) (8, 4) else (64, 16)
+    val sigPath = s"$dir/minhash_sigs.parquet"
+    if (!new java.io.File(sigPath).exists())
+      Dedup.minhashSignatures(docs, "doc_id", "text", nHashes)
+        .write.mode("overwrite").parquet(sigPath)
+    val sigs = spark.read.parquet(sigPath)
+
+    def report(tag: String, xs: Seq[Double]): Unit =
+      println(f"[p4probe] $tag%-36s p50=${p50(xs)}%.2f reps=${xs.map(x => f"$x%.2f").mkString(",")}")
+
+    // ---- stage decomposition (one pass, persisted handoffs) ----
+    val threshold = 0.7
+    val cands = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
+      minEstJaccard = threshold * 0.6).persist(StorageLevel.MEMORY_AND_DISK)
+    val tCand = time { println(s"[p4probe] candidates = ${cands.count()}") }
+    report("stage1_candidates", Seq(tCand))
+
+    val candIds = broadcast(
+      cands.select(col("id_a").as("_cid"))
+        .union(cands.select(col("id_b").as("_cid"))).distinct())
+    val docSh = docs.join(candIds, col("doc_id") === col("_cid"), "left_semi")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tSh = time { println(s"[p4probe] cand docs  = ${docSh.count()}") }
+    report("stage2_docsh_build_persist", Seq(tSh))
+
+    def verifyWithDocSh(): Long =
+      cands.join(docSh.toDF("id_a", "_sh_a"), "id_a")
+        .join(docSh.toDF("id_b", "_sh_b"), "id_b")
+        .withColumn("jaccard", GraftFns.setJaccard(col("_sh_a"), col("_sh_b")))
+        .filter(col("jaccard") >= threshold).count()
+    report("stage3_verify_joins(cached docSh)", sample(reps)(verifyWithDocSh(): Unit))
+
+    // ---- whole-pipeline variants (each rep = candidates → verified) ----
+    // A: today's shipped shape
+    report("whole_shipped(staged cached)", sample(reps) {
+      val r = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
+        numHashes = nHashes, bands = nBands)
+      r.pairs.count(); r.unpersist(); ()
+    })
+
+    // B: text through the joins, shingles fused per pair side
+    def fusedTextVerify(): Long = {
+      val c = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
+        minEstJaccard = threshold * 0.6).persist(StorageLevel.MEMORY_AND_DISK)
+      val ids = broadcast(
+        c.select(col("id_a").as("_cid"))
+          .union(c.select(col("id_b").as("_cid"))).distinct())
+      val txt = docs.join(ids, col("doc_id") === col("_cid"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      val n = c.join(txt.toDF("id_a", "_t_a"), "id_a")
+        .join(txt.toDF("id_b", "_t_b"), "id_b")
+        .withColumn("jaccard", GraftFns.setJaccard(
+          Dedup.shingles(col("_t_a"), 3), Dedup.shingles(col("_t_b"), 3)))
+        .filter(col("jaccard") >= threshold).count()
+      c.unpersist(); n
+    }
+    report("whole_fused_text_joins", sample(reps)(fusedTextVerify(): Unit))
+
+    // C: lazy docSh — shingle kernel recomputes per join branch, no
+    // persist write, arrays still shuffle
+    def lazyDocShVerify(): Long = {
+      val c = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
+        minEstJaccard = threshold * 0.6).persist(StorageLevel.MEMORY_AND_DISK)
+      val ids = broadcast(
+        c.select(col("id_a").as("_cid"))
+          .union(c.select(col("id_b").as("_cid"))).distinct())
+      val sh = docs.join(ids, col("doc_id") === col("_cid"), "left_semi")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("_sh"))
+      val n = c.join(sh.toDF("id_a", "_sh_a"), "id_a")
+        .join(sh.toDF("id_b", "_sh_b"), "id_b")
+        .withColumn("jaccard", GraftFns.setJaccard(col("_sh_a"), col("_sh_b")))
+        .filter(col("jaccard") >= threshold).count()
+      c.unpersist(); n
+    }
+    report("whole_lazy_docsh", sample(reps)(lazyDocShVerify(): Unit))
+
+    docSh.unpersist(); cands.unpersist()
+    spark.stop()
+  }
+}
+
+/** Local alias to keep probe code terse. */
+private object GraftFns {
+  def setJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.exprs.SortedJaccard(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+}

@@ -728,7 +728,38 @@ object Pql {
           }
         case _ => None
       }
-      val (rankNamed, sketchNamed) = nonHistNamed.partition(p => rankArg(p).isDefined)
+      val (rankNamed, nonRankNamed) = nonHistNamed.partition(p => rankArg(p).isDefined)
+      // GLOBAL DISTINCTCOUNTHLL over a plain column (no derived-sketch
+      // artifact registered — that route answers from stored sketches
+      // without any fact scan and stays preferred) routes through the
+      // codegen register plan (functions.HllFastPlan): the built-in
+      // approx_count_distinct is an ImperativeAggregate that kicks the
+      // scan stage out of whole-stage codegen, ~6× the single-node
+      // oracle at 100M rows on pure update-loop overhead. The register
+      // plan is groupBy(idx).max(rank) — declarative, codegen end to
+      // end — and its estimate is bit-identical (same xxhash64/idx/
+      // rank derivation; the final ≤2^p-row aggregate calls Spark's
+      // own HyperLogLogPlusPlusHelper.query). Grouped queries keep
+      // approx_count_distinct: one sketch blob per group per partition
+      // beats keys×2^p shuffle rows once groups are many.
+      val hllArg: ((Expr, String)) => Option[String] = {
+        case (Func("distinctcounthll", Seq(Ident(n))), _)
+            if q.groupBy.isEmpty && !derivedHll.contains(n.toLowerCase) =>
+          filtered.schema.fields.find(_.name.equalsIgnoreCase(n)).collect {
+            case f if graft.functions.HllFastPlan.supported(f.dataType) => f.name
+          }
+        case _ => None
+      }
+      val (hllNamed, sketchNamed) = nonRankNamed.partition(p => hllArg(p).isDefined)
+      val hllFrames: Seq[DataFrame] =
+        hllNamed.groupBy(p => hllArg(p).get).toSeq.sortBy(_._1)
+          .map { case (argName, items) =>
+            val first = items.head._2
+            val est = graft.functions.HllFastPlan.distinctCountHll(
+              filtered, col(argName), 0.065, first)
+            if (items.size == 1) est
+            else est.select(items.map { case (_, nm) => col(first).as(nm) }: _*)
+          }
       val rankFrames: Seq[DataFrame] =
         rankNamed.groupBy(p => rankArg(p).get).toSeq.sortBy(_._1)
           .map { case (argName, items) =>
@@ -842,7 +873,7 @@ object Pql {
           val cond = keyNames.map(k => l(k) <=> rr(s"_rk_$k")).reduce(_ && _)
           l.join(rr, cond, "inner").drop(keyNames.map(k => s"_rk_$k"): _*)
         }
-      val agged = (svFrame.toSeq ++ histFrames ++ rankFrames ++ mvFrames)
+      val agged = (svFrame.toSeq ++ histFrames ++ rankFrames ++ hllFrames ++ mvFrames)
         .reduce(joinFrames)
         // restore the documented column order: keys, then aggregations
         // in select order (hidden HAVING aggregations last)
@@ -889,18 +920,22 @@ object Pql {
       // COMPOSED route first: when the table also has a registered
       // dictionary layout whose encoded copy is range-partitioned on
       // the same primary column, the page runs over the ENCODED subset
-      // — id-space sort keys, dictionary values decoded AFTER the page
-      // cut (the reference's sorted forward index + selection result
-      // assembly, `SelectionOperatorService.java:46-95`).
+      // — id-space sort keys AND id-space filter (translated via
+      // DictLayout.encodedFilter, still pushed to the scan), dictionary
+      // values decoded AFTER the page cut (the reference's sorted
+      // forward index + selection result assembly,
+      // `SelectionOperatorService.java:46-95`; filter + sort + page is
+      // its `SelectionOrderByOperator` shape).
       val fastPage: Option[DataFrame] =
         if (q.orderBy.isEmpty || q.distinct) None
         else {
           val needed = offset.toLong + size.toLong
           val composed =
-            if (q.where.nonEmpty || q.select == Seq(Star)) None
+            if (q.select == Seq(Star)) None
             else graft.plans.DictLayout.orderedDictPage(
               base, q.select.collect { case Ident(n) => n },
-              q.select.length, q.orderBy, offset, size)
+              q.select.length, q.orderBy, offset, size,
+              q.where.map(w => predicate(w, base.schema)))
           composed.orElse(graft.sources.SortedLayout.orderedSelection(
             base, q.orderBy,
             q.where.map(w => predicate(w, base.schema)),

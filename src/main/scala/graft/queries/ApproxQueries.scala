@@ -49,6 +49,28 @@ object ApproxQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** GLOBAL distinctCountHLL through the PQL front-end — routes to the
+    * codegen register plan ([[graft.functions.HllFastPlan]]): the
+    * estimate is bit-identical to `approx_count_distinct` (pinned in
+    * HllFastSpec), and the verified bound here is the same 3×-rsd
+    * envelope as [[qHll]]. The plan assert keeps the route honest —
+    * a silent fallback to the ImperativeAggregate would still pass the
+    * value check. */
+  def qHllFast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val est = graft.pql.Pql.toDataFrame(
+      graft.pql.Pql.parse("SELECT DISTINCTCOUNTHLL(l_partkey) FROM lineitem"),
+      name => t(s, dir, name))
+    require(est.queryExecution.executedPlan.toString.contains("hll_register_estimate"),
+      "global DISTINCTCOUNTHLL must route to the codegen register plan")
+    t(s, dir, "lineitem")
+      .agg(countDistinct($"l_partkey").as("dc_exact"))
+      .crossJoin(est)
+      .select($"dc_exact",
+        (abs($"distinctcounthll_l_partkey" - $"dc_exact") <= $"dc_exact" * 0.2)
+          .as("hll_ok"))
+  }
+
   /** distinctCountHLLMV: HLL over multi-value (array) columns —
     * explode then sketch, the reference's MV aggregation semantics. */
   def qHllMv(s: SparkSession, dir: String): DataFrame = {
@@ -336,6 +358,7 @@ object ApproxQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll" -> qHll,
+    "q_hll_fast" -> qHllFast,
     "q_hll_mv" -> qHllMv,
     "q_percentile_approx" -> qPercentileApprox,
     "q_fasthll" -> qFastHll,
@@ -348,6 +371,9 @@ object ApproxQueries {
     "q_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_exact, TRUE AS hll_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_fast" ->
+      """SELECT count(DISTINCT l_partkey) AS dc_exact, TRUE AS hll_ok
+        |FROM lineitem""".stripMargin,
     "q_hll_mv" ->
       """SELECT label, count(DISTINCT e) AS dc_exact, TRUE AS hll_ok
         |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)

@@ -560,11 +560,14 @@ object CoreQueries {
     * ([[graft.plans.DictLayout.orderedDictPage]], the reference's
     * sorted forward index + `SelectionOperatorService` result
     * assembly). Unique `o_orderkey` order makes the page exact. */
-  def qComposedPage(s: SparkSession, dir: String): DataFrame = {
-    import graft.plans.{DictLayout, DictRegistry}
-    graft.Graft.enable(s)
-    val fact = t(s, dir, "orders")
-    val (sortedPath, idx) = composedCache.getOrElseUpdate(s, s"comp|$dir") {
+  /** Write-once sorted+dict composed artifact over `orders` for this
+    * (session, dir): raw copy range-sorted on o_orderkey, encoded copy
+    * with the same physical order (`layoutBy`). */
+  private def composedArtifact(s: SparkSession, dir: String)
+      : (String, graft.plans.DictLayout.Index) =
+    composedCache.getOrElseUpdate(s, s"comp|$dir") {
+      import graft.plans.DictLayout
+      val fact = t(s, dir, "orders")
       val tag = TmpTag(dir)
       val rawDir = s"${System.getProperty("java.io.tmpdir")}/graft_comp_raw_$tag"
       fact.repartitionByRange(8, col("o_orderkey"))
@@ -575,6 +578,11 @@ object CoreQueries {
       (rawDir, DictLayout.build(s, sorted, rawDir, encDir,
         Seq("o_orderstatus", "o_orderpriority"), layoutBy = Seq("o_orderkey")))
     }
+
+  def qComposedPage(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.DictRegistry
+    graft.Graft.enable(s)
+    val (sortedPath, idx) = composedArtifact(s, dir)
     DictRegistry.register(sortedPath, idx)
     try {
       val pql = "SELECT o_orderkey, o_orderstatus, o_orderpriority " +
@@ -586,6 +594,36 @@ object CoreQueries {
         s"page must compose onto the encoded copy:\n$plan")
       require(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
         "composed page must late-decode dictionary values")
+      df
+    } finally DictRegistry.unregister(sortedPath)
+  }
+
+  /** FILTERED composed page (r9): the same sorted+dict artifact
+    * answers `WHERE <pred> ORDER BY <sorted col> LIMIT off, n` — the
+    * predicate translates to id space ([[graft.plans.DictLayout
+    * .encodedFilter]]: dict EQ compares the int id and still pushes to
+    * the parquet scan), the sorted-subset walk switches to adaptive
+    * doubling (footer counts bound unfiltered rows only), and decode
+    * still happens after the page cut. The reference's
+    * `SelectionOrderByOperator.java` shape: filter + sort + page. */
+  def qComposedPageFiltered(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.DictRegistry
+    graft.Graft.enable(s)
+    val (sortedPath, idx) = composedArtifact(s, dir)
+    DictRegistry.register(sortedPath, idx)
+    try {
+      val pql = "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice " +
+        "FROM orders_sorted WHERE o_orderpriority = '1-URGENT' AND " +
+        "o_totalprice > 50000.0 ORDER BY o_orderkey LIMIT 50, 30"
+      val df = graft.pql.Pql.toDataFrame(graft.pql.Pql.parse(pql),
+        _ => s.read.parquet(sortedPath))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("graft_comp_enc"),
+        s"filtered page must compose onto the encoded copy:\n$plan")
+      require(df.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+        "composed page must late-decode dictionary values")
+      require(plan.contains("o_orderpriority__did"),
+        s"dict predicate must run in id space:\n$plan")
       df
     } finally DictRegistry.unregister(sortedPath)
   }
@@ -818,6 +856,7 @@ object CoreQueries {
     "q_percentile" -> qPercentile,
     "q_percentile_rank" -> qPercentileRank,
     "q_composed_page" -> qComposedPage,
+    "q_composed_page_filtered" -> qComposedPageFiltered,
     "q_arithmetic" -> qArithmetic,
     "q_time_bucket" -> qTimeBucket,
     "q_datetime_convert" -> qDateTimeConvert,
@@ -902,6 +941,10 @@ object CoreQueries {
     "q_composed_page" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey LIMIT 40 OFFSET 100""".stripMargin,
+    "q_composed_page_filtered" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey LIMIT 30 OFFSET 50""".stripMargin,
     "q_arithmetic" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 3) AS charged,

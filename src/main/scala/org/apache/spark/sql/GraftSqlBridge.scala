@@ -10,6 +10,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** FULLY-CONVERTED expression tree of a Column. `expression` wraps a
+    * Column-API tree in one opaque `ColumnNodeExpression` leaf (the
+    * conversion happens lazily at analysis), so plan-level pattern
+    * matching sees no structure; this runs the converter eagerly —
+    * `===`/`isin`/`&&` become `UnresolvedFunction("="/"in"/"and", …)`
+    * over `UnresolvedAttribute`/`Literal` leaves, transformable before
+    * any analyzer runs. */
+  def deepExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `AbstractDataType` is `private[sql]` in Spark 4; this public alias
     * lets graft expressions declare `inputTypes` (ExpectsInputTypes)
     * for analysis-time type checking. */

@@ -353,16 +353,68 @@ class DictLayoutSpec extends SparkSpec {
       // compare the ORDER-pinned columns only
       assert(ddf.select($"l_orderkey", $"l_returnflag")
         .collect().map(_.toSeq).toSeq === dexp)
-      // a filtered page must NOT take the composed route (predicate
-      // translation is the rule's job), but still answers correctly
+      // a RAW-column filtered page composes too (r9): the predicate
+      // passes through by name and the subset walk adaptively doubles
       val fpql = "SELECT l_orderkey, l_returnflag FROM li_sorted " +
         "WHERE l_quantity > 10 ORDER BY l_orderkey LIMIT 15"
       val fdf = Pql.toDataFrame(Pql.parse(fpql), resolve)
+      assert(fdf.queryExecution.executedPlan.toString.contains("comp_enc"),
+        "raw-predicate page should compose onto the encoded copy")
       val fexp = fact.filter($"l_quantity" > 10)
         .select($"l_orderkey", $"l_returnflag")
         .orderBy($"l_orderkey").limit(15)
         .collect().map(_.toSeq).toSeq
       assert(fdf.collect().map(_.toSeq).toSeq.map(_.head) === fexp.map(_.head))
+
+      // DICT-column predicates translate to id space (EQ pushes as an
+      // int filter on the code column), decode stays post-cut
+      val dfpql = "SELECT l_orderkey, l_linenumber, l_returnflag FROM li_sorted " +
+        "WHERE l_returnflag = 'R' AND l_quantity > 5 " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 5, 20"
+      val dfdf = Pql.toDataFrame(Pql.parse(dfpql), resolve)
+      val dplan = dfdf.queryExecution.executedPlan.toString
+      assert(dplan.contains("comp_enc"), s"dict-filtered page not composed:\n$dplan")
+      assert(dplan.contains("l_returnflag__did"),
+        s"dict predicate must run in id space:\n$dplan")
+      assert(dplan.contains("TakeOrderedAndProject"), dplan)
+      val dfexp = fact.filter($"l_returnflag" === "R" && $"l_quantity" > 5)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber").offset(5).limit(20)
+        .collect().map(_.toSeq).toSeq
+      assert(dfdf.collect().map(_.toSeq).toSeq === dfexp)
+
+      // range + IN + IS NOT NULL on the dict column; REGEXP falls back
+      // to per-row decode but STILL composes
+      val rpql = "SELECT l_orderkey, l_linenumber, l_linestatus FROM li_sorted " +
+        "WHERE l_linestatus IN ('F', 'O') AND l_returnflag >= 'N' " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 25"
+      val rdf = Pql.toDataFrame(Pql.parse(rpql), resolve)
+      assert(rdf.queryExecution.executedPlan.toString.contains("comp_enc"))
+      val rexp = fact.filter($"l_linestatus".isin("F", "O") && $"l_returnflag" >= "N")
+        .select($"l_orderkey", $"l_linenumber", $"l_linestatus")
+        .orderBy($"l_orderkey", $"l_linenumber").limit(25)
+        .collect().map(_.toSeq).toSeq
+      assert(rdf.collect().map(_.toSeq).toSeq === rexp)
+      val xpql = "SELECT l_orderkey, l_linenumber FROM li_sorted " +
+        "WHERE REGEXP_LIKE(l_returnflag, '^[AR]$') " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 20"
+      val xdf = Pql.toDataFrame(Pql.parse(xpql), resolve)
+      val xplan = xdf.queryExecution.executedPlan.toString
+      assert(xplan.contains("comp_enc"), s"regexp page should still compose:\n$xplan")
+      assert(xdf.queryExecution.optimizedPlan.toString.contains("dict_decode"),
+        "non-translatable dict predicate must decode per row")
+      val xexp = fact.filter($"l_returnflag".rlike("^[AR]$"))
+        .select($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber").limit(20)
+        .collect().map(_.toSeq).toSeq
+      assert(xdf.collect().map(_.toSeq).toSeq === xexp)
+
+      // absent dict literal: empty result, no error, still composed-or-
+      // correct (id -1 never matches a stored row)
+      val apql = "SELECT l_orderkey FROM li_sorted WHERE l_returnflag = 'Z' " +
+        "ORDER BY l_orderkey LIMIT 10"
+      val adf = Pql.toDataFrame(Pql.parse(apql), resolve)
+      assert(adf.count() === 0)
     } finally DictRegistry.unregister(rawPath)
   }
 
