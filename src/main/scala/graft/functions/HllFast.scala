@@ -214,14 +214,16 @@ object HllFastPlan {
   }
 
   /** (register idx, max rank) rows — ≤2^p of them — for `expr` under
-    * precision `p`. Fully lazy; the scan-side aggregate is declarative
-    * `max`, so the whole map side is one codegen stage. */
+    * precision `p`, as a fully DECLARATIVE plan (scan-side aggregate is
+    * a codegen `max` over 2^p int groups). Kept as the parity/pushdown
+    * reference for [[registerRows]]: both derive idx/rank from the same
+    * [[hashedFrame]], and HllFastSpec pins their estimates equal.
+    * Probed 100M rows: this plan pays the aggregate framework's ~100 ns
+    * per-row group lookup (0.50 s vs the RDD build's 0.235 s), which is
+    * why the shipped path is imperative. */
   def registers(df: DataFrame, expr: Column, p: Int): DataFrame = {
-    val vdf = df.select(expr.as("_hll_v")).where(col("_hll_v").isNotNull)
-    val dt = vdf.schema.head.dataType
-    require(supported(dt), s"fast HLL unsupported for type $dt")
-    val h = xxhash64(normalized(col("_hll_v"), dt))
-    vdf.select(
+    val h = col("_h")
+    hashedFrame(df, expr).select(
         shiftrightunsigned(h, 64 - p).cast(IntegerType).as("_hll_idx"),
         GraftSqlBridge.column(
           HllRank(GraftSqlBridge.expression(h), p)).as("_hll_rank"))
@@ -229,12 +231,79 @@ object HllFastPlan {
       .agg(max(col("_hll_rank")).as("_hll_rank"))
   }
 
-  /** 1-row frame with the DISTINCTCOUNTHLL estimate of `expr`,
-    * bit-identical to `df.agg(approx_count_distinct(expr, rsd))`. */
-  def distinctCountHll(df: DataFrame, expr: Column, rsd: Double,
+  /** [[distinctCountHll]] through the declarative [[registers]] plan —
+    * the reference implementation the spec pins against the shipped
+    * RDD path (and against `approx_count_distinct` itself). */
+  def distinctCountHllDeclarative(df: DataFrame, expr: Column, rsd: Double,
       alias: String): DataFrame = {
     val p = precision(rsd)
     registers(df, expr, p).agg(
+      GraftSqlBridge.column(aggs2.HllRegisterEstimate(
+        GraftSqlBridge.expression(col("_hll_idx")),
+        GraftSqlBridge.expression(col("_hll_rank")),
+        rsd).toAggregateExpression()).as(alias))
+  }
+
+  /** Per-partition flat register build: the codegen'd scan+hash frame
+    * feeds a `mapPartitions` that max-merges ranks into a LOCAL
+    * `byte[2^p]` — no per-row hashmap probe at all — and emits only the
+    * non-zero (idx, rank) registers (≤2^p rows per partition). Probed
+    * at 100M rows: 0.235 s vs 0.50 s for the groupBy register plan and
+    * 0.51 s for `approx_count_distinct`; the scan+hash floor alone is
+    * 0.18 s, so the imperative loop adds ~0.05 s where the aggregate
+    * framework's per-row group lookup added ~0.32 s. This is the
+    * "mapPartitions as a last resort" case the design brief names —
+    * taken on measurement, after the declarative formulation
+    * ([[registers]], kept as the parity/pushdown reference) proved
+    * bounded by the same per-row constant it was built to avoid.
+    * Fully lazy (`toRdd` plans but does not run) and partition-local:
+    * at 1000 executors the shuffle is ≤2^p rows per partition, less
+    * than the built-in's per-partition sketch blob. */
+  /** The codegen'd scan → filter → hash frame the register builds
+    * iterate — exposed so specs can assert its pushdown/codegen shape
+    * (the RDD boundary hides it from the outer executed plan). */
+  def hashedFrame(df: DataFrame, expr: Column): DataFrame = {
+    val vdf = df.select(expr.as("_hll_v")).where(col("_hll_v").isNotNull)
+    val dt = vdf.schema.head.dataType
+    require(supported(dt), s"fast HLL unsupported for type $dt")
+    vdf.select(xxhash64(normalized(col("_hll_v"), dt)).as("_h"))
+  }
+
+  def registerRows(df: DataFrame, expr: Column, p: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val hashed = hashedFrame(df, expr)
+    val pad = 1L << (p - 1)
+    val rdd = hashed.queryExecution.toRdd.mapPartitions { it =>
+      val regs = new Array[Byte](1 << p)
+      while (it.hasNext) {
+        val row = it.next()
+        if (!row.isNullAt(0)) {
+          val x = row.getLong(0)
+          val idx = (x >>> (64 - p)).toInt
+          val rank = (java.lang.Long.numberOfLeadingZeros((x << p) | pad) + 1).toByte
+          if (rank > regs(idx)) regs(idx) = rank
+        }
+      }
+      Iterator.range(0, regs.length).filter(regs(_) > 0).map { i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, regs(i).toInt)): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    GraftSqlBridge.internalDataFrame(df.sparkSession, rdd, StructType(Seq(
+      StructField("_hll_idx", IntegerType, nullable = false),
+      StructField("_hll_rank", IntegerType, nullable = false))))
+  }
+
+  /** 1-row frame with the DISTINCTCOUNTHLL estimate of `expr`,
+    * bit-identical to `df.agg(approx_count_distinct(expr, rsd))`.
+    * [[registerRows]] builds per-partition registers imperatively; the
+    * typed estimate aggregate max-merges them (its update IS register
+    * max, so no intermediate groupBy is needed) and queries Spark's
+    * own HLL++ estimator. */
+  def distinctCountHll(df: DataFrame, expr: Column, rsd: Double,
+      alias: String): DataFrame = {
+    val p = precision(rsd)
+    registerRows(df, expr, p).agg(
       GraftSqlBridge.column(aggs2.HllRegisterEstimate(
         GraftSqlBridge.expression(col("_hll_idx")),
         GraftSqlBridge.expression(col("_hll_rank")),

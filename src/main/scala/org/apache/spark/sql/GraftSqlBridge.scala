@@ -32,6 +32,16 @@ object GraftSqlBridge {
   def typeCollection(ts: org.apache.spark.sql.types.AbstractDataType*): AbstractType =
     org.apache.spark.sql.types.TypeCollection(ts: _*)
 
+  /** `internalCreateDataFrame` is `private[sql]`: build a DataFrame
+    * over an RDD of InternalRows without the row-encoder round-trip —
+    * the seam for per-partition imperative operators whose output
+    * re-enters the declarative plan (e.g. the HLL register build). */
+  def internalDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      rdd, schema, isStreaming = false)
+
   /** Register a temp SQL function on an existing session (the
     * session-state function registry is `private[sql]`). */
   def registerFunction(spark: SparkSession, name: String,

@@ -63,21 +63,33 @@ class HllFastSpec extends SparkSpec {
     assert(fast(nulls, "v", 0.065) === 0L)
   }
 
-  test("plan: register build stays declarative — no imperative agg on the scan") {
+  test("plan: shipped path is register rows + typed estimate; inner scan pushes down") {
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     val plan = HllFastPlan.distinctCountHll(lineitem, col("l_partkey"), 0.065, "est")
       .queryExecution.executedPlan.toString
-    // scan-side stage: HashAggregate on the register index with a
-    // declarative max — whole-stage codegen keeps it
     assert(plan.contains("_hll_idx"), plan)
     assert(!plan.contains("approx_count_distinct"), plan)
     assert(plan.contains("hll_register_estimate"), plan)
-    // the data-scale aggregate must be the codegen HashAggregate, not
-    // the object-based fallback the typed estimate runs in (that one
-    // only ever sees ≤2^p rows)
-    val scanSide = plan.substring(plan.indexOf("Scan"))
-    assert(!scanSide.contains("ObjectHashAggregate"),
-      s"typed aggregate leaked below the register reduction:\n$plan")
+    // the RDD boundary hides the scan from the outer plan; the inner
+    // codegen frame (the exact one registerRows iterates) must read
+    // only the hashed column and keep the null filter pushed
+    val inner = HllFastPlan.hashedFrame(lineitem, col("l_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("PushedFilters: [IsNotNull(l_partkey)]"), inner)
+    assert(inner.contains("ReadSchema: struct<l_partkey:bigint>"), inner)
+    // codegen spans print as "*(n)" in executedPlan.toString
+    assert(inner.contains("*(1) Project"), inner)
+  }
+
+  test("shipped RDD register path == declarative register plan == builtin") {
+    val df = (1 to 20000).map(i => i % 3163).toDF("v")
+    for (rsd <- Seq(0.065, 0.02)) {
+      val shipped = fast(df, "v", rsd)
+      val decl = HllFastPlan.distinctCountHllDeclarative(df, col("v"), rsd, "est")
+        .head().getLong(0)
+      assert(shipped === decl)
+      assert(shipped === builtin(df, "v", rsd))
+    }
   }
 
   test("PQL global DISTINCTCOUNTHLL routes to the register plan and matches") {
@@ -102,14 +114,19 @@ class HllFastSpec extends SparkSpec {
     assert(!plan.contains("hll_register_estimate"), plan)
   }
 
-  test("PQL global with filter routes and filter reaches the scan") {
+  test("PQL global with filter routes and the inner scan keeps the filter pushed") {
     val resolve = (n: String) => Tables.load(spark, sfDir, n)
     val df = Pql.toDataFrame(
       Pql.parse("SELECT DISTINCTCOUNTHLL(l_partkey) FROM lineitem WHERE l_quantity > 25"),
       resolve)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("hll_register_estimate"), plan)
-    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25"), plan)
+    // the same filtered-frame shape the route hands registerRows, with
+    // the predicate pushed to the parquet scan
+    val inner = HllFastPlan.hashedFrame(
+      resolve("lineitem").where(col("l_quantity") > 25), col("l_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("GreaterThan(l_quantity,25"), inner)
     val expected = resolve("lineitem").where(col("l_quantity") > 25)
       .agg(approx_count_distinct(col("l_partkey"), 0.065)).head().getLong(0)
     assert(df.head().getLong(0) === expected)
