@@ -1071,6 +1071,44 @@ object BenchScale {
       QueryResult("g2_nearunique_pctl", "agg", sparkReps, duck,
         twinNone = duck.isEmpty)
     }
+    // g3 (r9): the g2 near-unique shape GROUPED by the 2-value status
+    // flag — rank-narrowing with the group key folded into the cell
+    // identity (Percentiles.rankSelectKeyed; all groups share the ~3
+    // counting scans). This used to compile to the grouped histogram
+    // (38.5 s at 100M rows in the r9 probe, vs 8.4 s narrowed).
+    val g3Duck =
+      "SELECT Cancelled, quantile_cont(v, 0.5), quantile_cont(v, 0.95) FROM " +
+        "(SELECT Cancelled, CAST(hash(FlightNum, ArrTime, Distance) % 2147483648 AS DOUBLE) AS v " +
+        "FROM ontime) GROUP BY Cancelled"
+    System.gc()
+    val g3 = {
+      def keyedNearUnique = table.select(col("Cancelled").as("g"),
+        pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+          lit(1L << 31)).cast("double").as("v"))
+      val specs = Seq(
+        Percentiles.Spec(0.5, "p50", nearestRank = false),
+        Percentiles.Spec(0.95, "p95", nearestRank = false))
+      // exactness pinned against the grouped histogram once before
+      // timing (same bound as g2's pin)
+      if (rows <= 200000000L) {
+        val fromKeyed = Percentiles.rankSelectKeyed(
+          keyedNearUnique, Seq("g"), "v", specs).orderBy(col("g")).collect()
+        val fromHist = Percentiles.histogramAggs(
+          keyedNearUnique, Seq("g"), "v", specs).orderBy(col("g")).collect()
+        require(fromKeyed.length == fromHist.length &&
+            fromKeyed.zip(fromHist).forall { case (a, b) =>
+              a.get(0) == b.get(0) && a.getDouble(1) == b.getDouble(1) &&
+                a.getDouble(2) == b.getDouble(2)
+            },
+          s"rankSelectKeyed diverged from the grouped histogram")
+      }
+      val sparkReps = sampleGc(reps)(
+        { Percentiles.rankSelectKeyed(keyedNearUnique, Seq("g"), "v", specs)
+            .collect(); () })
+      val duck = pairedTwin(g3Duck)
+      QueryResult("g3_grouped_nearunique_pctl", "agg", sparkReps, duck,
+        twinNone = duck.isEmpty)
+    }
 
     // routed star-tree: the (Cancelled, Carrier, Origin, Dest) tree's
     // rollup cardinality is bounded by the dimension universe, NOT by
@@ -1159,7 +1197,7 @@ object BenchScale {
       } finally DictRegistry.unregister(factPath)
     }
 
-    val heavy = Seq(a6, g1, g2, h1).map(_.json).mkString(",")
+    val heavy = Seq(a6, g1, g2, g3, h1).map(_.json).mkString(",")
     val scan = scanRs.map(_._2.json).mkString(",")
     val routed = routedRs.map(_.json).mkString(",")
     s""""$tag":{"rows":$rows,"gen_or_load_sec":${r3(genSecs)},""" +

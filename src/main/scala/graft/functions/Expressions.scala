@@ -639,6 +639,40 @@ object exprs {
     override def prettyName: String = "sorted_jaccard"
   }
 
+  /** Sorted distinct array<bigint> of XXH64 n-gram shingle hashes —
+    * the near-dup verify stage's shingle-set representation
+    * ([[HashOps.shingleHashArray]]). */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(n > 0, s"shingle size must be positive, got $n")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashOps.shingleHashArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.shingleHashArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** Exact Jaccard of two sorted distinct array<bigint> shingle-hash
+    * sets ([[HashOps.sortedJaccardHash]]). */
+  case class SortedJaccardHash(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(LongArray, LongArray)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.sortedJaccardHash(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashOps.sortedJaccardHash($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccardHash =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_jaccard_hash"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -706,6 +740,12 @@ object GraftFunctions {
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.SortedJaccard(expr(a), expr(b)))
+
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftSqlBridge.column(exprs.ShingleHashes(expr(text), n))
+
+  def sortedJaccardHash(a: Column, b: Column): Column =
+    GraftSqlBridge.column(exprs.SortedJaccardHash(expr(a), expr(b)))
 
   def textStats(text: Column): Column =
     GraftSqlBridge.column(exprs.TextStats(expr(text)))

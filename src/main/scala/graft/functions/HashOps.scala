@@ -97,6 +97,62 @@ object HashOps {
     new GenericArrayData(arr)
   }
 
+  /** Distinct n-gram shingle set as a SORTED array<bigint> of seeded
+    * XXH64 shingle hashes — the VERIFY-STAGE representation of a
+    * document's shingle set. Jaccard needs only element EQUALITY, so
+    * 8-byte hashes carry the same information as the strings at a
+    * fraction of the bytes: at 10^8 docs the near-dup verify stage
+    * caches and twice shuffles the candidate docs' shingle sets, and
+    * word-shingle strings average ~20-40 B vs 8 B here — a 3-5×
+    * reduction of the stage's dominant byte volume, plus long-compare
+    * merges instead of memcmp. A hash collision merges two shingles
+    * (Jaccard moves by ~1/|set| with probability ~|set|²/2^64 per
+    * doc — never at realistic scale); the planted-pair recall oracle
+    * and the string-kernel parity spec keep this honest. */
+  def shingleHashArray(text: UTF8String, n: Int): ArrayData = {
+    val set = shingleSet(tokenize(text), n)
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = hashStr(UTF8String.fromString(it.next()), Seed1)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    // dedupe post-sort: distinct strings can (theoretically) collide
+    // to one hash; the array contract is SORTED DISTINCT
+    var w = 0
+    i = 0
+    while (i < arr.length) {
+      if (w == 0 || arr(w - 1) != arr(i)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w))
+  }
+
+  /** Exact Jaccard of two SORTED DISTINCT long arrays (the
+    * [[shingleHashArray]] output shape) — the long-typed twin of
+    * [[sortedJaccard]], same merge-count core and the same 4-decimal
+    * HALF_UP rounding. */
+  def sortedJaccardHash(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union <= 0) 0.0
+    else java.math.BigDecimal.valueOf(inter.toDouble / union)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Exact n-gram Jaccard of two texts in one kernel call: both
     * shingle sets built JVM-side, hash-set intersection counted,
     * |A∩B| / |A∪B| rounded to 4 places with Spark `round`'s exact

@@ -200,7 +200,17 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs: shingle sets
     * computed once per DOCUMENT (kernel), joined to the candidate
-    * pairs — not re-tokenized per pair. */
+    * pairs — not re-tokenized per pair.
+    *
+    * Representation (r9): shingle sets travel as sorted
+    * `array<bigint>` XXH64 hashes ([[GraftFunctions.shingleHashes]]),
+    * not string arrays — Jaccard needs only element equality, and the
+    * hashes are 3-5× fewer bytes, which is the verify stage's dominant
+    * cost at 10^8 docs (the candidate docs' sets cache once and
+    * shuffle through BOTH pair joins). Jaccard VALUES are unchanged
+    * unless two distinct shingles collide in 64 bits (~|set|²/2^64 per
+    * doc); parity with the string kernel is spec-pinned and the
+    * planted-pair recall oracle rides every scale run. */
   private def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
       cands: DataFrame, threshold: Double, shingleSize: Int): DataFrame = {
     // Shingle ONLY documents that appear in a candidate pair — the
@@ -220,7 +230,8 @@ object Dedup {
       cands.select(col("id_a").as("_cid"))
         .union(cands.select(col("id_b").as("_cid"))).distinct())
     val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+      .select(col(idCol),
+        GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
     verifyJoin(cands, docSh, threshold)
   }
 
@@ -229,7 +240,8 @@ object Dedup {
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")
       .join(docSh.toDF("id_b", "_sh_b"), "id_b")
-      .withColumn("jaccard", setJaccard(col("_sh_a"), col("_sh_b")))
+      .withColumn("jaccard",
+        GraftFunctions.sortedJaccardHash(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
 
@@ -271,7 +283,8 @@ object Dedup {
       cands.select(col("id_a").as("_cid"))
         .union(cands.select(col("id_b").as("_cid"))).distinct())
     val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+      .select(col(idCol),
+        GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     NearDupPairs(verifyJoin(cands, docSh, threshold), nCands, Seq(cands, docSh))
   }

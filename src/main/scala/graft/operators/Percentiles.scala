@@ -208,7 +208,42 @@ object Percentiles {
     * bracket, and a rank not covered by its bracket (impossible by
     * construction) throws rather than returning a wrong value. */
   def rankSelect(df: DataFrame, valueCol: String, specs: Seq[Spec],
-      cap: Long = SelectCap, buckets: Int = SelectBuckets): DataFrame = {
+      cap: Long = SelectCap, buckets: Int = SelectBuckets): DataFrame =
+    rankSelectKeyed(df, Nil, valueCol, specs, cap, buckets)
+
+  /** Cap on the group count [[rankSelectKeyed]] narrows itself; past
+    * it the call transparently answers through [[histogramAggs]] —
+    * many groups bound the per-group distinct set, which is exactly
+    * the histogram's good regime (g1 ships at 1.76x there), while the
+    * few-group near-unique shape is where narrowing wins (probed at
+    * 100M rows x 2 groups: 8.4 s vs 38.5 s for the grouped
+    * histogram). */
+  private final val SelectMaxGroups = 64
+
+  /** GROUPED exact percentiles by rank-narrowing selection — the
+    * [[rankSelect]] algorithm with the group key folded into the cell
+    * identity, so ALL groups narrow in the SAME ~3 counting scans
+    * (a per-group loop would pay G x 3 scans; the grouped histogram
+    * degenerates to the data itself on near-unique columns).
+    * `keyCols = Nil` IS the global [[rankSelect]] — one group, no key
+    * predicate — so the global spec battery (ties, skew,
+    * ulp-adjacent, NaN/Inf) pins this code path too.
+    *
+    * Per-pass bucket width scales down with live group count
+    * (`buckets / G`, floor 256) so the driver's collected cell count
+    * stays bounded by ~(groups x ranks) x (buckets / G) regardless of
+    * G. Groups discovered in the stats pass; more than
+    * [[SelectMaxGroups]] of them (or a group key the driver cannot
+    * re-embed as a typed literal) falls back to [[histogramAggs]] —
+    * same exact semantics, different plan. All-null groups keep their
+    * row with null percentiles (the keepNullGroups join contract).
+    *
+    * EAGER like [[rankSelect]]: passes run at call time; the returned
+    * frame is a local G-row result that broadcast-joins back to other
+    * aggregation frames on the group keys. */
+  def rankSelectKeyed(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      specs: Seq[Spec], cap: Long = SelectCap,
+      buckets: Int = SelectBuckets): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec required")
     require(cap > 0 && buckets > 1, s"bad cap=$cap buckets=$buckets")
     specs.foreach { s =>
@@ -216,163 +251,211 @@ object Percentiles {
         s"fraction must be in [0, 1], got ${s.fraction}")
     }
     val spark = df.sparkSession
-    val nn = df.select(col(valueCol).cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val keyFields = keyCols.map(k => df.schema.fields
+      .find(_.name.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalArgumentException(s"no such key column: $k")))
+    val keys = keyFields.map(f => col(f.name))
+    val outSchema = StructType(
+      keyFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+        specs.map(s => StructField(s.name, DoubleType, nullable = true)))
 
-    def resultFrame(vals: Seq[Any]): DataFrame = {
-      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-      val schema = StructType(specs.map(s => StructField(s.name, DoubleType, true)))
-      spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(vals: _*)), schema)
-    }
+    val base = df.select(keys :+ col(valueCol).cast("double").as("_v"): _*)
+    val nn = base.filter(col("_v").isNotNull)
 
-    // pass 1: stats
-    val st = nn.agg(
-      count(lit(1)).as("_n"),
+    // ---- stats pass: one row per group ----
+    val statRows = base.groupBy(keys: _*).agg(
+      count(col("_v")).as("_n"),
       sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
       min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
-      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).head()
-    val n = st.getLong(0)
-    if (n == 0) return resultFrame(specs.map(_ => null))
-    val nNaN = st.getLong(1)
-    val nFin = n - nNaN
-    val mn = if (st.isNullAt(2)) Double.NaN else st.getDouble(2)
-    val mx = if (st.isNullAt(3)) Double.NaN else st.getDouble(3)
+      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).collect()
+    if (statRows.isEmpty && keyCols.nonEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
 
-    // 0-indexed ranks each spec needs (ties between specs dedup)
-    def ranksOf(s: Spec): Seq[Long] =
+    // driver-embeddable typed key literals; any failure -> histogram
+    def typedLit(v: Any, i: Int): Option[Column] =
+      try Some(org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, keyFields(i).dataType)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val groupLits: Seq[Option[Seq[Column]]] = statRows.toSeq.map { r =>
+      val ls = keyCols.indices.map(i => typedLit(r.get(i), i))
+      if (ls.forall(_.isDefined)) Some(ls.map(_.get)) else None
+    }
+    if (statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
+      require(keyCols.nonEmpty, "global stats must produce exactly one group")
+      return histogramAggs(df, keyCols, valueCol, specs, keepNullGroups = true)
+        .select(keyFields.map(f => col(f.name)) ++ specs.map(s => col(s.name)): _*)
+    }
+
+    // per-group state
+    final case class G(idx: Int, keyVals: Seq[Any], pred: Column,
+        n: Long, nNaN: Long, mn: Double, mx: Double) {
+      def nFin: Long = n - nNaN
+    }
+    val groups: Seq[G] = statRows.toSeq.zipWithIndex.map { case (r, gi) =>
+      val pred = if (keyCols.isEmpty) lit(true)
+        else keyCols.indices.map(i => keys(i) <=> groupLits(gi).get(i))
+          .reduce(_ && _)
+      val base = keyCols.length
+      G(gi, keyCols.indices.map(r.get),
+        pred,
+        r.getLong(base),
+        if (r.isNullAt(base + 1)) 0L else r.getLong(base + 1),
+        if (r.isNullAt(base + 2)) Double.NaN else r.getDouble(base + 2),
+        if (r.isNullAt(base + 3)) Double.NaN else r.getDouble(base + 3))
+    }
+
+    // 0-indexed ranks each spec needs within one group of n rows
+    def ranksOf(s: Spec, n: Long): Seq[Long] =
       if (s.nearestRank) Seq(math.max(math.ceil(s.fraction * n).toLong, 1L) - 1)
       else {
         val h = (n - 1) * s.fraction
         Seq(math.floor(h).toLong, math.ceil(h).toLong)
       }
-    val valueAt = scala.collection.mutable.Map[Long, Double]()
-    val allRanks = specs.flatMap(ranksOf).distinct.sorted
-    allRanks.filter(_ >= nFin).foreach(k => valueAt(k) = Double.NaN)
-    val finiteRanks = allRanks.filter(_ < nFin)
+    // (group idx, rank) -> value
+    val valueAt = scala.collection.mutable.Map[(Int, Long), Double]()
+    val groupRanks: Map[Int, Seq[Long]] = groups.map { g =>
+      // an empty group (all-null values) outputs nulls — no ranks to
+      // chase (ranksOf at n = 0 would go negative)
+      val all = if (g.n == 0) Nil
+        else specs.flatMap(ranksOf(_, g.n)).distinct.sorted
+      all.filter(_ >= g.nFin).foreach(k => valueAt((g.idx, k)) = Double.NaN)
+      g.idx -> all.filter(_ < g.nFin)
+    }.toMap
 
-    // one bracket: [lo, hi] value bounds (ACTUAL data values), the
-    // exact count of finite rows strictly below lo, the exact row
-    // count inside, and the ranks it must answer
-    final case class Bracket(lo: Double, hi: Double, below: Long, rows: Long,
-        ranks: Seq[Long])
+    // one bracket: its group, [lo, hi] ACTUAL value bounds, exact
+    // count of the group's finite rows strictly below lo, row count
+    // inside, and the ranks it must answer
+    final case class Bracket(g: Int, lo: Double, hi: Double, below: Long,
+        rows: Long, ranks: Seq[Long])
 
-    if (finiteRanks.nonEmpty) {
-      var brackets = Seq(Bracket(mn, mx, 0L, nFin, finiteRanks))
-      val canBucket = java.lang.Double.isFinite(mn) &&
-        java.lang.Double.isFinite(mx) && mx - mn > 0 &&
-        java.lang.Double.isFinite(mx - mn)
-      var iter = 0
-      var progress = true
-      // narrowing passes (skipped entirely when the full range already
-      // fits the cap, or the range is a point/±Inf)
-      while (canBucket && progress && iter < SelectMaxIters &&
-          brackets.exists(b => b.rows > cap && b.hi > b.lo)) {
-        iter += 1
-        val active = brackets.filter(b => b.rows > cap && b.hi > b.lo)
-        val done = brackets.filterNot(b => b.rows > cap && b.hi > b.lo)
-        val B = buckets
-        // combined cell id: bracketIdx * B + clamp(floor((v-lo)/w*B))
-        val cell = active.zipWithIndex.foldLeft(lit(null).cast("long")) {
-          case (acc, (b, j)) =>
-            val w = (b.hi - b.lo) / B
-            val raw = floor((col("_v") - lit(b.lo)) / lit(w)).cast("long")
-            when(col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi),
-              lit(j.toLong * B) + least(greatest(raw, lit(0L)), lit(B - 1L)))
-              .otherwise(acc)
-        }
-        val cells = nn.filter(!isnan(col("_v")))
-          .select(cell.as("_cell"), col("_v"))
-          .filter(col("_cell").isNotNull)
-          .groupBy(col("_cell"))
-          .agg(count(lit(1)).as("_c"), min(col("_v")).as("_cmn"),
-            max(col("_v")).as("_cmx"))
-          .collect()
-          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
-          .toMap
-        progress = false
-        val narrowed = active.zipWithIndex.flatMap { case (b, j) =>
-          val ids = (0 until buckets).map(i => j.toLong * buckets + i)
-            .filter(cells.contains)
-          val counts = ids.map(cells(_)._1)
-          val cum = counts.scanLeft(0L)(_ + _)
-          // per rank: the cell run [i-1, i+1] around the cell holding
-          // the rank (widening costs ~2 cells and removes any boundary
-          // sensitivity from the next pass's >=/<= predicates)
-          b.ranks.map { k =>
-            val local = k - b.below // 0-indexed within the bracket
-            val ci = cum.indexWhere(_ > local) - 1 // cell holding the rank
-            require(ci >= 0 && ci < ids.length,
-              s"rank $k escaped its bracket [${b.lo}, ${b.hi}] — bug")
-            val a = math.max(ci - 1, 0)
-            val z = math.min(ci + 1, ids.length - 1)
-            val rows = (a to z).map(i => counts(i)).sum
-            if (rows < b.rows) progress = true
-            Bracket(cells(ids(a))._2, cells(ids(z))._3,
-              b.below + cum(a), rows, Seq(k))
-          }
-        }
-        // merge overlapping/adjacent brackets (sorted by lo; exact
-        // counts make overlap detection pure arithmetic)
-        val merged = narrowed.sortBy(b => (b.lo, b.hi))
-          .foldLeft(Vector.empty[Bracket]) { (acc, b) =>
-            acc.lastOption match {
-              case Some(p) if b.lo <= p.hi =>
-                // same or overlapping value range: counts align on the
-                // shared lo/hi actual values; keep the wider envelope
-                val lo = math.min(p.lo, b.lo)
-                val hi = math.max(p.hi, b.hi)
-                val below = math.min(p.below, b.below)
-                val rows = math.max(p.below + p.rows, b.below + b.rows) - below
-                acc.init :+ Bracket(lo, hi, below, rows,
-                  (p.ranks ++ b.ranks).distinct.sorted)
-              case _ => acc :+ b
-            }
-          }
-        brackets = (done ++ merged).sortBy(_.lo)
+    var brackets: Seq[Bracket] = groups.flatMap { g =>
+      val rs = groupRanks(g.idx)
+      if (rs.isEmpty) None else Some(Bracket(g.idx, g.mn, g.mx, 0L, g.nFin, rs))
+    }
+    val predOf: Map[Int, Column] = groups.map(g => g.idx -> g.pred).toMap
+    def canBucket(b: Bracket): Boolean =
+      java.lang.Double.isFinite(b.lo) && java.lang.Double.isFinite(b.hi) &&
+        b.hi - b.lo > 0 && java.lang.Double.isFinite(b.hi - b.lo)
+
+    var iter = 0
+    var progress = true
+    while (progress && iter < SelectMaxIters &&
+        brackets.exists(b => b.rows > cap && b.hi > b.lo && canBucket(b))) {
+      iter += 1
+      val active = brackets.filter(b => b.rows > cap && b.hi > b.lo && canBucket(b))
+      val done = brackets.filterNot(b => b.rows > cap && b.hi > b.lo && canBucket(b))
+      // bucket width shrinks with live group count so the driver's
+      // collected cells stay ~buckets x ranks regardless of G
+      val liveGroups = active.map(_.g).distinct.size
+      val B = math.max(256, buckets / math.max(liveGroups, 1))
+      // combined cell id: bracketIdx * B + clamp(floor((v-lo)/w*B)),
+      // each bracket guarded by its group's key predicate (group
+      // predicates are disjoint, brackets within a group disjoint)
+      val cell = active.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (b, j)) =>
+          val w = (b.hi - b.lo) / B
+          val raw = floor((col("_v") - lit(b.lo)) / lit(w)).cast("long")
+          when(predOf(b.g) && col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi),
+            lit(j.toLong * B) + least(greatest(raw, lit(0L)), lit(B - 1L)))
+            .otherwise(acc)
       }
-
-      // final pass: exact value histogram inside the brackets, running
-      // sum per bracket, order statistics read off at their local ranks
-      val point = brackets.filter(b => b.lo == b.hi) // collapsed: all ties
-      point.foreach(b => b.ranks.foreach(k => valueAt(k) = b.lo))
-      val need = brackets.filterNot(b => b.lo == b.hi)
-      if (need.nonEmpty) {
-        val bid = need.zipWithIndex.foldLeft(lit(null).cast("int")) {
-          case (acc, (b, j)) =>
-            when(col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi), lit(j))
-              .otherwise(acc)
+      val cells = nn.filter(!isnan(col("_v")))
+        .select(cell.as("_cell"), col("_v"))
+        .filter(col("_cell").isNotNull)
+        .groupBy(col("_cell"))
+        .agg(count(lit(1)).as("_c"), min(col("_v")).as("_cmn"),
+          max(col("_v")).as("_cmx"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      progress = false
+      val narrowed = active.zipWithIndex.flatMap { case (b, j) =>
+        val ids = (0 until B).map(i => j.toLong * B + i).filter(cells.contains)
+        val counts = ids.map(cells(_)._1)
+        val cum = counts.scanLeft(0L)(_ + _)
+        // per rank: the cell run [i-1, i+1] around the cell holding
+        // the rank (widening costs ~2 cells and removes any boundary
+        // sensitivity from the next pass's >=/<= predicates)
+        b.ranks.map { k =>
+          val local = k - b.below // 0-indexed within the bracket
+          val ci = cum.indexWhere(_ > local) - 1 // cell holding the rank
+          require(ci >= 0 && ci < ids.length,
+            s"rank $k escaped its bracket [${b.lo}, ${b.hi}] (group ${b.g}) — bug")
+          val a = math.max(ci - 1, 0)
+          val z = math.min(ci + 1, ids.length - 1)
+          val rows = (a to z).map(i => counts(i)).sum
+          if (rows < b.rows) progress = true
+          Bracket(b.g, cells(ids(a))._2, cells(ids(z))._3,
+            b.below + cum(a), rows, Seq(k))
         }
-        val hist = nn.filter(!isnan(col("_v")))
-          .select(bid.as("_bid"), col("_v"))
-          .filter(col("_bid").isNotNull)
-          .groupBy(col("_bid"), col("_v")).agg(count(lit(1)).as("_c"))
-          .withColumn("_cum", sum(col("_c")).over(
-            Window.partitionBy(col("_bid")).orderBy(col("_v"))))
-        val aggsNeeded = need.zipWithIndex.flatMap { case (b, j) =>
-          b.ranks.map { k =>
-            (k, min(when(col("_bid") === j &&
-              col("_cum") >= k + 1 - b.below, col("_v"))).as(s"_r$k"))
+      }
+      // merge overlapping/adjacent brackets WITHIN a group (sorted by
+      // (group, lo); exact counts make overlap detection arithmetic)
+      val merged = narrowed.sortBy(b => (b.g, b.lo, b.hi))
+        .foldLeft(Vector.empty[Bracket]) { (acc, b) =>
+          acc.lastOption match {
+            case Some(p) if p.g == b.g && b.lo <= p.hi =>
+              val lo = math.min(p.lo, b.lo)
+              val hi = math.max(p.hi, b.hi)
+              val below = math.min(p.below, b.below)
+              val rows = math.max(p.below + p.rows, b.below + b.rows) - below
+              acc.init :+ Bracket(b.g, lo, hi, below, rows,
+                (p.ranks ++ b.ranks).distinct.sorted)
+            case _ => acc :+ b
           }
         }
-        val row = hist.agg(aggsNeeded.head._2, aggsNeeded.tail.map(_._2): _*).head()
-        aggsNeeded.map(_._1).zipWithIndex.foreach { case (k, i) =>
-          require(!row.isNullAt(i),
-            s"rank $k not covered by its final bracket — bug")
-          valueAt(k) = row.getDouble(i)
+      brackets = (done ++ merged).sortBy(b => (b.g, b.lo))
+    }
+
+    // final pass: exact value histogram inside the brackets, running
+    // sum per bracket, order statistics read off at their local ranks
+    val point = brackets.filter(b => b.lo == b.hi) // collapsed: all ties
+    point.foreach(b => b.ranks.foreach(k => valueAt((b.g, k)) = b.lo))
+    val need = brackets.filterNot(b => b.lo == b.hi)
+    if (need.nonEmpty) {
+      val bid = need.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (b, j)) =>
+          when(predOf(b.g) && col("_v") >= lit(b.lo) && col("_v") <= lit(b.hi),
+            lit(j)).otherwise(acc)
+      }
+      val hist = nn.filter(!isnan(col("_v")))
+        .select(bid.as("_bid"), col("_v"))
+        .filter(col("_bid").isNotNull)
+        .groupBy(col("_bid"), col("_v")).agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum(col("_c")).over(
+          Window.partitionBy(col("_bid")).orderBy(col("_v"))))
+      val aggsNeeded = need.zipWithIndex.flatMap { case (b, j) =>
+        b.ranks.map { k =>
+          ((b.g, k), min(when(col("_bid") === j &&
+            col("_cum") >= k + 1 - b.below, col("_v"))).as(s"_g${b.g}_r$k"))
         }
+      }
+      val row = hist.agg(aggsNeeded.head._2, aggsNeeded.tail.map(_._2): _*).head()
+      aggsNeeded.map(_._1).zipWithIndex.foreach { case (gk, i) =>
+        require(!row.isNullAt(i),
+          s"rank ${gk._2} (group ${gk._1}) not covered by its final bracket — bug")
+        valueAt(gk) = row.getDouble(i)
       }
     }
 
-    val outVals: Seq[Any] = specs.map { s =>
-      if (s.nearestRank) Double.box(valueAt(ranksOf(s).head))
-      else {
-        val h = (n - 1) * s.fraction
-        val vLo = valueAt(math.floor(h).toLong)
-        val vHi = valueAt(math.ceil(h).toLong)
-        Double.box(vLo + (h - math.floor(h)) * (vHi - vLo))
+    // ---- assemble: one local row per group ----
+    val rows: Seq[org.apache.spark.sql.Row] = groups.map { g =>
+      val specVals: Seq[Any] = specs.map { s =>
+        if (g.n == 0) null
+        else if (s.nearestRank) Double.box(valueAt((g.idx, ranksOf(s, g.n).head)))
+        else {
+          val h = (g.n - 1) * s.fraction
+          val vLo = valueAt((g.idx, math.floor(h).toLong))
+          val vHi = valueAt((g.idx, math.ceil(h).toLong))
+          Double.box(vLo + (h - math.floor(h)) * (vHi - vLo))
+        }
       }
+      org.apache.spark.sql.Row(g.keyVals ++ specVals: _*)
     }
-    resultFrame(outVals)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
   }
 }

@@ -705,22 +705,28 @@ object Pql {
         case _ => None
       }
       val (histNamed, nonHistNamed) = svNamed.partition(p => histArg(p).isDefined)
-      // GLOBAL exact PERCENTILE over a WIDE numeric plain column (long/
-      // float/double/decimal — unbounded distinct counts, where the
-      // value histogram degenerates to the data itself) routes through
-      // Percentiles.rankSelect: distributed quickselect, ~3 counting
-      // scans, no full-width shuffle ever (measured 0.51× DuckDB at
-      // 100M rows vs ~25 s for the per-group buffer `percentile()`
-      // this used to compile to). Grouped queries keep the histogram
-      // (groups bound the distinct set); EST/TDIGEST keep the sketch
-      // (already sub-second). rankSelect is EAGER — it runs its passes
-      // here at compile time and yields a local 1-row frame, which the
-      // global-aggregation crossJoin contract absorbs; the reference
-      // itself executes at submit (PercentileAggregationFunction.java:
-      // 21-50 — collect-all-values exact contract, same answer).
+      // Exact PERCENTILE over a WIDE numeric plain column (long/float/
+      // double/decimal — unbounded distinct counts, where the value
+      // histogram degenerates to the data itself) routes through
+      // rank-narrowing selection: distributed quickselect, ~3 counting
+      // scans, no full-width shuffle ever. GLOBAL: measured 0.51×
+      // DuckDB at 100M rows vs ~25 s for the buffer `percentile()`
+      // this used to compile to. GROUPED (r9): the group key folds
+      // into the cell identity (Percentiles.rankSelectKeyed) so all
+      // groups narrow in the SAME scans — probed 8.4 s vs 38.5 s for
+      // the grouped histogram at 100M rows × 2 groups; past 64 groups
+      // rankSelectKeyed itself falls back to that histogram (many
+      // groups bound the per-group distinct set — g1's 1.76× regime).
+      // Narrow integral columns keep the direct histogram (above);
+      // EST/TDIGEST keep the sketch (already sub-second). The route is
+      // EAGER — passes run here at compile time and yield a local
+      // ≤G-row frame, absorbed by the aggregation join contract (a
+      // crossJoin when global, a broadcast key-join when grouped); the
+      // reference itself executes at submit
+      // (PercentileAggregationFunction.java:21-50 — collect-all-values
+      // exact contract, same answer).
       val rankArg: ((Expr, String)) => Option[String] = {
-        case (Func(PercentileRe("percentile", _), Seq(Ident(n))), _)
-            if q.groupBy.isEmpty =>
+        case (Func(PercentileRe("percentile", _), Seq(Ident(n))), _) =>
           filtered.schema.fields.find(_.name.equalsIgnoreCase(n)).collect {
             case f if f.dataType == LongType || f.dataType == FloatType ||
                 f.dataType == DoubleType || f.dataType.isInstanceOf[DecimalType] =>
@@ -767,8 +773,13 @@ object Pql {
               graft.operators.Percentiles.Spec(
                 percentileFraction(pct), nm, nearestRank = false)
             }
-            graft.operators.Percentiles.rankSelect(
-              filtered.select(col(argName)), argName, specs)
+            if (q.groupBy.isEmpty)
+              graft.operators.Percentiles.rankSelect(
+                filtered.select(col(argName)), argName, specs)
+            else
+              graft.operators.Percentiles.rankSelectKeyed(
+                grouped.select(groupCols :+ col(argName).as(argName): _*),
+                keyNames, argName, specs)
           }
       val histFrames: Seq[DataFrame] =
         histNamed.groupBy(p => histArg(p).get).toSeq.sortBy(_._1)

@@ -114,6 +114,22 @@ object PqlQueries {
             .as("percentile50_l_extendedprice"),
           round(col("percentile95_l_extendedprice"), 3)
             .as("percentile95_l_extendedprice")))
+    ) + ("q_pql_percentile_rank_grouped" -> ((s: SparkSession, dir: String) =>
+      // r9: GROUPED exact PERCENTILE over the same wide double column
+      // compiles to Percentiles.rankSelectKeyed — group keys fold into
+      // the narrowing cells, all groups share the ~3 counting scans
+      // (probed 8.4 s vs 38.5 s for the grouped histogram at 100M
+      // rows × 2 groups); previously this shape paid the per-group
+      // value-buffer `percentile()`.
+      Pql.run(s, dir,
+          """SELECT PERCENTILE50(l_extendedprice), PERCENTILE95(l_extendedprice)
+            |FROM lineitem GROUP BY l_returnflag TOP 10""".stripMargin)
+        .select(
+          col("l_returnflag"),
+          round(col("percentile50_l_extendedprice"), 3)
+            .as("percentile50_l_extendedprice"),
+          round(col("percentile95_l_extendedprice"), 3)
+            .as("percentile95_l_extendedprice")))
     ) + ("q_pql_mv_agg" -> ((s: SparkSession, dir: String) =>
       Pql.run(s, dir, pqlMvAgg).select(
         col("label"),
@@ -206,6 +222,11 @@ object PqlQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 3) AS percentile50_l_extendedprice,
         |  round(quantile_cont(l_extendedprice, 0.95), 3) AS percentile95_l_extendedprice
         |FROM lineitem WHERE l_quantity > 5""".stripMargin,
+    "q_pql_percentile_rank_grouped" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 3) AS percentile50_l_extendedprice,
+        |  round(quantile_cont(l_extendedprice, 0.95), 3) AS percentile95_l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // unnest = explode; float min/max/range use float arithmetic in
     // both engines (bit-identical) before the widening round; sum/avg
     // widen per-element to double then round away the order difference

@@ -83,6 +83,35 @@ class DedupSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("hashed-shingle jaccard == string-shingle jaccard (the verify representation)") {
+    import graft.functions.GraftFunctions
+    // real-ish docs + edge shapes: short (< n tokens), unicode,
+    // repeated tokens, identical pair, disjoint pair
+    val docs = Seq(
+      base, base + " extra tail tokens here", base.replace("quick", "slow"),
+      "one two", "one two", "völlig ändere wörter überall",
+      "a a a a a a", "totally different content entirely").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val pairs = df.toDF("id_a", "t_a").crossJoin(df.toDF("id_b", "t_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        GraftFunctions.sortedJaccardHash(
+          GraftFunctions.shingleHashes(col("t_a"), 3),
+          GraftFunctions.shingleHashes(col("t_b"), 3)).as("hashed"),
+        GraftFunctions.sortedJaccard(
+          Dedup.shingles(col("t_a"), 3),
+          Dedup.shingles(col("t_b"), 3)).as("strings"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1), r))
+    // the hash array is sorted distinct longs
+    val arr = df.select(GraftFunctions.shingleHashes(col("text"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    arr.foreach { a =>
+      assert(a == a.sorted && a.distinct.size == a.size, a)
+    }
+  }
+
   test("minhash estimated jaccard approximates exact jaccard") {
     val nearDup = base.replace("quick", "fast")
     val df = Seq((1L, base), (2L, nearDup)).toDF("id", "text")

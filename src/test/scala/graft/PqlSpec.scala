@@ -343,6 +343,47 @@ class PqlSpec extends SparkSpec {
     assert(!longCol.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("GROUPED exact PERCENTILE over wide columns routes to rankSelectKeyed " +
+      "(local result frame, no value-buffer percentile agg)") {
+    // r9: group keys fold into the narrowing cells — the compiler runs
+    // Percentiles.rankSelectKeyed eagerly; the executed plan joins a
+    // LOCAL ≤G-row frame, with no `percentile(` buffer aggregate
+    val out = run(
+      "SELECT PERCENTILE50(l_extendedprice), PERCENTILE95(l_extendedprice) " +
+        "FROM lineitem GROUP BY l_returnflag TOP 10")
+    assert(out.columns.toSeq === Seq("l_returnflag",
+      "percentile50_l_extendedprice", "percentile95_l_extendedprice"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("percentile("), s"buffer agg in keyed-routed plan:\n$phys")
+    assert(!phys.contains("lineitem.parquet"),
+      s"keyed-routed plan should not rescan the fact table:\n$phys")
+    // values identical to the percentile() formula per group
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val want = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", lit(0.5)).as("p50"),
+        percentile($"l_extendedprice", lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out.collect().foreach { r =>
+      val (w50, w95) = want(r.getString(0))
+      assert(r.getDouble(1) === w50, s"p50 @ ${r.getString(0)}")
+      assert(r.getDouble(2) === w95, s"p95 @ ${r.getString(0)}")
+    }
+    // mixed with plain aggregations: the keyed frame joins back on the
+    // group key; the other aggregations still scan the fact table
+    val mixed = run(
+      "SELECT COUNT(*), PERCENTILE50(l_extendedprice) FROM lineitem " +
+        "GROUP BY l_returnflag TOP 10")
+    assert(mixed.columns.toSeq === Seq("l_returnflag", "count_star",
+      "percentile50_l_extendedprice"))
+    assert(!mixed.queryExecution.optimizedPlan.toString.contains("percentile("))
+    val counts = li.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixed.collect().foreach { r =>
+      assert(r.getLong(1) === counts(r.getString(0)))
+      assert(r.getDouble(2) === want(r.getString(0))._1)
+    }
+  }
+
   test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
     // global aggregation: two fractions, ONE percentile_approx in the plan
     val global = run(
