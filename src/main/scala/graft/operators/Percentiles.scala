@@ -220,6 +220,21 @@ object Percentiles {
     * histogram). */
   private final val SelectMaxGroups = 64
 
+  /** Hard ceiling on the groups [[rankSelectKeyed]] will enumerate at
+    * all (stats rows collected to the driver, batch predicates built
+    * per group). Past it the histogram answers unconditionally — and
+    * the stats collect is truncated at this bound, so a million-group
+    * key never materializes a million driver rows just to decide. */
+  private final val MaxChunkGroups = 1024
+
+  /** Default bound on the grouped histogram's estimated shuffle state
+    * (distinct (key, value) pairs) above which [[rankSelectKeyed]]
+    * prefers chunked narrowing over the histogram fallback: 2^23 pairs
+    * ≈ a few hundred MB of shuffle — comfortably the histogram's good
+    * regime — while a near-unique wide column over 100 groups (state ≈
+    * the data itself, the degenerate case) sails past it. */
+  private final val HistStateBound = 1L << 23
+
   /** GROUPED exact percentiles by rank-narrowing selection — the
     * [[rankSelect]] algorithm with the group key folded into the cell
     * identity, so ALL groups narrow in the SAME ~3 counting scans
@@ -243,7 +258,8 @@ object Percentiles {
     * aggregation frames on the group keys. */
   def rankSelectKeyed(df: DataFrame, keyCols: Seq[String], valueCol: String,
       specs: Seq[Spec], cap: Long = SelectCap,
-      buckets: Int = SelectBuckets): DataFrame = {
+      buckets: Int = SelectBuckets,
+      histStateBound: Long = HistStateBound): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec required")
     require(cap > 0 && buckets > 1, s"bad cap=$cap buckets=$buckets")
     specs.foreach { s =>
@@ -264,11 +280,18 @@ object Percentiles {
     val nn = base.filter(col("_v").isNotNull)
 
     // ---- stats pass: one row per group ----
+    // _adv (per-group approx distinct values) exists to size the
+    // histogram fallback's shuffle state: Σ over groups = distinct
+    // (key, value) pairs, the histogram's one real shuffle. The
+    // collect is truncated at MaxChunkGroups+1 — a high-cardinality
+    // key must not materialize its whole group list on the driver
+    // just to learn it belongs to the histogram.
     val statRows = base.groupBy(keys: _*).agg(
       count(col("_v")).as("_n"),
       sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
       min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
-      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).collect()
+      max(when(!isnan(col("_v")), col("_v"))).as("_mx"),
+      approx_count_distinct(col("_v")).as("_adv")).head(MaxChunkGroups + 1)
     if (statRows.isEmpty && keyCols.nonEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
@@ -285,8 +308,33 @@ object Percentiles {
     }
     if (statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
       require(keyCols.nonEmpty, "global stats must produce exactly one group")
-      return histogramAggs(df, keyCols, valueCol, specs, keepNullGroups = true)
-        .select(keyFields.map(f => col(f.name)) ++ specs.map(s => col(s.name)): _*)
+      def histogram(): DataFrame =
+        histogramAggs(df, keyCols, valueCol, specs, keepNullGroups = true)
+          .select(keyFields.map(f => col(f.name)) ++ specs.map(s => col(s.name)): _*)
+      // The histogram's shuffle state is the distinct (key, value)
+      // pair count — estimated here as Σ per-group approx distinct.
+      // Small state (the many-groups-bounded-values OLAP shape) is
+      // its good regime; a NEAR-UNIQUE wide column over 65..1024
+      // groups would degenerate the histogram to the data itself, so
+      // those chunk through the narrowing path in SelectMaxGroups
+      // batches instead (each batch = the few-group regime, ~4-5
+      // bounded scans over the batch's rows). Past MaxChunkGroups
+      // (stats truncated) or on a non-embeddable key the histogram
+      // answers unconditionally — exact either way, different plan.
+      val chunkable = statRows.length <= MaxChunkGroups && groupLits.forall(_.isDefined)
+      if (!chunkable) return histogram()
+      val adv = keyCols.length + 4
+      val estState = statRows.iterator.map(r =>
+        if (r.isNullAt(adv)) 0L else r.getLong(adv)).sum
+      if (estState <= histStateBound) return histogram()
+      val parts = groupLits.map(_.get).grouped(SelectMaxGroups).map { batch =>
+        val pred = batch.map(lits =>
+          keyCols.indices.map(i => keys(i) <=> lits(i)).reduce(_ && _))
+          .reduce(_ || _)
+        rankSelectKeyed(df.filter(pred), keyCols, valueCol, specs, cap,
+          buckets, histStateBound)
+      }.toSeq
+      return parts.reduce(_ union _)
     }
 
     // per-group state
@@ -350,7 +398,12 @@ object Percentiles {
       // bucket width shrinks with live group count so the driver's
       // collected cells stay ~buckets x ranks regardless of G
       val liveGroups = active.map(_.g).distinct.size
-      val B = math.max(256, buckets / math.max(liveGroups, 1))
+      // per-pass floor of min(buckets, 256): the 256 floor keeps the
+      // narrowing factor useful when many groups split the budget,
+      // but must not silently override a CALLER-passed buckets below
+      // 256 (specs pass 8/16 to force multi-pass narrowing)
+      val B = math.max(math.min(buckets, 256),
+        buckets / math.max(liveGroups, 1))
       // combined cell id: bracketIdx * B + clamp(floor((v-lo)/w*B)),
       // each bracket guarded by its group's key predicate (group
       // predicates are disjoint, brackets within a group disjoint)

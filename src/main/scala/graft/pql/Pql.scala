@@ -777,9 +777,13 @@ object Pql {
               graft.operators.Percentiles.rankSelect(
                 filtered.select(col(argName)), argName, specs)
             else
+              // value column under a reserved alias (the _hp_v pattern):
+              // selecting it under its own name collides when the
+              // percentile argument is ALSO a group-by key, and
+              // rankSelectKeyed's col(valueCol) would then be ambiguous
               graft.operators.Percentiles.rankSelectKeyed(
-                grouped.select(groupCols :+ col(argName).as(argName): _*),
-                keyNames, argName, specs)
+                grouped.select(groupCols :+ col(argName).as("_rs_v"): _*),
+                keyNames, "_rs_v", specs)
           }
       val histFrames: Seq[DataFrame] =
         histNamed.groupBy(p => histArg(p).get).toSeq.sortBy(_._1)

@@ -298,8 +298,61 @@ class PercentilesSpec extends SparkSpec {
     val df = (1 to 20000).map(i => (i % 100, rnd.nextDouble())).toDF("k", "v")
     assertKeyedParity(df, Seq("k"), "v")
     // the fallback frame is LAZY (histogramAggs), unlike the eager
-    // local result — both satisfy the same parity either way; group
-    // count alone decides, pinned here by construction (100 > 64)
+    // local result — both satisfy the same parity either way; 100 > 64
+    // groups with a SMALL estimated (key, value) state (20k distinct
+    // ≤ the default bound) is the histogram's good regime
+  }
+
+  test("rankSelectKeyed: >64 groups over near-unique values chunk through " +
+      "narrowing batches (estimated histogram state above the bound)") {
+    // 100 groups x near-unique doubles: the grouped histogram's state
+    // would be ~the data itself. A tiny histStateBound forces the
+    // chunked route deterministically (the default bound is sized for
+    // real data, not a 30k-row spec); parity vs the histogram pins
+    // values across the batch boundaries, incl. a null key and an
+    // all-null group
+    val rnd = new scala.util.Random(21)
+    val rows: Seq[(Integer, Option[Double])] =
+      (1 to 30000).map { i =>
+        val k: Integer = if (i % 997 == 0) null else Int.box(i % 100)
+        (k, Some(rnd.nextDouble() * 1e9))
+      } ++ Seq((Int.box(100), None), (Int.box(100), None))
+    val df = rows.toDF("k", "v")
+    val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v", rsSpecs,
+        cap = 50, buckets = 512, histStateBound = 100)
+      .orderBy(col("k")).collect()
+    val want = Percentiles.histogramAggs(df, Seq("k"), "v", rsSpecs,
+        keepNullGroups = true)
+      .select(col("k") +: rsSpecs.map(s => col(s.name)): _*)
+      .orderBy(col("k")).collect()
+    assert(got.length == want.length, s"${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.get(0) == w.get(0), s"key: $g vs $w")
+      rsSpecs.indices.foreach { i =>
+        (g.isNullAt(i + 1), w.isNullAt(i + 1)) match {
+          case (true, true) => ()
+          case (false, false) =>
+            assert(g.getDouble(i + 1) == w.getDouble(i + 1),
+              s"${rsSpecs(i).name} @ ${g.get(0)}: ${g.getDouble(i + 1)} != ${w.getDouble(i + 1)}")
+          case _ => fail(s"${rsSpecs(i).name}: null mismatch ($g vs $w)")
+        }
+      }
+    }
+  }
+
+  test("rankSelectKeyed: past 1024 groups the histogram answers " +
+      "unconditionally (stats collect stays bounded)") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 30000).map(i => (i % 1500, rnd.nextDouble() * 1e6))
+      .toDF("k", "v")
+    // histStateBound = 0 would force chunking if the group ceiling
+    // didn't take precedence — 1500 > MaxChunkGroups must still route
+    // to the histogram (24 batched narrowings would cost more scans
+    // than the histogram's one bounded shuffle)
+    assertKeyedParity(df, Seq("k"), "v")
+    val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v",
+      rsSpecs.take(1), histStateBound = 0)
+    assert(got.count() === 1500)
   }
 
   test("rankSelectKeyed: empty input returns an empty keyed frame") {

@@ -384,6 +384,23 @@ class PqlSpec extends SparkSpec {
     }
   }
 
+  test("GROUPED exact PERCENTILE whose argument IS a group-by key resolves " +
+      "(reserved _rs_v alias, no ambiguous reference)") {
+    // l_quantity: wide (double) with ≤64 distinct values, so this
+    // routes to rankSelectKeyed; selecting the value column under its
+    // own name next to the identical group column threw an
+    // ambiguous-reference AnalysisException before the alias fix
+    val out = run(
+      "SELECT PERCENTILE50(l_quantity) FROM lineitem GROUP BY l_quantity TOP 60")
+    val got = out.collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // each group is a single repeated value — every percentile of the
+    // group equals the key itself
+    got.foreach { case (k, p50) => assert(p50 === k, s"group $k") }
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    assert(got.size === li.select($"l_quantity").distinct().count().toInt)
+  }
+
   test("same-column PERCENTILEEST aggregations fuse into one sketch build") {
     // global aggregation: two fractions, ONE percentile_approx in the plan
     val global = run(
