@@ -68,8 +68,19 @@ object P4Probe {
         .filter(col("jaccard") >= threshold).count()
     report("stage3_verify_joins(cached docSh)", sample(reps)(verifyWithDocSh(): Unit))
 
+    // ---- r10: the staged-cached candidate stage (window collision
+    // pre-filter + single semi-filtered signature scan) vs the lazy
+    // shape measured as stage1 above ----
+    report("stage1_candidates_STAGED(r10)", sample(reps) {
+      val (c, cached) = Dedup.candidatePairsStagedCached(sigs, "doc_id",
+        nHashes, nBands, minEstJaccard = threshold * 0.6)
+      val cc = c.persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[p4probe] staged candidates = ${cc.count()}")
+      cc.unpersist(); cached.foreach(_.unpersist()); ()
+    })
+
     // ---- whole-pipeline variants (each rep = candidates → verified) ----
-    // A: today's shipped shape
+    // A: the shipped shape (r10: staged candidate stage inside)
     report("whole_shipped(staged cached)", sample(reps) {
       val r = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
         numHashes = nHashes, bands = nBands)

@@ -252,6 +252,71 @@ object Dedup {
     def unpersist(): Unit = { cached.foreach(_.unpersist()); () }
   }
 
+  /** Candidate generation for the STAGED/CACHED pipeline: the same
+    * pairs and est values as [[candidatePairsFromSignatures]],
+    * restructured around two small persisted intermediates so the
+    * dominant-volume work runs once per corpus pass:
+    *
+    *  - singleton `(band, band_hash)` groups — the overwhelming
+    *    majority of the |corpus|×bands banded frame, since collisions
+    *    are the LSH contract's rare event — are dropped by a window
+    *    count BEFORE the self-join, and the tiny colliding subset is
+    *    persisted. The lazy path's self-join sorts the FULL banded
+    *    frame twice (exchange reuse shares the shuffle files, not the
+    *    per-side sorts) and merges the full volume; here the banded
+    *    frame is exchanged + sorted once, and the join's both sides
+    *    read the cached colliding rows (already partitioned AND sorted
+    *    on the join key, so the join replans exchange- and sort-free).
+    *    Dropping singletons loses nothing: a pair needs two rows in
+    *    the same group by construction.
+    *  - the signature segment is semi-filtered by the candidate-id
+    *    broadcast ONCE into a persisted frame feeding both est-join
+    *    sides — the lazy shape scans + broadcast-probes the full
+    *    segment once per side.
+    *
+    * Returns the candidate frame (NOT yet persisted — the caller
+    * persists + eagerly counts it as the funnel metric) plus the
+    * persisted intermediates for the [[NearDupPairs]] release hook.
+    * Private to the cached path: persisting inside the lazy public
+    * API would leak cache entries with no lifecycle owner. */
+  private[graft] def candidatePairsStagedCached(withSig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, minEstJaccard: Double)
+      : (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
+        "components would otherwise be silently dropped, weakening recall")
+    val banded = lshBands(withSig, idCol, "sig", bands, numHashes)
+    val colliding = banded
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("_n") >= 2).drop("_n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = colliding.as("a")
+    val b = colliding.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val pairIds = broadcast(
+      pairs.select(col("id_a").as("_pid"))
+        .union(pairs.select(col("id_b").as("_pid"))).distinct())
+    val candSigs = withSig.select(col(idCol), col("sig"))
+      .join(pairIds, col(idCol) === col("_pid"), "left_semi")
+      .select(col(idCol), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = pairs
+      .join(candSigs.toDF("id_a", "sig_a"), "id_a")
+      .join(candSigs.toDF("id_b", "sig_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+    (cands, Seq(colliding, candSigs))
+  }
+
   /** [[nearDupPairsStaged]] with the two multiply-consumed stage
     * outputs materialized instead of recomputed.
     *
@@ -273,9 +338,9 @@ object Dedup {
       sigs: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
       bands: Int = 16, shingleSize: Int = 3): NearDupPairs = {
     import org.apache.spark.storage.StorageLevel
-    val cands = candidatePairsFromSignatures(sigs, idCol, numHashes, bands,
-        minEstJaccard = threshold * 0.6)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (candsRaw, stageCached) = candidatePairsStagedCached(sigs, idCol,
+      numHashes, bands, minEstJaccard = threshold * 0.6)
+    val cands = candsRaw.persist(StorageLevel.MEMORY_AND_DISK)
     // eager: guarantees the subtree runs once even though the first
     // lazy consumer would be the two-branch union below
     val nCands = cands.count()
@@ -286,7 +351,8 @@ object Dedup {
       .select(col(idCol),
         GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    NearDupPairs(verifyJoin(cands, docSh, threshold), nCands, Seq(cands, docSh))
+    NearDupPairs(verifyJoin(cands, docSh, threshold), nCands,
+      Seq(cands, docSh) ++ stageCached)
   }
 
   /** EXACT n-gram Jaccard similarity join — the deterministic,

@@ -83,6 +83,39 @@ class DedupSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("staged-cached candidate stage == lazy candidate stage (pairs + est values)") {
+    // richer collision structure than the cached-pipeline test: a
+    // 3-doc identical cluster (C(3,2) pairs inside ONE band group —
+    // the within-group pairing the collision pre-filter must keep), a
+    // near pair, and singletons the window filter must drop silently
+    val nearDup = base.replace("quick", "fast")
+    val other = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution plans"
+    val df = Seq((1L, base), (2L, base), (3L, base), (4L, nearDup),
+      (5L, other), (6L, "short unrelated text fragment here"))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 64)
+    val lazyCands = Dedup.candidatePairsFromSignatures(sigs, "id",
+        numHashes = 64, minEstJaccard = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val (stagedDf, cached) = Dedup.candidatePairsStagedCached(sigs, "id",
+      numHashes = 64, bands = 16, minEstJaccard = 0.3)
+    try {
+      val staged = stagedDf.as[(Long, Long, Double)].collect().toSet
+      assert(staged === lazyCands)
+      // the identical 3-cluster must survive as all three pairs
+      assert(staged.map(p => (p._1, p._2))
+        .intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))).size === 3)
+      // plan shape: the self-join's input is the window-counted
+      // colliding subset (singleton band groups never reach the join)
+      val plan = stagedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"),
+        s"staged candidate stage must pre-filter collisions via a window count:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"staged candidate stage must join the PERSISTED colliding subset:\n$plan")
+    } finally cached.foreach(_.unpersist())
+  }
+
   test("hashed-shingle jaccard == string-shingle jaccard (the verify representation)") {
     import graft.functions.GraftFunctions
     // real-ish docs + edge shapes: short (< n tokens), unicode,
