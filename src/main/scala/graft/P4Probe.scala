@@ -45,12 +45,29 @@ object P4Probe {
     def report(tag: String, xs: Seq[Double]): Unit =
       println(f"[p4probe] $tag%-36s p50=${p50(xs)}%.2f reps=${xs.map(x => f"$x%.2f").mkString(",")}")
 
+    // GRAFT_P4_STAGED_ONLY=1: skip the lazy candidate stage and the
+    // whole-pipeline comparison variants — the cheap decomposition of
+    // the SHIPPED staged path only (stage splits + one end-to-end)
+    val stagedOnly = sys.env.get("GRAFT_P4_STAGED_ONLY").contains("1")
+
     // ---- stage decomposition (one pass, persisted handoffs) ----
     val threshold = 0.7
-    val cands = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
-      minEstJaccard = threshold * 0.6).persist(StorageLevel.MEMORY_AND_DISK)
-    val tCand = time { println(s"[p4probe] candidates = ${cands.count()}") }
-    report("stage1_candidates", Seq(tCand))
+    val cands =
+      if (stagedOnly) {
+        val (c, cached) = Dedup.candidatePairsStagedCached(sigs, "doc_id",
+          nHashes, nBands, minEstJaccard = threshold * 0.6)
+        val cc = c.persist(StorageLevel.MEMORY_AND_DISK)
+        val tCand = time { println(s"[p4probe] candidates = ${cc.count()}") }
+        report("stage1_candidates_STAGED", Seq(tCand))
+        cached.foreach(_.unpersist())
+        cc
+      } else {
+        val cc = Dedup.candidatePairsFromSignatures(sigs, "doc_id", nHashes, nBands,
+          minEstJaccard = threshold * 0.6).persist(StorageLevel.MEMORY_AND_DISK)
+        val tCand = time { println(s"[p4probe] candidates = ${cc.count()}") }
+        report("stage1_candidates", Seq(tCand))
+        cc
+      }
 
     val candIds = broadcast(
       cands.select(col("id_a").as("_cid"))
@@ -71,7 +88,7 @@ object P4Probe {
     // ---- r10: the staged-cached candidate stage (window collision
     // pre-filter + single semi-filtered signature scan) vs the lazy
     // shape measured as stage1 above ----
-    report("stage1_candidates_STAGED(r10)", sample(reps) {
+    if (!stagedOnly) report("stage1_candidates_STAGED(r10)", sample(reps) {
       val (c, cached) = Dedup.candidatePairsStagedCached(sigs, "doc_id",
         nHashes, nBands, minEstJaccard = threshold * 0.6)
       val cc = c.persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,6 +103,7 @@ object P4Probe {
         numHashes = nHashes, bands = nBands)
       r.pairs.count(); r.unpersist(); ()
     })
+    if (stagedOnly) { docSh.unpersist(); cands.unpersist(); spark.stop(); return }
 
     // B: text through the joins, shingles fused per pair side
     def fusedTextVerify(): Long = {
