@@ -39,6 +39,42 @@ object GroupedPctProbe {
     val table = spark.read.parquet(s"$dir/ontime.parquet")
     table.agg(count(lit(1))).collect() // warm
 
+    // mode "batched" (r10): the f46f9d0 chunked-narrowing regime —
+    // ~100 groups over the NEAR-UNIQUE value, where the grouped
+    // histogram's shuffle state degenerates to the data itself and
+    // rankSelectKeyed must chunk groups through SelectMaxGroups-sized
+    // narrowing batches instead. Scale-pins the new code path (it was
+    // spec-covered but never run at 10^8 rows).
+    if (args.length > 2 && args(2) == "batched") {
+      def frame100 = table.select(
+        pmod(col("FlightNum"), lit(100)).as("g"),
+        pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),
+          lit(1L << 31)).cast("double").as("v"))
+      val specs = Seq(
+        Percentiles.Spec(0.5, "p50", nearestRank = false),
+        Percentiles.Spec(0.95, "p95", nearestRank = false))
+      val keyed = Percentiles.rankSelectKeyed(frame100, Seq("g"), "v", specs)
+        .orderBy(col("g")).collect()
+      println(s"[gpprobe] batched groups answered = ${keyed.length}")
+      val hist = Percentiles.histogramAggs(frame100, Seq("g"), "v", specs)
+        .orderBy(col("g")).collect()
+      require(keyed.length == hist.length && keyed.zip(hist).forall { case (a, b) =>
+          a.get(0) == b.get(0) && a.getDouble(1) == b.getDouble(1) &&
+            a.getDouble(2) == b.getDouble(2)
+        }, "batched narrowing diverged from the grouped histogram")
+      println("[gpprobe] batched values identical to the histogram's")
+      val tKeyed = sample(reps) {
+        Percentiles.rankSelectKeyed(frame100, Seq("g"), "v", specs).collect(); ()
+      }
+      println(f"[gpprobe] batched_narrowing(100g) p50=${p50(tKeyed)}%.2f reps=${tKeyed.map(x => f"$x%.2f").mkString(",")}")
+      val tHist100 = sample(reps) {
+        Percentiles.histogramAggs(frame100, Seq("g"), "v", specs).collect(); ()
+      }
+      println(f"[gpprobe] grouped_histogram(100g) p50=${p50(tHist100)}%.2f reps=${tHist100.map(x => f"$x%.2f").mkString(",")}")
+      spark.stop()
+      return
+    }
+
     // the g2 near-unique value, grouped by the 2-value status flag
     def frame = table.select(col("Cancelled").as("g"),
       pmod(xxhash64(col("FlightNum"), col("ArrTime"), col("Distance")),

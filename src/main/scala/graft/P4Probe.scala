@@ -103,7 +103,58 @@ object P4Probe {
         numHashes = nHashes, bands = nBands)
       r.pairs.count(); r.unpersist(); ()
     })
-    if (stagedOnly) { docSh.unpersist(); cands.unpersist(); spark.stop(); return }
+    if (stagedOnly) {
+      // r10 follow-up variant: est+verify PAYLOAD FUSION — the raw
+      // (pre-est) pairs join ONE per-id payload frame (sig + shingle
+      // hashes) per side, est-filter and exact-verify in a single
+      // pass. Two pair joins instead of four, one corpus semi-scan
+      // instead of two, at the cost of shingling the ~10% larger
+      // pre-est id universe and carrying sig (64 B) beside _sh.
+      import graft.functions.GraftFunctions
+      import org.apache.spark.sql.DataFrame
+      def fusedPayload(): Long = {
+        val banded = Dedup.lshBands(sigs, "doc_id", "sig", nBands, nHashes)
+        val colliding = banded
+          .withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("band_hash"))))
+          .filter(col("_n") >= 2).drop("_n")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pairsRaw = colliding.as("a").join(colliding.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        pairsRaw.count()
+        val ids = broadcast(
+          pairsRaw.select(col("id_a").as("_pid"))
+            .union(pairsRaw.select(col("id_b").as("_pid"))).distinct())
+        val payload: DataFrame = sigs
+          .join(ids, col("doc_id") === col("_pid"), "left_semi")
+          .join(docs.select(col("doc_id"),
+              GraftFunctions.shingleHashes(col("text"), 3).as("_sh"))
+            .join(ids, col("doc_id") === col("_pid"), "left_semi"), "doc_id")
+          .select(col("doc_id"), col("sig"), col("_sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val out = pairsRaw
+          .join(payload.toDF("id_a", "sig_a", "_sh_a"), "id_a")
+          .join(payload.toDF("id_b", "sig_b", "_sh_b"), "id_b")
+          .withColumn("est_jaccard",
+            round(Dedup.minhashJaccard(col("sig_a"), col("sig_b")), 4))
+          .filter(col("est_jaccard") >= threshold * 0.6)
+          .withColumn("jaccard",
+            GraftFunctions.sortedJaccardHash(col("_sh_a"), col("_sh_b")))
+          .filter(col("jaccard") >= threshold)
+        val n = out.count()
+        colliding.unpersist(); pairsRaw.unpersist(); payload.unpersist()
+        n
+      }
+      println(s"[p4probe] fused verified = ${fusedPayload()}")
+      report("whole_fused_payload(r10)", sample(reps)(fusedPayload(): Unit))
+      docSh.unpersist(); cands.unpersist(); spark.stop(); return
+    }
 
     // B: text through the joins, shingles fused per pair side
     def fusedTextVerify(): Long = {

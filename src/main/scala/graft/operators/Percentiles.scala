@@ -220,20 +220,20 @@ object Percentiles {
     * histogram). */
   private final val SelectMaxGroups = 64
 
-  /** Hard ceiling on the groups [[rankSelectKeyed]] will enumerate at
-    * all (stats rows collected to the driver, batch predicates built
-    * per group). Past it the histogram answers unconditionally — and
-    * the stats collect is truncated at this bound, so a million-group
-    * key never materializes a million driver rows just to decide. */
-  private final val MaxChunkGroups = 1024
-
-  /** Default bound on the grouped histogram's estimated shuffle state
-    * (distinct (key, value) pairs) above which [[rankSelectKeyed]]
-    * prefers chunked narrowing over the histogram fallback: 2^23 pairs
-    * ≈ a few hundred MB of shuffle — comfortably the histogram's good
-    * regime — while a near-unique wide column over 100 groups (state ≈
-    * the data itself, the degenerate case) sails past it. */
-  private final val HistStateBound = 1L << 23
+  /** Past [[SelectMaxGroups]] the histogram answers UNCONDITIONALLY —
+    * including on near-unique columns where its shuffle state is the
+    * data itself. That regime was probed at 100M rows × 100 groups
+    * (GroupedPctProbe `batched`, r10): the chunked-narrowing
+    * alternative (⌈G/64⌉ batches × ~4-5 full counting scans each)
+    * costs 215 s where the "degenerate" histogram answers in 21.6 s,
+    * values identical — the histogram's worst case is ONE shuffle
+    * bounded by the data, which a multi-batch scan loop can never
+    * undercut (state ≤ data by construction, so the shuffle never
+    * exceeds ~1 scan-equivalent of traffic). The stats collect is
+    * truncated at SelectMaxGroups + 1, so a million-group key never
+    * materializes a million driver rows just to learn it belongs to
+    * the histogram. */
+  private final val StatsCollectBound = SelectMaxGroups + 1
 
   /** GROUPED exact percentiles by rank-narrowing selection — the
     * [[rankSelect]] algorithm with the group key folded into the cell
@@ -258,8 +258,7 @@ object Percentiles {
     * aggregation frames on the group keys. */
   def rankSelectKeyed(df: DataFrame, keyCols: Seq[String], valueCol: String,
       specs: Seq[Spec], cap: Long = SelectCap,
-      buckets: Int = SelectBuckets,
-      histStateBound: Long = HistStateBound): DataFrame = {
+      buckets: Int = SelectBuckets): DataFrame = {
     require(specs.nonEmpty, "at least one percentile spec required")
     require(cap > 0 && buckets > 1, s"bad cap=$cap buckets=$buckets")
     specs.foreach { s =>
@@ -279,19 +278,14 @@ object Percentiles {
     val base = df.select(keys :+ col(valueCol).cast("double").as("_v"): _*)
     val nn = base.filter(col("_v").isNotNull)
 
-    // ---- stats pass: one row per group ----
-    // _adv (per-group approx distinct values) exists to size the
-    // histogram fallback's shuffle state: Σ over groups = distinct
-    // (key, value) pairs, the histogram's one real shuffle. The
-    // collect is truncated at MaxChunkGroups+1 — a high-cardinality
-    // key must not materialize its whole group list on the driver
-    // just to learn it belongs to the histogram.
+    // ---- stats pass: one row per group (collect truncated — a
+    // high-cardinality key must not flood the driver just to learn it
+    // belongs to the histogram fallback) ----
     val statRows = base.groupBy(keys: _*).agg(
       count(col("_v")).as("_n"),
       sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
       min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
-      max(when(!isnan(col("_v")), col("_v"))).as("_mx"),
-      approx_count_distinct(col("_v")).as("_adv")).head(MaxChunkGroups + 1)
+      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).head(StatsCollectBound)
     if (statRows.isEmpty && keyCols.nonEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
@@ -307,34 +301,17 @@ object Percentiles {
       if (ls.forall(_.isDefined)) Some(ls.map(_.get)) else None
     }
     if (statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
+      // Unconditional histogram past the group ceiling (or on a key
+      // the driver cannot re-embed as a typed literal): exact either
+      // way, different plan. Even the histogram's degenerate state
+      // (near-unique values × many groups ⇒ state ≈ the data) is ONE
+      // data-bounded shuffle, which the r10 probe measured 10× FASTER
+      // than chunking groups through multi-scan narrowing batches
+      // (215 s vs 21.6 s at 100M rows × 100 groups, values identical
+      // — see StatsCollectBound's scaladoc).
       require(keyCols.nonEmpty, "global stats must produce exactly one group")
-      def histogram(): DataFrame =
-        histogramAggs(df, keyCols, valueCol, specs, keepNullGroups = true)
-          .select(keyFields.map(f => col(f.name)) ++ specs.map(s => col(s.name)): _*)
-      // The histogram's shuffle state is the distinct (key, value)
-      // pair count — estimated here as Σ per-group approx distinct.
-      // Small state (the many-groups-bounded-values OLAP shape) is
-      // its good regime; a NEAR-UNIQUE wide column over 65..1024
-      // groups would degenerate the histogram to the data itself, so
-      // those chunk through the narrowing path in SelectMaxGroups
-      // batches instead (each batch = the few-group regime, ~4-5
-      // bounded scans over the batch's rows). Past MaxChunkGroups
-      // (stats truncated) or on a non-embeddable key the histogram
-      // answers unconditionally — exact either way, different plan.
-      val chunkable = statRows.length <= MaxChunkGroups && groupLits.forall(_.isDefined)
-      if (!chunkable) return histogram()
-      val adv = keyCols.length + 4
-      val estState = statRows.iterator.map(r =>
-        if (r.isNullAt(adv)) 0L else r.getLong(adv)).sum
-      if (estState <= histStateBound) return histogram()
-      val parts = groupLits.map(_.get).grouped(SelectMaxGroups).map { batch =>
-        val pred = batch.map(lits =>
-          keyCols.indices.map(i => keys(i) <=> lits(i)).reduce(_ && _))
-          .reduce(_ || _)
-        rankSelectKeyed(df.filter(pred), keyCols, valueCol, specs, cap,
-          buckets, histStateBound)
-      }.toSeq
-      return parts.reduce(_ union _)
+      return histogramAggs(df, keyCols, valueCol, specs, keepNullGroups = true)
+        .select(keyFields.map(f => col(f.name)) ++ specs.map(s => col(s.name)): _*)
     }
 
     // per-group state

@@ -303,14 +303,13 @@ class PercentilesSpec extends SparkSpec {
     // ≤ the default bound) is the histogram's good regime
   }
 
-  test("rankSelectKeyed: >64 groups over near-unique values chunk through " +
-      "narrowing batches (estimated histogram state above the bound)") {
+  test("rankSelectKeyed: >64 groups over near-unique values answer from the " +
+      "histogram (probed 10x cheaper than multi-scan narrowing batches at 100M)") {
     // 100 groups x near-unique doubles: the grouped histogram's state
-    // would be ~the data itself. A tiny histStateBound forces the
-    // chunked route deterministically (the default bound is sized for
-    // real data, not a 30k-row spec); parity vs the histogram pins
-    // values across the batch boundaries, incl. a null key and an
-    // all-null group
+    // is ~the data itself — still ONE data-bounded shuffle, which the
+    // r10 GroupedPctProbe measured 215 s (chunked narrowing) vs
+    // 21.6 s (histogram) at 100M rows, values identical. Parity vs
+    // the histogram pins values incl. a null key and an all-null group
     val rnd = new scala.util.Random(21)
     val rows: Seq[(Integer, Option[Double])] =
       (1 to 30000).map { i =>
@@ -319,7 +318,7 @@ class PercentilesSpec extends SparkSpec {
       } ++ Seq((Int.box(100), None), (Int.box(100), None))
     val df = rows.toDF("k", "v")
     val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v", rsSpecs,
-        cap = 50, buckets = 512, histStateBound = 100)
+        cap = 50, buckets = 512)
       .orderBy(col("k")).collect()
     val want = Percentiles.histogramAggs(df, Seq("k"), "v", rsSpecs,
         keepNullGroups = true)
@@ -340,18 +339,13 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
-  test("rankSelectKeyed: past 1024 groups the histogram answers " +
-      "unconditionally (stats collect stays bounded)") {
+  test("rankSelectKeyed: a high-cardinality key routes to the histogram " +
+      "with the stats collect bounded (no driver flood)") {
     val rnd = new scala.util.Random(17)
     val df = (1 to 30000).map(i => (i % 1500, rnd.nextDouble() * 1e6))
       .toDF("k", "v")
-    // histStateBound = 0 would force chunking if the group ceiling
-    // didn't take precedence — 1500 > MaxChunkGroups must still route
-    // to the histogram (24 batched narrowings would cost more scans
-    // than the histogram's one bounded shuffle)
     assertKeyedParity(df, Seq("k"), "v")
-    val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v",
-      rsSpecs.take(1), histStateBound = 0)
+    val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v", rsSpecs.take(1))
     assert(got.count() === 1500)
   }
 
