@@ -39,12 +39,16 @@ object GroupedPctProbe {
     val table = spark.read.parquet(s"$dir/ontime.parquet")
     table.agg(count(lit(1))).collect() // warm
 
-    // mode "batched" (r10): the f46f9d0 chunked-narrowing regime —
-    // ~100 groups over the NEAR-UNIQUE value, where the grouped
-    // histogram's shuffle state degenerates to the data itself and
-    // rankSelectKeyed must chunk groups through SelectMaxGroups-sized
-    // narrowing batches instead. Scale-pins the new code path (it was
-    // spec-covered but never run at 10^8 rows).
+    // mode "batched": HISTORICAL RECORD of the r10 scale probe that
+    // measured the (since-REVERTED) f46f9d0 chunked >64-group
+    // narrowing path at 215 s p50 vs the grouped histogram's 21.6 s
+    // at 100M rows (values identical) — the evidence behind commit
+    // 422023a. On HEAD, rankSelectKeyed at 100 groups routes straight
+    // to histogramAggs, so tKeyed and tHist100 below now measure the
+    // SAME plan and the parity require() compares the histogram to
+    // itself: a rerun CANNOT reproduce the 215 s number and says
+    // nothing about the removed path. Kept only so the cited probe
+    // method stays readable next to its numbers.
     if (args.length > 2 && args(2) == "batched") {
       def frame100 = table.select(
         pmod(col("FlightNum"), lit(100)).as("g"),

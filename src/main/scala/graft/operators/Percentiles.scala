@@ -114,6 +114,11 @@ object Percentiles {
     //    keepNullGroups count-0 carriers) land in the null bucket,
     //    which sorts first with _bc = 0 — cum stays 0 there and they
     //    never satisfy a >= 1 rank threshold.
+    // keys = Nil (global percentile) makes this an unpartitioned
+    // window — Spark's WindowExec then logs a "may cause serious
+    // performance degradation" warning in bench tails. It is noise
+    // here: the window runs over per-BUCKET summaries, never data
+    // rows, so the single task sees ≤ distinct(_v)/65536 rows.
     val byKey = Window.partitionBy(keys: _*)
     // the bucket must preserve _v's TOTAL order including NaN: Spark
     // sorts NaN greater than every double, but floor(NaN).cast(long)

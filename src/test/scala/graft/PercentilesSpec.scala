@@ -303,13 +303,17 @@ class PercentilesSpec extends SparkSpec {
     // ≤ the default bound) is the histogram's good regime
   }
 
-  test("rankSelectKeyed: >64 groups over near-unique values answer from the " +
-      "histogram (probed 10x cheaper than multi-scan narrowing batches at 100M)") {
-    // 100 groups x near-unique doubles: the grouped histogram's state
-    // is ~the data itself — still ONE data-bounded shuffle, which the
-    // r10 GroupedPctProbe measured 215 s (chunked narrowing) vs
-    // 21.6 s (histogram) at 100M rows, values identical. Parity vs
-    // the histogram pins values incl. a null key and an all-null group
+  test("rankSelectKeyed: >64 groups over near-unique values route to the " +
+      "histogram, values pinned against an INDEPENDENT oracle") {
+    // 100 groups x near-unique doubles: the shape the (reverted) r10
+    // chunked-narrowing branch existed for — probed 10x SLOWER than
+    // the histogram it bypassed (215 s vs 21.6 s at 100M,
+    // GroupedPctProbe), so >64 groups answer from histogramAggs
+    // unconditionally. Since the route IS histogramAggs, comparing
+    // against histogramAggs would be tautological; the oracle here is
+    // Spark's own exact `percentile` (interpolated specs) and a
+    // window-rank formulation (nearest-rank spec) — two unrelated
+    // implementations — incl. a null key and an all-null group.
     val rnd = new scala.util.Random(21)
     val rows: Seq[(Integer, Option[Double])] =
       (1 to 30000).map { i =>
@@ -317,22 +321,44 @@ class PercentilesSpec extends SparkSpec {
         (k, Some(rnd.nextDouble() * 1e9))
       } ++ Seq((Int.box(100), None), (Int.box(100), None))
     val df = rows.toDF("k", "v")
-    val got = Percentiles.rankSelectKeyed(df, Seq("k"), "v", rsSpecs,
-        cap = 50, buckets = 512)
-      .orderBy(col("k")).collect()
-    val want = Percentiles.histogramAggs(df, Seq("k"), "v", rsSpecs,
-        keepNullGroups = true)
+    val keyed = Percentiles.rankSelectKeyed(df, Seq("k"), "v", rsSpecs)
+    // routing: the histogram route returns the LAZY aggregation frame;
+    // the narrowing route would have collected to a local relation
+    assert(!keyed.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "expected the lazy histogram route at 101 groups, got a local result")
+    val got = keyed.orderBy(col("k")).collect()
+    val interp = rsSpecs.filterNot(_.nearestRank)
+    val oracleAggs = interp.map(s =>
+        expr(s"percentile(v, ${s.fraction})").as(s.name)) ++
+      rsSpecs.filter(_.nearestRank).map(s =>
+        // nearest-rank: the data value at 1-indexed rank
+        // max(ceil(f*n), 1) — an ordered-collect formulation
+        // sharing no code with the histogram plan. `get` (not
+        // `[..]`): null — not an ANSI error — on the all-null
+        // group's empty array
+        expr(s"get(sort_array(collect_list(v)), cast(greatest(ceil(${s.fraction} * count(v)), 1) as int) - 1)")
+          .as(s.name))
+    val oracle = df.groupBy(col("k")).agg(oracleAggs.head, oracleAggs.tail: _*)
       .select(col("k") +: rsSpecs.map(s => col(s.name)): _*)
       .orderBy(col("k")).collect()
-    assert(got.length == want.length, s"${got.length} != ${want.length}")
-    got.zip(want).foreach { case (g, w) =>
+    assert(got.length == oracle.length, s"${got.length} != ${oracle.length}")
+    got.zip(oracle).foreach { case (g, w) =>
       assert(g.get(0) == w.get(0), s"key: $g vs $w")
       rsSpecs.indices.foreach { i =>
         (g.isNullAt(i + 1), w.isNullAt(i + 1)) match {
           case (true, true) => ()
           case (false, false) =>
-            assert(g.getDouble(i + 1) == w.getDouble(i + 1),
-              s"${rsSpecs(i).name} @ ${g.get(0)}: ${g.getDouble(i + 1)} != ${w.getDouble(i + 1)}")
+            val (a, b) = (g.getDouble(i + 1), w.getDouble(i + 1))
+            // nearest-rank values are actual data values — exact;
+            // interpolated specs allow 1-ULP association slack
+            // (Spark's percentile computes lo*(1-w)+hi*w, the
+            // histogram lo+w*(hi-lo) — equal reals, not equal floats)
+            val ok =
+              if (rsSpecs(i).nearestRank) a == b
+              else a == b || math.abs(a - b) <= math.ulp(math.max(math.abs(a), math.abs(b)))
+            assert(ok,
+              s"${rsSpecs(i).name} @ ${g.get(0)}: $a != $b")
           case _ => fail(s"${rsSpecs(i).name}: null mismatch ($g vs $w)")
         }
       }
