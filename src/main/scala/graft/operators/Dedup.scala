@@ -22,6 +22,38 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Per-side id-count ceiling for the EXPLICIT candidate-id broadcast
+    * hints in the near-dup pipeline. The candidate universe grows
+    * linearly with corpus size (6.6M ids at 10^8 docs ≈ 53 MB — fine;
+    * ~6.6x10^8 ids at the 100x horizon ≈ 5+ GB), and an explicit hint
+    * bypasses `autoBroadcastJoinThreshold` gating entirely — at that
+    * size it OOMs the driver or trips Spark's 8 GB broadcast hard cap
+    * no matter how well the banding is configured. Below the limit the
+    * hint is pure win (no corpus-side shuffle write at all); at or
+    * above it the semi-filter runs as a plain shuffle join whose cost
+    * stays proportional to data, not driver memory. 50M ids ≈ 0.4 GB
+    * of long keys — large for a broadcast but safely under executor
+    * memory at any deployment size. */
+  val BroadcastIdLimit: Long = 50000000L
+
+  /** Left-semi-filter `frame` to rows whose `key` column appears in
+    * `ids` (single column `_gid`). `knownIdBound` is an upper bound on
+    * the id count when the caller has already materialized it (the
+    * staged paths' eager funnel counts): at or under `broadcastIdLimit`
+    * the build side gets an explicit broadcast hint, above it the join
+    * is left un-hinted and shuffles. Lazy callers pass None — also
+    * un-hinted, so the decision falls to AQE's RUNTIME size of the ids
+    * side (broadcast when actually small, shuffle when not) instead of
+    * a static hint that cannot know the scale it will run at. */
+  private def semiFilterByIds(frame: DataFrame, key: String, ids: DataFrame,
+      knownIdBound: Option[Long], broadcastIdLimit: Long): DataFrame = {
+    val rhs = knownIdBound match {
+      case Some(n) if n <= broadcastIdLimit => broadcast(ids)
+      case _ => ids
+    }
+    frame.join(rhs, col(key) === col("_gid"), "left_semi")
+  }
+
   /** DISTINCT word n-gram shingles of the normalized text (contiguous
     * n-token windows joined by single spaces), as a sorted array —
     * one codegen'd kernel call per document
@@ -134,21 +166,26 @@ object Dedup {
     // signature array — at 10^8 docs × 64 hashes that is ~2× 50 GB of
     // shuffle for a candidate universe that the LSH contract keeps
     // orders of magnitude smaller. Semi-filter the signature frame by
-    // the broadcast candidate-id set first (same boundedness argument
-    // as the verify stage's candIds: ~16 B/id, and a candidate set
-    // near corpus size means the banding is misconfigured for the
-    // threshold). Stored-segment callers only (`semiFilterSigs`): the
-    // candidate-id broadcast re-executes the banding subtree, which is
-    // a segment re-scan here but a full text-kernel corpus pass in the
-    // inline [[minhashCandidatePairs]] path.
+    // the candidate-id set first. This lazy path cannot know the id
+    // count without executing the banding subtree, so the semi-join is
+    // UN-hinted: AQE sizes the materialized ids side at runtime and
+    // broadcasts only when it is actually small — unlike a static
+    // broadcast hint, which at the 100x horizon (~6.6x10^8 candidate
+    // ids ≈ 5+ GB) would bypass autoBroadcastJoinThreshold and OOM the
+    // driver. The staged/cached path hint-gates on its eager candidate
+    // count instead ([[candidatePairsStagedCached]]). Stored-segment
+    // callers only (`semiFilterSigs`): the candidate-id subtree
+    // re-executes the banding, which is a segment re-scan here but a
+    // full text-kernel corpus pass in the inline
+    // [[minhashCandidatePairs]] path.
     val sigs0 = withSig.select(col(idCol), col("sig"))
     val sigs =
       if (!semiFilterSigs) sigs0
       else {
-        val pairIds = broadcast(
-          pairs.select(col("id_a").as("_pid"))
-            .union(pairs.select(col("id_b").as("_pid"))).distinct())
-        sigs0.join(pairIds, col(idCol) === col("_pid"), "left_semi")
+        val pairIds = pairs.select(col("id_a").as("_gid"))
+          .union(pairs.select(col("id_b").as("_gid"))).distinct()
+        semiFilterByIds(sigs0, idCol, pairIds, knownIdBound = None,
+            BroadcastIdLimit)
           .select(col(idCol), col("sig"))
       }
     pairs
@@ -221,15 +258,14 @@ object Dedup {
     // arrays of ALL documents (several times the text's size) shuffle
     // through both joins: measured 50+ GB of shuffle at 10^8 docs
     // where the candidate set touched <10% of them.
-    // The id set is broadcast: ~16 B/id means even a 10^7-doc
-    // candidate universe is a ~160 MB build side, safely below
-    // executor memory at any deployment size — and a candidate set
-    // approaching the corpus size means LSH banding was misconfigured
-    // for the threshold, which no verify-stage strategy rescues.
-    val candIds = broadcast(
-      cands.select(col("id_a").as("_cid"))
-        .union(cands.select(col("id_b").as("_cid"))).distinct())
-    val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
+    // Lazy path, id count unknown → un-hinted semi-join; AQE
+    // runtime-sizes the id side (see [[semiFilterByIds]] — the id set
+    // grows with the corpus, so a static broadcast hint is a 100x-
+    // scale ceiling). The staged path gates on its eager count.
+    val candIds = cands.select(col("id_a").as("_gid"))
+      .union(cands.select(col("id_b").as("_gid"))).distinct()
+    val docSh = semiFilterByIds(df, idCol, candIds, knownIdBound = None,
+        BroadcastIdLimit)
       .select(col(idCol),
         GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
     verifyJoin(cands, docSh, threshold)
@@ -269,10 +305,13 @@ object Dedup {
     *    on the join key, so the join replans exchange- and sort-free).
     *    Dropping singletons loses nothing: a pair needs two rows in
     *    the same group by construction.
-    *  - the signature segment is semi-filtered by the candidate-id
-    *    broadcast ONCE into a persisted frame feeding both est-join
-    *    sides — the lazy shape scans + broadcast-probes the full
-    *    segment once per side.
+    *  - the signature segment is semi-filtered by the candidate-id set
+    *    ONCE into a persisted frame feeding both est-join sides — the
+    *    lazy shape scans + probes the full segment once per side. The
+    *    semi-filter is broadcast-hinted only while the eager pair
+    *    count bounds the id set under [[BroadcastIdLimit]]; above it
+    *    the filter shuffles (the id set grows with the corpus, so an
+    *    unconditional hint is a 100x-scale driver-memory ceiling).
     *
     * Returns the candidate frame (NOT yet persisted — the caller
     * persists + eagerly counts it as the funnel metric) plus the
@@ -280,7 +319,8 @@ object Dedup {
     * Private to the cached path: persisting inside the lazy public
     * API would leak cache entries with no lifecycle owner. */
   private[graft] def candidatePairsStagedCached(withSig: DataFrame, idCol: String,
-      numHashes: Int, bands: Int, minEstJaccard: Double)
+      numHashes: Int, bands: Int, minEstJaccard: Double,
+      broadcastIdLimit: Long = BroadcastIdLimit)
       : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
@@ -295,17 +335,31 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = colliding.as("a")
     val b = colliding.as("b")
+    // The raw pair frame is persisted and counted EAGERLY: it feeds
+    // three consumers (both branches of the id union and the est
+    // join's left side — each would re-run the self-join over the
+    // collision cache), it is small by the LSH contract (two longs per
+    // candidate pair), and its count is the materialized bound that
+    // gates the broadcast hints below — the gate the lazy path cannot
+    // have. Once it is materialized the collision cache has served its
+    // only consumer and is released immediately, ahead of the
+    // memory-hungry downstream stages (executor-loss recompute still
+    // works lazily through the unpersisted lineage).
     val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val pairIds = broadcast(
-      pairs.select(col("id_a").as("_pid"))
-        .union(pairs.select(col("id_b").as("_pid"))).distinct())
-    val candSigs = withSig.select(col(idCol), col("sig"))
-      .join(pairIds, col(idCol) === col("_pid"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    colliding.unpersist()
+    val pairIds = pairs.select(col("id_a").as("_gid"))
+      .union(pairs.select(col("id_b").as("_gid"))).distinct()
+    // id bound: each pair contributes at most two distinct ids — the
+    // over-estimate errs toward the shuffle branch, the safe direction
+    val candSigs = semiFilterByIds(withSig.select(col(idCol), col("sig")),
+        idCol, pairIds, knownIdBound = Some(2L * nPairs), broadcastIdLimit)
       .select(col(idCol), col("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = pairs
@@ -314,7 +368,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-    (cands, Seq(colliding, candSigs))
+    (cands, Seq(pairs, candSigs))
   }
 
   /** [[nearDupPairsStaged]] with the two multiply-consumed stage
@@ -336,23 +390,32 @@ object Dedup {
     * is consumed. */
   def nearDupPairsStagedCached(df: DataFrame, idCol: String, textCol: String,
       sigs: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
-      bands: Int = 16, shingleSize: Int = 3): NearDupPairs = {
+      bands: Int = 16, shingleSize: Int = 3,
+      broadcastIdLimit: Long = BroadcastIdLimit): NearDupPairs = {
     import org.apache.spark.storage.StorageLevel
     val (candsRaw, stageCached) = candidatePairsStagedCached(sigs, idCol,
-      numHashes, bands, minEstJaccard = threshold * 0.6)
+      numHashes, bands, minEstJaccard = threshold * 0.6, broadcastIdLimit)
     val cands = candsRaw.persist(StorageLevel.MEMORY_AND_DISK)
     // eager: guarantees the subtree runs once even though the first
     // lazy consumer would be the two-branch union below
     val nCands = cands.count()
-    val candIds = broadcast(
-      cands.select(col("id_a").as("_cid"))
-        .union(cands.select(col("id_b").as("_cid"))).distinct())
-    val docSh = df.join(candIds, col(idCol) === col("_cid"), "left_semi")
+    // the stage intermediates existed only to make the candidate
+    // subtree run once; with cands materialized they would sit in
+    // MEMORY_AND_DISK through the verify stage — the pipeline's most
+    // memory-hungry phase — for nothing. Release now; executor-loss
+    // recompute of lost cands partitions still works lazily.
+    stageCached.foreach(_.unpersist())
+    val candIds = cands.select(col("id_a").as("_gid"))
+      .union(cands.select(col("id_b").as("_gid"))).distinct()
+    // the eager funnel count doubles as the broadcast gate (ids ≤
+    // 2 × candidate pairs; the over-estimate errs toward shuffle)
+    val docSh = semiFilterByIds(df, idCol, candIds,
+        knownIdBound = Some(2L * nCands), broadcastIdLimit)
       .select(col(idCol),
         GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     NearDupPairs(verifyJoin(cands, docSh, threshold), nCands,
-      Seq(cands, docSh) ++ stageCached)
+      Seq(cands, docSh))
   }
 
   /** EXACT n-gram Jaccard similarity join — the deterministic,

@@ -107,13 +107,75 @@ class DedupSpec extends SparkSpec {
       assert(staged.map(p => (p._1, p._2))
         .intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))).size === 3)
       // plan shape: the self-join's input is the window-counted
-      // colliding subset (singleton band groups never reach the join)
+      // colliding subset (singleton band groups never reach the join);
+      // the persisted stage handoffs (the pair frame and the
+      // semi-filtered signature frame) appear as in-memory scans
       val plan = stagedDf.queryExecution.executedPlan.toString
       assert(plan.contains("Window"),
         s"staged candidate stage must pre-filter collisions via a window count:\n$plan")
       assert(plan.contains("InMemoryTableScan"),
-        s"staged candidate stage must join the PERSISTED colliding subset:\n$plan")
+        s"staged candidate stage must read its PERSISTED stage handoffs:\n$plan")
     } finally cached.foreach(_.unpersist())
+  }
+
+  test("candidate-id semi-filters gate on the materialized count: forced " +
+      "shuffle branch ≡ broadcast branch (pairs, est, jaccard, funnel)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+
+    // count LeftSemi broadcast joins through the whole tree INCLUDING
+    // persisted stage handoffs (the candSigs semi-filter lives inside
+    // the cands cache's stored plan)
+    def semiBroadcasts(p: SparkPlan): Int =
+      p.collect {
+        case b: BroadcastHashJoinExec if b.joinType == LeftSemi => 1
+        case s: InMemoryTableScanExec => semiBroadcasts(s.relation.cachedPlan)
+      }.sum
+
+    val nearDup = base.replace("quick", "fast")
+    val other = "completely different content about database engines " +
+      "processing columnar analytical workloads with vectorized execution plans"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other),
+      (4L, other.replace("columnar", "column"))).toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 64)
+    // pin the plans: with stats- and adaptive-broadcast off, hint
+    // presence ALONE decides the join strategy — exactly the gate
+    // under test (broadcastIdLimit = 0 forces Some(n) > limit, the
+    // branch a 10^10-doc corpus would take)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the two runs must be SEQUENTIAL (fully unpersist the first
+      // before building the second): cache lookup canonicalizes hint
+      // nodes away, so an overlapping run would silently read the
+      // other branch's cached — hinted — subtrees
+      def run(limit: Long): (Set[(Long, Long, Double, Double)], Long, Int, String) = {
+        val r = Dedup.nearDupPairsStagedCached(df, "id", "text", sigs,
+          threshold = 0.5, numHashes = 64, broadcastIdLimit = limit)
+        try {
+          val plan = r.pairs.queryExecution.executedPlan
+          val pairs = r.pairs.select("id_a", "id_b", "est_jaccard", "jaccard")
+            .as[(Long, Long, Double, Double)].collect().toSet
+          (pairs, r.candidateCount, semiBroadcasts(plan), plan.toString)
+        } finally r.unpersist()
+      }
+      val (bcPairs, bcCands, bcN, bcPlan) = run(Dedup.BroadcastIdLimit)
+      val (shPairs, shCands, shN, shPlan) = run(0L)
+      assert(bcN >= 1,
+        s"under-limit run must broadcast-hint its semi-filters:\n$bcPlan")
+      assert(shN === 0,
+        s"over-limit run must not broadcast any semi-filter:\n$shPlan")
+      assert(bcPairs.nonEmpty, "fixture must produce verified pairs")
+      assert(bcPairs === shPairs)
+      assert(bcCands === shCands)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("hashed-shingle jaccard == string-shingle jaccard (the verify representation)") {
