@@ -606,9 +606,14 @@ object CorpusHarness {
     * (line_id, agg_idx) with the aggregation value rounded to 6
     * places — the oracle runs the paired hsqls in DuckDB over the
     * parquet dump of the same synthesized table. */
-  def duckSlice(spark: SparkSession, k: Int, numRows: Int = 8000): DataFrame = {
+  def duckSlice(spark: SparkSession, k: Int, numRows: Int = 8000): DataFrame =
+    duckSliceFor(spark, aggOnlyLines(k), numRows)
+
+  /** [[duckSlice]] over an arbitrary aggregation-only line set (the
+    * [[QueryGen]] slice reuses the exact same machinery). */
+  def duckSliceFor(spark: SparkSession, lines: Seq[OnTimeCorpus.Line],
+      numRows: Int = 8000): DataFrame = {
     val fx = fixture(spark, numRows)
-    val lines = aggOnlyLines(k)
     import spark.implicits._
     val slice: Seq[(Int, Int, java.lang.Double)] = withMicroQueryConf(spark) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -637,12 +642,18 @@ object CorpusHarness {
   /** DuckDB oracle SQL for [[duckSlice]]: each hsql rewritten to read
     * the flat parquet dump (`{OUT}` is substituted by Verify with the
     * output dir at dump time). */
-  def duckSliceOracle(k: Int): String = {
-    val lines = aggOnlyLines(k)
+  def duckSliceOracle(k: Int): String = duckSliceOracleFor(aggOnlyLines(k))
+
+  /** [[duckSliceOracle]] over an arbitrary aggregation-only line set;
+    * also renames Spark's `regexp_like` to DuckDB's `regexp_matches`
+    * (same partial-match semantics, different name — generated lines
+    * carry regex predicates the corpus does not). */
+  def duckSliceOracleFor(lines: Seq[OnTimeCorpus.Line]): String = {
     val parts = lines.flatMap { l =>
       l.hsqls.zipWithIndex.map { case (h, i) =>
         val scalar = h.replaceAll("(?i)\\bFROM\\s+mytable\\b",
-          "FROM read_parquet('{OUT}_aux/corpus_flat_parquet/*.parquet')")
+            "FROM read_parquet('{OUT}_aux/corpus_flat_parquet/*.parquet')")
+          .replaceAll("(?i)\\bregexp_like\\(", "regexp_matches(")
         s"SELECT ${l.id} AS line_id, $i AS agg_idx, round(CAST(($scalar) AS DOUBLE), 6) AS value"
       }
     }

@@ -28,6 +28,15 @@ object CorpusQueries {
   val SampleStep = 40
   val DuckLines = 40
 
+  /** Generated-query gate sizes ([[graft.pql.QueryGen]], the port of
+    * the reference's randomized QueryGenerator): 50 random lines
+    * PQL-vs-hsql under the harness comparator, plus the first 25
+    * aggregation-only lines of a 300-line generated set value-checked
+    * by DuckDB. QueryGenSpec runs 500 further lines per round. */
+  val GenSampleLines = 50
+  val GenPoolSize = 300
+  val GenDuckLines = 25
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_sample" -> ((s, _) =>
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep))
@@ -51,13 +60,25 @@ object CorpusQueries {
     "q_corpus_startree" -> ((s, _) =>
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), starTree = true)
         .select("line_id", "matched")
-        .orderBy("line_id"))
+        .orderBy("line_id")),
+    // randomized generated queries (QueryGenerator port): shapes the
+    // fixed corpus never drew — regex predicates, fresh AND/OR
+    // predicate chains over SV+MV columns, new agg/group combinations
+    // — seeded, so the self-oracle below is a static contract
+    "q_querygen_sample" -> ((s, _) =>
+      graft.pql.QueryGen.runSample(s, GenSampleLines)),
+    // generated aggregation-only lines, values answered independently
+    // BY DUCKDB over the flat parquet dump
+    "q_querygen_duck" -> ((s, _) =>
+      graft.pql.QueryGen.duckSlice(s, GenDuckLines, GenPoolSize))
   )
 
   def oracles: Map[String, String] = Map(
     "q_corpus_sample" -> CorpusHarness.sampleOracle(SampleStep),
     "q_corpus_duck" -> CorpusHarness.duckSliceOracle(DuckLines),
     "q_corpus_hybrid" -> CorpusHarness.sampleOracle(SampleStep),
-    "q_corpus_startree" -> CorpusHarness.sampleOracle(SampleStep)
+    "q_corpus_startree" -> CorpusHarness.sampleOracle(SampleStep),
+    "q_querygen_sample" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
+    "q_querygen_duck" -> graft.pql.QueryGen.duckOracle(GenDuckLines, GenPoolSize)
   )
 }
