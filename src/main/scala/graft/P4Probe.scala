@@ -25,6 +25,11 @@ object P4Probe {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 10000000L
     val reps = if (args.length > 1) args(1).toInt else 3
+    // "ab_shipped" / "ab_fused": the r10→r11 clean-JVM A/B — ONE
+    // whole-pipeline variant per process invocation (3 timed reps
+    // after a warmup), nothing else held cached, so neither variant
+    // rides the other's storage pressure (the r10 probe's own flaw)
+    val abMode = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,8 +37,18 @@ object P4Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = s"${BenchScale.dataRoot}/scale_p4probe"
+    // reuse the ladder's datasets (and stored signature segments) when
+    // the row count names one — a 100M A/B must not duplicate 10+ GB
+    val dir = Map(100000L -> "scale_sf1", 10000000L -> "scale_sf100",
+        100000000L -> "scale_sf1000")
+      .get(rows).map(t => s"${BenchScale.dataRoot}/$t")
+      .getOrElse(s"${BenchScale.dataRoot}/scale_p4probe")
     ScaleDocs.ensureDocs(spark, dir, rows)
+    if (abMode.isDefined) {
+      runAb(spark, dir, rows, reps, abMode.get)
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val (nHashes, nBands) = if (rows >= 10000000L) (8, 4) else (64, 16)
     val sigPath = s"$dir/minhash_sigs.parquet"
@@ -41,6 +56,88 @@ object P4Probe {
       Dedup.minhashSignatures(docs, "doc_id", "text", nHashes)
         .write.mode("overwrite").parquet(sigPath)
     val sigs = spark.read.parquet(sigPath)
+    runDecomposition(spark, docs, sigs, nHashes, nBands, reps)
+    spark.stop()
+  }
+
+  /** The r11 A/B: shipped staged pipeline vs est+verify PAYLOAD FUSION
+    * (r10 follow-up, re-structured to preserve the candidateCount
+    * funnel metric). Fused shape: the raw (pre-est) pair frame joins
+    * ONE per-id payload frame (sig + shingle hashes) per side, the
+    * est-passed joined frame persists (its count IS the funnel
+    * metric), and the exact verify reads that cache — two pair joins
+    * total instead of four, one corpus pass instead of two, at the
+    * cost of shingling the ~10% larger pre-est id universe and
+    * carrying sig next to _sh through the joins and the cache. */
+  private def runAb(spark: SparkSession, dir: String, rows: Long,
+      reps: Int, mode: String): Unit = {
+    import graft.functions.GraftFunctions
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (nHashes, nBands) = if (rows >= 10000000L) (8, 4) else (64, 16)
+    val sigPath = s"$dir/minhash_sigs.parquet"
+    if (!new java.io.File(sigPath).exists())
+      Dedup.minhashSignatures(docs, "doc_id", "text", nHashes)
+        .write.mode("overwrite").parquet(sigPath)
+    val sigs = spark.read.parquet(sigPath)
+    val threshold = 0.7
+
+    def shipped(): (Long, Long) = {
+      val r = Dedup.nearDupPairsStagedCached(docs, "doc_id", "text", sigs,
+        numHashes = nHashes, bands = nBands)
+      val verified = r.pairs.count()
+      val cands = r.candidateCount
+      r.unpersist()
+      (cands, verified)
+    }
+
+    def fused(): (Long, Long) = {
+      val (pairsRaw, _, stageCached) = Dedup.candidatePairsStagedRaw(sigs,
+        "doc_id", nHashes, nBands)
+      val ids = pairsRaw.select(col("id_a").as("_gid"))
+        .union(pairsRaw.select(col("id_b").as("_gid"))).distinct()
+      val payload = sigs
+        .join(broadcast(ids), col("doc_id") === col("_gid"), "left_semi")
+        .join(docs.select(col("doc_id"),
+            GraftFunctions.shingleHashes(col("text"), 3).as("_sh"))
+          .join(broadcast(ids), col("doc_id") === col("_gid"), "left_semi"),
+          "doc_id")
+        .select(col("doc_id"), col("sig"), col("_sh"))
+      val est = pairsRaw
+        .join(payload.toDF("id_a", "sig_a", "_sh_a"), "id_a")
+        .join(payload.toDF("id_b", "sig_b", "_sh_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.minhashJaccard(col("sig_a"), col("sig_b")), 4)
+            .as("est_jaccard"),
+          col("_sh_a"), col("_sh_b"))
+        .filter(col("est_jaccard") >= threshold * 0.6)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cands = est.count()
+      stageCached.foreach(_.unpersist())
+      val verified = est
+        .withColumn("jaccard",
+          GraftFunctions.sortedJaccardHash(col("_sh_a"), col("_sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .count()
+      est.unpersist()
+      (cands, verified)
+    }
+
+    val run: () => (Long, Long) = mode match {
+      case "ab_shipped" => () => shipped()
+      case "ab_fused" => () => fused()
+      case other => throw new IllegalArgumentException(s"unknown ab mode $other")
+    }
+    val (c0, v0) = run() // warmup rep (also prints the funnel)
+    println(s"[p4ab] $mode funnel: candidates=$c0 verified=$v0")
+    val xs = (1 to reps).map { _ =>
+      System.gc()
+      time { run(); () }
+    }
+    println(f"[p4ab] $mode%-12s p50=${p50(xs)}%.2f reps=${xs.map(x => f"$x%.2f").mkString(",")}")
+  }
+
+  private def runDecomposition(spark: SparkSession, docs: DataFrame,
+      sigs: DataFrame, nHashes: Int, nBands: Int, reps: Int): Unit = {
 
     def report(tag: String, xs: Seq[Double]): Unit =
       println(f"[p4probe] $tag%-36s p50=${p50(xs)}%.2f reps=${xs.map(x => f"$x%.2f").mkString(",")}")

@@ -318,10 +318,21 @@ object Dedup {
     * persisted intermediates for the [[NearDupPairs]] release hook.
     * Private to the cached path: persisting inside the lazy public
     * API would leak cache entries with no lifecycle owner. */
-  private[graft] def candidatePairsStagedCached(withSig: DataFrame, idCol: String,
-      numHashes: Int, bands: Int, minEstJaccard: Double,
-      broadcastIdLimit: Long = BroadcastIdLimit)
-      : (DataFrame, Seq[DataFrame]) = {
+  /** The staged candidate stage up to the RAW (pre-est-filter) pair
+    * frame: window-pruned collision subset → self-join → distinct,
+    * persisted and counted EAGERLY. The pair frame feeds three
+    * consumers downstream (both branches of the id union and the est
+    * join's left side — each would re-run the self-join over the
+    * collision cache), it is small by the LSH contract (two longs per
+    * candidate pair), and its count is the materialized bound that
+    * gates the broadcast hints — the gate the lazy path cannot have.
+    * Once it is materialized the collision cache has served its only
+    * consumer and is released immediately, ahead of the memory-hungry
+    * downstream stages (executor-loss recompute still works lazily
+    * through the unpersisted lineage). Returns (pairs, nPairs,
+    * persisted handles the caller must release). */
+  private[graft] def candidatePairsStagedRaw(withSig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): (DataFrame, Long, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0,
@@ -335,16 +346,6 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = colliding.as("a")
     val b = colliding.as("b")
-    // The raw pair frame is persisted and counted EAGERLY: it feeds
-    // three consumers (both branches of the id union and the est
-    // join's left side — each would re-run the self-join over the
-    // collision cache), it is small by the LSH contract (two longs per
-    // candidate pair), and its count is the materialized bound that
-    // gates the broadcast hints below — the gate the lazy path cannot
-    // have. Once it is materialized the collision cache has served its
-    // only consumer and is released immediately, ahead of the
-    // memory-hungry downstream stages (executor-loss recompute still
-    // works lazily through the unpersisted lineage).
     val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -354,6 +355,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     colliding.unpersist()
+    (pairs, nPairs, Seq(pairs))
+  }
+
+  private[graft] def candidatePairsStagedCached(withSig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, minEstJaccard: Double,
+      broadcastIdLimit: Long = BroadcastIdLimit)
+      : (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val (pairs, nPairs, rawCached) =
+      candidatePairsStagedRaw(withSig, idCol, numHashes, bands)
     val pairIds = pairs.select(col("id_a").as("_gid"))
       .union(pairs.select(col("id_b").as("_gid"))).distinct()
     // id bound: each pair contributes at most two distinct ids — the
@@ -368,7 +379,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(minhashJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-    (cands, Seq(pairs, candSigs))
+    (cands, rawCached :+ candSigs)
   }
 
   /** [[nearDupPairsStaged]] with the two multiply-consumed stage
