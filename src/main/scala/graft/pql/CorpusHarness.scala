@@ -575,6 +575,15 @@ object CorpusHarness {
       hybrid: Boolean = false, starTree: Boolean = false): DataFrame = {
     val fx = fixture(spark, numRows)
     val byId = fx.lines.map(l => l.id -> l).toMap
+    runLineSet(spark, ids.map(byId), numRows, hybrid, starTree)
+  }
+
+  /** As [[runLines]] but over an explicit line set (the [[QueryGen]]
+    * surfaces feed generated lines through the same fixture modes). */
+  def runLineSet(spark: SparkSession, lines: Seq[OnTimeCorpus.Line],
+      numRows: Int = 8000, hybrid: Boolean = false,
+      starTree: Boolean = false): DataFrame = {
+    val fx = fixture(spark, numRows)
     val table =
       if (hybrid) hybridView(spark, numRows)
       else if (starTree) {
@@ -583,7 +592,7 @@ object CorpusHarness {
         spark.read.parquet(stFactDir(numRows))
       } else fx.mv
     try {
-      val outcomes = compareAll(spark, fx, ids.map(byId), pqlTable = table)
+      val outcomes = compareAll(spark, fx, lines, pqlTable = table)
       import spark.implicits._
       outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
         .toDF("line_id", "mode", "matched", "reason")

@@ -281,15 +281,19 @@ object QueryGen {
   }
 
   /** Run `n` generated lines PQL-vs-hsql over the corpus fixture →
-    * (line_id, matched) — the `q_querygen_sample` surface. */
+    * (line_id, matched) — the `q_querygen_sample` surface. With
+    * `starTree = true` the PQL side reads the star-tree-registered
+    * fact segment with the routing rule active (the
+    * `q_querygen_startree` surface): generated aggregation shapes the
+    * fixed corpus never drew exercise the routing rewrite, and any
+    * rewrite that changes an answer flips `matched` against the
+    * plain-table hsql twin. */
   def runSample(spark: SparkSession, n: Int, seed: Long = DefaultSeed,
-      numRows: Int = 8000): DataFrame = {
-    val fx = CorpusHarness.fixture(spark, numRows)
-    val outcomes = CorpusHarness.compareAll(spark, fx, lines(n, seed))
-    import spark.implicits._
-    outcomes.map(o => (o.id, o.matched)).toDF("line_id", "matched")
+      numRows: Int = 8000, starTree: Boolean = false): DataFrame =
+    CorpusHarness.runLineSet(spark, lines(n, seed), numRows,
+        starTree = starTree)
+      .select("line_id", "matched")
       .orderBy("line_id")
-  }
 
   /** Static self-oracle: every generated line must match. */
   def sampleOracle(n: Int): String = {

@@ -70,7 +70,13 @@ object CorpusQueries {
     // generated aggregation-only lines, values answered independently
     // BY DUCKDB over the flat parquet dump
     "q_querygen_duck" -> ((s, _) =>
-      graft.pql.QueryGen.duckSlice(s, GenDuckLines, GenPoolSize))
+      graft.pql.QueryGen.duckSlice(s, GenDuckLines, GenPoolSize)),
+    // the same generated sample with the mined star-tree rollups
+    // registered and the routing rule active — generated aggregation
+    // combinations exercise routing rewrites the fixed corpus can no
+    // longer surprise; the hsql twin still reads the plain table
+    "q_querygen_startree" -> ((s, _) =>
+      graft.pql.QueryGen.runSample(s, GenSampleLines, starTree = true))
   )
 
   def oracles: Map[String, String] = Map(
@@ -79,6 +85,7 @@ object CorpusQueries {
     "q_corpus_hybrid" -> CorpusHarness.sampleOracle(SampleStep),
     "q_corpus_startree" -> CorpusHarness.sampleOracle(SampleStep),
     "q_querygen_sample" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
-    "q_querygen_duck" -> graft.pql.QueryGen.duckOracle(GenDuckLines, GenPoolSize)
+    "q_querygen_duck" -> graft.pql.QueryGen.duckOracle(GenDuckLines, GenPoolSize),
+    "q_querygen_startree" -> graft.pql.QueryGen.sampleOracle(GenSampleLines)
   )
 }

@@ -54,6 +54,30 @@ class QueryGenSpec extends SparkSpec {
             s"    sql: ${lines(o.id).hsqls.head}").mkString("\n"))
   }
 
+  test("generated sample through the star-tree-routed fixture: all matched, " +
+      "and the dimension is not vacuous (some lines actually route)") {
+    import graft.queries.CorpusQueries._
+    val routed = QueryGen.runSample(spark, GenSampleLines, starTree = true).collect()
+    assert(routed.length === GenSampleLines)
+    assert(routed.forall(_.getBoolean(1)),
+      "a generated line mismatched under star-tree routing")
+    // vacuity guard: at least one generated line must be answered from
+    // a registered rollup, or the mode adds nothing over the plain run
+    val fx = CorpusHarness.fixture(spark)
+    graft.Graft.enable(spark)
+    CorpusHarness.registerCorpusTrees(spark, fx)
+    try {
+      val fact = spark.read.parquet(CorpusHarness.stFactDir())
+      val nRouted = QueryGen.lines(GenSampleLines).count { l =>
+        val q = try Some(Pql.parse(l.pql))
+        catch { case _: IllegalArgumentException => None }
+        q.exists(CorpusHarness.isRouted(_, fact))
+      }
+      assert(nRouted > 0, "no generated line routed to a star-tree rollup")
+      info(s"$nRouted/$GenSampleLines generated lines answered from rollups")
+    } finally graft.plans.StarTreeRegistry.unregister(CorpusHarness.stFactDir())
+  }
+
   test("the driver-gated sample and duck slice are green and non-trivial") {
     import graft.queries.CorpusQueries._
     val sample = QueryGen.runSample(spark, GenSampleLines).collect()
