@@ -287,13 +287,26 @@ object QueryGen {
     * `q_querygen_startree` surface): generated aggregation shapes the
     * fixed corpus never drew exercise the routing rewrite, and any
     * rewrite that changes an answer flips `matched` against the
-    * plain-table hsql twin. */
+    * plain-table hsql twin. With `hybrid = true` the PQL side answers
+    * from the stitched offline∪realtime view (the
+    * `q_querygen_hybrid` surface) — generated predicates probe the
+    * broker time-boundary stitch with fresh shapes, the twin still
+    * reading the plain table. */
   def runSample(spark: SparkSession, n: Int, seed: Long = DefaultSeed,
-      numRows: Int = 8000, starTree: Boolean = false): DataFrame =
+      numRows: Int = 8000, starTree: Boolean = false,
+      hybrid: Boolean = false): DataFrame =
     CorpusHarness.runLineSet(spark, lines(n, seed), numRows,
-        starTree = starTree)
+        hybrid = hybrid, starTree = starTree)
       .select("line_id", "matched")
       .orderBy("line_id")
+
+  /** Rotating sweep seed: the UTC date — a fresh combination space
+    * every day/round while staying reproducible (a failure names the
+    * seed; rerun with it pinned). The driver-gated oracle rows keep
+    * [[DefaultSeed]] so their self-oracles stay static contracts. */
+  def rotatingSeed(): Long =
+    java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE).toLong
 
   /** Static self-oracle: every generated line must match. */
   def sampleOracle(n: Int): String = {

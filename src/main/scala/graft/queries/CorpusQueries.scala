@@ -76,7 +76,14 @@ object CorpusQueries {
     // combinations exercise routing rewrites the fixed corpus can no
     // longer surprise; the hsql twin still reads the plain table
     "q_querygen_startree" -> ((s, _) =>
-      graft.pql.QueryGen.runSample(s, GenSampleLines, starTree = true))
+      graft.pql.QueryGen.runSample(s, GenSampleLines, starTree = true)),
+    // the generated sample answered from the HYBRID stitched view
+    // (offline slice + full realtime stream, broker time boundary) —
+    // generated predicate shapes probe the boundary stitch; the hsql
+    // twin still reads the plain table, so a leak or double-count
+    // flips `matched`
+    "q_querygen_hybrid" -> ((s, _) =>
+      graft.pql.QueryGen.runSample(s, GenSampleLines, hybrid = true))
   )
 
   def oracles: Map[String, String] = Map(
@@ -86,6 +93,7 @@ object CorpusQueries {
     "q_corpus_startree" -> CorpusHarness.sampleOracle(SampleStep),
     "q_querygen_sample" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
     "q_querygen_duck" -> graft.pql.QueryGen.duckOracle(GenDuckLines, GenPoolSize),
-    "q_querygen_startree" -> graft.pql.QueryGen.sampleOracle(GenSampleLines)
+    "q_querygen_startree" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
+    "q_querygen_hybrid" -> graft.pql.QueryGen.sampleOracle(GenSampleLines)
   )
 }

@@ -78,6 +78,29 @@ class QueryGenSpec extends SparkSpec {
     } finally graft.plans.StarTreeRegistry.unregister(CorpusHarness.stFactDir())
   }
 
+  test("generated sample through the hybrid stitched view: all matched") {
+    import graft.queries.CorpusQueries._
+    val hybrid = QueryGen.runSample(spark, GenSampleLines, hybrid = true).collect()
+    assert(hybrid.length === GenSampleLines)
+    assert(hybrid.forall(_.getBoolean(1)),
+      "a generated line mismatched through the hybrid boundary stitch")
+  }
+
+  test("rotating-seed sweep: today's 300 generated lines all match") {
+    // a FRESH combination space every round (seed = UTC date) on top
+    // of the fixed-seed 500 — a failure here names the seed, so it
+    // reproduces exactly with QueryGen.lines(300, seed)
+    val seed = QueryGen.rotatingSeed()
+    val lines = QueryGen.lines(300, seed)
+    val fx = CorpusHarness.fixture(spark)
+    val failed = CorpusHarness.compareAll(spark, fx, lines).filterNot(_.matched)
+    assert(failed.isEmpty,
+      s"${failed.size}/300 rotating-seed (seed=$seed) lines mismatched; first 5:\n" +
+        failed.take(5).map(o =>
+          s"  [${o.id}] ${o.mode}: ${o.reason}\n    pql: ${lines(o.id).pql}\n" +
+            s"    sql: ${lines(o.id).hsqls.head}").mkString("\n"))
+  }
+
   test("the driver-gated sample and duck slice are green and non-trivial") {
     import graft.queries.CorpusQueries._
     val sample = QueryGen.runSample(spark, GenSampleLines).collect()
