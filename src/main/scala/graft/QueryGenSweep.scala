@@ -26,12 +26,33 @@ object QueryGenSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fx = CorpusHarness.fixture(spark)
+    // GRAFT_QG_HYBRID=1 / GRAFT_QG_STARTREE=1: answer the PQL side
+    // from the stitched hybrid view / the star-tree-routed fact
+    // segment (same modes as CorpusSweep) — generated shapes through
+    // the boundary stitch and the routing rewrite at sweep width
+    val hybrid = sys.env.get("GRAFT_QG_HYBRID").contains("1")
+    val startree = sys.env.get("GRAFT_QG_STARTREE").contains("1")
+    val pqlTable =
+      if (hybrid) CorpusHarness.hybridView(spark)
+      else if (startree) {
+        graft.Graft.enable(spark)
+        CorpusHarness.registerCorpusTrees(spark, fx)
+        spark.read.parquet(CorpusHarness.stFactDir())
+      } else fx.mv
+    if (hybrid) println("[qgsweep] HYBRID mode: PQL side reads the stitched view")
+    if (startree) println("[qgsweep] STARTREE mode: routing rule active")
     val t0 = System.nanoTime()
     var total = 0
     var mismatched = 0
+    var routed = 0
     (seedStart until seedStart + numSeeds).foreach { seed =>
       val lines = QueryGen.lines(linesPerSeed, seed)
-      val outcomes = CorpusHarness.compareAll(spark, fx, lines)
+      if (startree) routed += lines.count { l =>
+        val q = try Some(graft.pql.Pql.parse(l.pql))
+        catch { case _: IllegalArgumentException => None }
+        q.exists(CorpusHarness.isRouted(_, pqlTable))
+      }
+      val outcomes = CorpusHarness.compareAll(spark, fx, lines, pqlTable = pqlTable)
       val bad = outcomes.filterNot(_.matched)
       total += outcomes.size
       mismatched += bad.size
@@ -43,7 +64,10 @@ object QueryGenSweep {
       println(f"[qgsweep] seed=$seed: ${outcomes.size - bad.size}/${outcomes.size} matched " +
         f"(${(System.nanoTime() - t0) / 1e9}%.0f s elapsed)")
     }
-    println(s"[qgsweep] TOTAL ${total - mismatched}/$total matched across $numSeeds seeds")
+    println(s"[qgsweep] TOTAL ${total - mismatched}/$total matched across $numSeeds seeds" +
+      (if (startree) s" ($routed answered from rollups)" else ""))
+    if (startree)
+      graft.plans.StarTreeRegistry.unregister(CorpusHarness.stFactDir())
     spark.stop()
     if (mismatched > 0) sys.exit(1)
   }
