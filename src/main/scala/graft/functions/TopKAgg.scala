@@ -27,7 +27,14 @@ final class TopKBuffer(val k: Int) {
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
     sa < sb || (sa == sb && ia > ib)
 
-  def insert(score: Double, id: Long): Unit = {
+  def insert(score0: Double, id: Long): Unit = {
+    // canonicalize -0.0 → 0.0: the keep-decision below uses primitive
+    // comparisons (which treat the zeros EQUAL, falling to the id
+    // tiebreak) while sortedBestFirst uses a total ordering (which
+    // ranks 0.0 above -0.0) — with both zeros present the kept set
+    // and the output order would disagree about which comparator
+    // governs. One canonical zero makes them consistent.
+    val score = if (score0 == 0.0d) 0.0d else score0
     if (n < k) {
       var i = n
       scores(i) = score; ids(i) = id; n += 1
