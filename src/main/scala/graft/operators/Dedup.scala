@@ -288,36 +288,6 @@ object Dedup {
     def unpersist(): Unit = { cached.foreach(_.unpersist()); () }
   }
 
-  /** Candidate generation for the STAGED/CACHED pipeline: the same
-    * pairs and est values as [[candidatePairsFromSignatures]],
-    * restructured around two small persisted intermediates so the
-    * dominant-volume work runs once per corpus pass:
-    *
-    *  - singleton `(band, band_hash)` groups — the overwhelming
-    *    majority of the |corpus|×bands banded frame, since collisions
-    *    are the LSH contract's rare event — are dropped by a window
-    *    count BEFORE the self-join, and the tiny colliding subset is
-    *    persisted. The lazy path's self-join sorts the FULL banded
-    *    frame twice (exchange reuse shares the shuffle files, not the
-    *    per-side sorts) and merges the full volume; here the banded
-    *    frame is exchanged + sorted once, and the join's both sides
-    *    read the cached colliding rows (already partitioned AND sorted
-    *    on the join key, so the join replans exchange- and sort-free).
-    *    Dropping singletons loses nothing: a pair needs two rows in
-    *    the same group by construction.
-    *  - the signature segment is semi-filtered by the candidate-id set
-    *    ONCE into a persisted frame feeding both est-join sides — the
-    *    lazy shape scans + probes the full segment once per side. The
-    *    semi-filter is broadcast-hinted only while the eager pair
-    *    count bounds the id set under [[BroadcastIdLimit]]; above it
-    *    the filter shuffles (the id set grows with the corpus, so an
-    *    unconditional hint is a 100x-scale driver-memory ceiling).
-    *
-    * Returns the candidate frame (NOT yet persisted — the caller
-    * persists + eagerly counts it as the funnel metric) plus the
-    * persisted intermediates for the [[NearDupPairs]] release hook.
-    * Private to the cached path: persisting inside the lazy public
-    * API would leak cache entries with no lifecycle owner. */
   /** The staged candidate stage up to the RAW (pre-est-filter) pair
     * frame: window-pruned collision subset → self-join → distinct,
     * persisted and counted EAGERLY. The pair frame feeds three
@@ -358,6 +328,24 @@ object Dedup {
     (pairs, nPairs, Seq(pairs))
   }
 
+  /** Candidate generation for the STAGED/CACHED pipeline: the same
+    * pairs and est values as [[candidatePairsFromSignatures]],
+    * restructured around small persisted intermediates so the
+    * dominant-volume work runs once per corpus pass — the raw pair
+    * stage above, then the signature segment semi-filtered by the
+    * candidate-id set ONCE into a persisted frame feeding both
+    * est-join sides (the lazy shape scans + probes the full segment
+    * once per side). The semi-filter is broadcast-hinted only while
+    * the eager pair count bounds the id set under
+    * [[BroadcastIdLimit]]; above it the filter shuffles (the id set
+    * grows with the corpus, so an unconditional hint is a 100x-scale
+    * driver-memory ceiling).
+    *
+    * Returns the candidate frame (NOT yet persisted — the caller
+    * persists + eagerly counts it as the funnel metric) plus the
+    * persisted intermediates for the [[NearDupPairs]] release hook.
+    * Private to the cached path: persisting inside the lazy public
+    * API would leak cache entries with no lifecycle owner. */
   private[graft] def candidatePairsStagedCached(withSig: DataFrame, idCol: String,
       numHashes: Int, bands: Int, minEstJaccard: Double,
       broadcastIdLimit: Long = BroadcastIdLimit)

@@ -345,6 +345,40 @@ object CoreQueries {
       .orderBy($"region_bucket")
   }
 
+  /** JSON-lines batch ingest (JSONRecordReader.java —
+    * [[graft.sources.Ingest.readJsonLines]]): customer rows round-trip
+    * through JSON-lines files, run the transformer chain, land in a
+    * segment, and the aggregate over the segment must match the
+    * oracle computed from the original parquet — proving the
+    * schema-validated FAILFAST read end-to-end. Mirrors qCsvIngest so
+    * every §2.1 batch source carries its own oracle row. */
+  def qJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ingest
+    val customer = t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+      TmpTag(dir)
+    val jsonDir = s"$base/jsonl"
+    val segDir = s"$base/segment"
+    customer.write.mode("overwrite").json(jsonDir)
+    val outSchema = org.apache.spark.sql.types.StructType(customer.schema.fields :+
+      org.apache.spark.sql.types.StructField("nation_bucket",
+        org.apache.spark.sql.types.LongType))
+    val chain = Ingest.CompoundTransform(Seq(
+      Ingest.SanitationTransform(Seq("c_name")),
+      Ingest.ExpressionTransform(Seq("nation_bucket" -> (col("c_nationkey") % 4))),
+      Ingest.DataTypeTransform(outSchema)))
+    Ingest.writeSegment(Ingest.readJsonLines(s, jsonDir, customer.schema), chain,
+      segDir, sortBy = Seq("c_custkey"))
+    s.read.parquet(segDir)
+      .groupBy($"nation_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min($"c_name").as("min_name"),
+        round(sum($"c_acctbal"), 3).as("sum_bal"))
+      .orderBy($"nation_bucket")
+  }
+
   /** Avro batch ingest (AvroRecordReader.java semantics via
     * avro-mapred — [[graft.sources.Ingest.readAvro]]): supplier rows
     * round-trip through an Avro container file, run the transformer
@@ -865,6 +899,7 @@ object CoreQueries {
     "q_union_time_slices" -> qUnionTimeSlices,
     "q_hybrid_boundary" -> qHybridBoundary,
     "q_csv_ingest" -> qCsvIngest,
+    "q_json_ingest" -> qJsonIngest,
     "q_avro_ingest" -> qAvroIngest,
     "q_thrift_ingest" -> qThriftIngest,
     "q_startree" -> qStartree,
@@ -993,6 +1028,10 @@ object CoreQueries {
       """SELECT n_regionkey % 2 AS region_bucket, count(*) AS cnt,
         |  count(DISTINCT n_regionkey) AS dc_region, min(n_name) AS min_name
         |FROM nation GROUP BY 1 ORDER BY region_bucket""".stripMargin,
+    "q_json_ingest" ->
+      """SELECT CAST(c_nationkey % 4 AS BIGINT) AS nation_bucket, count(*) AS cnt,
+        |  min(c_name) AS min_name, round(sum(c_acctbal), 3) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY nation_bucket""".stripMargin,
     "q_avro_ingest" ->
       """SELECT CAST(s_nationkey % 5 AS INTEGER) AS nation_bucket, count(*) AS cnt,
         |  min(s_name) AS min_name, round(sum(s_acctbal), 3) AS sum_bal

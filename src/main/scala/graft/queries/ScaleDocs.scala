@@ -87,11 +87,22 @@ object ScaleDocs {
       label.as("label"))
   }
 
-  /** Generate-if-absent, marker-guarded like [[ScaleTable.ensure]]. */
+  /** Marker check: the `_*_DONE` file records the row count it was
+    * written for; a marker holding a DIFFERENT count means the dir was
+    * populated at another size (a drifted ladder mapping, or a probe's
+    * rows→dir map pointing at the wrong shared dir) — silently reusing
+    * it would run the caller against wrong data, so regenerate. */
+  private def markerRows(done: java.io.File): Option[Long] =
+    if (!done.exists()) None
+    else scala.util.Try(
+      java.nio.file.Files.readAllLines(done.toPath).get(0).trim.toLong).toOption
+
+  /** Generate-if-absent, marker-guarded like [[ScaleTable.ensure]];
+    * a marker recording a different row count forces regeneration. */
   def ensureDocs(spark: SparkSession, dir: String, rows: Long): String = {
     val path = s"$dir/documents.parquet"
     val done = new java.io.File(s"$dir/_DOCS_DONE")
-    if (!done.exists()) {
+    if (!markerRows(done).contains(rows)) {
       docsFrame(spark, rows).write.mode("overwrite").parquet(path)
       done.getParentFile.mkdirs()
       java.nio.file.Files.write(done.toPath, java.util.Arrays.asList(rows.toString))
@@ -103,7 +114,7 @@ object ScaleDocs {
       dim: Int = 64): String = {
     val path = s"$dir/embeddings.parquet"
     val done = new java.io.File(s"$dir/_EMB_DONE")
-    if (!done.exists()) {
+    if (!markerRows(done).contains(rows)) {
       embeddingsFrame(spark, rows, dim).write.mode("overwrite").parquet(path)
       done.getParentFile.mkdirs()
       java.nio.file.Files.write(done.toPath, java.util.Arrays.asList(rows.toString))
