@@ -32,6 +32,14 @@ object QueryGenSweep {
     // the boundary stitch and the routing rewrite at sweep width
     val hybrid = sys.env.get("GRAFT_QG_HYBRID").contains("1")
     val startree = sys.env.get("GRAFT_QG_STARTREE").contains("1")
+    // GRAFT_QG_GRAMMAR=b sweeps the graft-surface grammar
+    // (QueryGenB: percentile family, MV aggregation twins,
+    // DISTINCTCOUNT/HLL, HAVING, transform expressions) instead of
+    // the reference-shape port
+    val grammarB = sys.env.get("GRAFT_QG_GRAMMAR").exists(_.equalsIgnoreCase("b"))
+    def genLines(n: Int, seed: Long) =
+      if (grammarB) graft.pql.QueryGenB.lines(n, seed) else QueryGen.lines(n, seed)
+    if (grammarB) println("[qgsweep] GRAMMAR B: graft-surface shapes")
     val pqlTable =
       if (hybrid) CorpusHarness.hybridView(spark)
       else if (startree) {
@@ -46,7 +54,7 @@ object QueryGenSweep {
     var mismatched = 0
     var routed = 0
     (seedStart until seedStart + numSeeds).foreach { seed =>
-      val lines = QueryGen.lines(linesPerSeed, seed)
+      val lines = genLines(linesPerSeed, seed)
       if (startree) routed += lines.count { l =>
         val q = try Some(graft.pql.Pql.parse(l.pql))
         catch { case _: IllegalArgumentException => None }

@@ -439,6 +439,15 @@ object CorpusHarness {
       s"hsql count ${line.hsqls.length} != aggregation count ${selAggs.length}")
     val nKeys = q.groupBy.length
     val pqlRows = pqlDf.collect()
+    // TOP trim contract: the engine returns at most TOP n groups
+    // (default 10). Without this, generated `TOP 0` lines pass
+    // vacuously under containment (zero rows are trivially contained)
+    // — this makes those lines test the trim itself, and catches any
+    // over-return on every corpus/generated line for free.
+    val topCap = q.top.getOrElse(10)
+    if (pqlRows.length > topCap)
+      return Outcome(line.id, matched = false, "groupby",
+        s"TOP $topCap but engine returned ${pqlRows.length} groups")
     var i = 0
     while (i < selAggs.length) {
       val h2Rows = spark.sql(line.hsqls(i)).collect()
@@ -501,6 +510,13 @@ object CorpusHarness {
 
     val expected = h2Rows.map(h2Canon).toSet
     val pqlRows = pqlDf.collect()
+    // LIMIT trim contract (mirror of the group-by TOP cap): at most
+    // `size` rows (default 10) — generated `LIMIT 0` lines then test
+    // the trim instead of passing vacuously under containment.
+    val limitCap = q.limit.map(_._2).getOrElse(10)
+    if (pqlRows.length > limitCap)
+      return Outcome(line.id, matched = false, "selection",
+        s"LIMIT $limitCap but engine returned ${pqlRows.length} rows")
     if (expected.isEmpty) {
       if (pqlRows.nonEmpty)
         return Outcome(line.id, matched = false, "selection",
@@ -656,13 +672,17 @@ object CorpusHarness {
   /** [[duckSliceOracle]] over an arbitrary aggregation-only line set;
     * also renames Spark's `regexp_like` to DuckDB's `regexp_matches`
     * (same partial-match semantics, different name — generated lines
-    * carry regex predicates the corpus does not). */
+    * carry regex predicates the corpus does not) and Spark's exact
+    * `percentile` to DuckDB's `quantile_cont` (same (n−1)·q linear
+    * interpolation — the mode-B slice carries exact-percentile
+    * aggregations; fixed-corpus hsqls contain neither name). */
   def duckSliceOracleFor(lines: Seq[OnTimeCorpus.Line]): String = {
     val parts = lines.flatMap { l =>
       l.hsqls.zipWithIndex.map { case (h, i) =>
         val scalar = h.replaceAll("(?i)\\bFROM\\s+mytable\\b",
             "FROM read_parquet('{OUT}_aux/corpus_flat_parquet/*.parquet')")
           .replaceAll("(?i)\\bregexp_like\\(", "regexp_matches(")
+          .replaceAll("(?i)\\bpercentile\\(", "quantile_cont(")
         s"SELECT ${l.id} AS line_id, $i AS agg_idx, round(CAST(($scalar) AS DOUBLE), 6) AS value"
       }
     }

@@ -643,23 +643,35 @@ object Pql {
         "group-by queries must select at least one aggregation function")
       // Pinot MV group-by: one group entry per array element (multiple
       // MV keys → cartesian of elements per row) — explode each MV key.
-      // A bare array Ident explodes in place; a VALUEIN(...) transform
-      // over an array column explodes its (filtered) result under the
-      // PQL output name, so GROUP BY VALUEIN(mv, ...) groups by each
-      // retained element (ValueInTransformFunction feeding the MV
-      // group-by executor).
+      // A bare array Ident explodes under a RESERVED name (`_gk_<col>`,
+      // aliased back to the column name in the group columns) so the
+      // array column itself stays addressable: an MV AGGREGATION over
+      // the same (or another) array column must still see the full
+      // entry — the reference's group executor feeds the row's whole
+      // MV value buffer into every group the row lands in, so
+      // `SELECT SUMMV(X) ... GROUP BY X` aggregates ALL of a row's
+      // elements into each of its element-groups (replacing the array
+      // in place used to make that query unresolvable). A VALUEIN(...)
+      // transform over an array column explodes its (filtered) result
+      // under the PQL output name, so GROUP BY VALUEIN(mv, ...) groups
+      // by each retained element (ValueInTransformFunction feeding the
+      // MV group-by executor).
       def isArrayCol(n: String): Boolean = filtered.schema.fields.exists(f =>
         f.name.equalsIgnoreCase(n) && f.dataType.isInstanceOf[ArrayType])
-      val mvExpanded: Seq[(String, Column)] = q.groupBy.collect {
-        case Ident(n) if isArrayCol(n) => n -> explode(col(n))
+      // (output key name, reserved exploded name, exploded column)
+      val mvExpanded: Seq[(String, String, Column)] = q.groupBy.collect {
+        case Ident(n) if isArrayCol(n) => (n, s"_gk_$n", explode(col(n)))
         case e @ Func("valuein", Ident(n) +: rest) if rest.nonEmpty && isArrayCol(n) =>
-          nameOf(e) -> explode(scalar(e))
+          (nameOf(e), s"_gk_${nameOf(e)}", explode(scalar(e)))
       }
-      val grouped = mvExpanded.foldLeft(filtered)((d, kv) => d.withColumn(kv._1, kv._2))
-      val expandedNames = mvExpanded.map(_._1).toSet
+      val grouped = mvExpanded.foldLeft(filtered)((d, kv) => d.withColumn(kv._2, kv._3))
+      val expandedNames = mvExpanded.map { case (nm, res, _) => nm -> res }.toMap
       val groupCols = q.groupBy.map { e =>
         val nm = nameOf(e)
-        if (expandedNames.contains(nm)) col(nm).as(nm) else scalar(e).as(nm)
+        expandedNames.get(nm) match {
+          case Some(reserved) => col(reserved).as(nm)
+          case None => scalar(e).as(nm)
+        }
       }
       val keyNames = q.groupBy.map(nameOf)
       val havingAggs = q.having.map(collectAggs).getOrElse(Nil)

@@ -115,7 +115,7 @@ object QueryGen {
       }
     }
 
-  private def join(parts: String*): String =
+  private[pql] def join(parts: String*): String =
     parts.filter(_.nonEmpty).mkString(" ")
 
   /** One seeded generator instance; `line(id)` is NOT idempotent (each
@@ -141,7 +141,11 @@ object QueryGen {
 
     // ---- predicates (QueryGenerator.java:331-360) ----
 
-    private def predicate(): (String, String) = {
+    /** (PQL WHERE, flat-twin WHERE) — package-visible so the
+      * graft-surface grammar ([[QueryGenB]]) reuses the exact
+      * reference predicate machinery (incl. the MV `__MV0..4`
+      * OR-expansion) instead of forking it. */
+    private[pql] def predicate(): (String, String) = {
       val count = rnd.nextInt(MaxPredicates + 1)
       val preds = mutable.ArrayBuffer.empty[(String, String)]
       var guard = 0

@@ -37,6 +37,16 @@ object CorpusQueries {
   val GenPoolSize = 300
   val GenDuckLines = 25
 
+  /** Mode-B (graft-surface grammar, [[graft.pql.QueryGenB]]) gate
+    * sizes: 50 lines through the harness comparator, the first 35
+    * DuckDB-valuable aggregation-only lines of a 600-line pool, and
+    * 40 deterministic DISTINCT selections — together with the mode-A
+    * duck slice, 100 generated lines valued by an external engine. */
+  val GenBSampleLines = 50
+  val GenBPoolSize = 600
+  val GenBDuckLines = 35
+  val GenBSelLines = 40
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_sample" -> ((s, _) =>
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep))
@@ -83,7 +93,26 @@ object CorpusQueries {
     // twin still reads the plain table, so a leak or double-count
     // flips `matched`
     "q_querygen_hybrid" -> ((s, _) =>
-      graft.pql.QueryGen.runSample(s, GenSampleLines, hybrid = true))
+      graft.pql.QueryGen.runSample(s, GenSampleLines, hybrid = true)),
+    // mode-B generated queries (QueryGenB): graft's full PQL surface —
+    // percentile family (exact histogram / rank-narrowing / disc),
+    // MV aggregation twins, DISTINCTCOUNT/HLL, HAVING (incl. hidden
+    // aggregations), transform expressions in agg args and group keys,
+    // MV/VALUEIN group keys — each against an independently-written
+    // Spark-SQL twin
+    "q_querygen_graft" -> ((s, _) =>
+      graft.pql.QueryGenB.runSample(s, GenBSampleLines)),
+    // mode-B aggregation-only lines valued BY DUCKDB (MV slot twins,
+    // MINMAXRANGE, DISTINCTCOUNT, exact percentiles → quantile_cont,
+    // arithmetic transforms)
+    "q_querygen_duck_b" -> ((s, _) =>
+      graft.pql.QueryGenB.duckAggSlice(s, GenBDuckLines, GenBPoolSize)),
+    // generated SELECTION shapes valued BY DUCKDB: DISTINCT + total
+    // ORDER BY + LIMIT make the row set exact, so the driver's hash
+    // compare is strict equality against DuckDB running the same
+    // statement over the flat dump
+    "q_querygen_duck_sel" -> ((s, _) =>
+      graft.pql.QueryGenB.duckSelSlice(s, GenBSelLines))
   )
 
   def oracles: Map[String, String] = Map(
@@ -94,6 +123,9 @@ object CorpusQueries {
     "q_querygen_sample" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
     "q_querygen_duck" -> graft.pql.QueryGen.duckOracle(GenDuckLines, GenPoolSize),
     "q_querygen_startree" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
-    "q_querygen_hybrid" -> graft.pql.QueryGen.sampleOracle(GenSampleLines)
+    "q_querygen_hybrid" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
+    "q_querygen_graft" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines),
+    "q_querygen_duck_b" -> graft.pql.QueryGenB.duckAggOracle(GenBDuckLines, GenBPoolSize),
+    "q_querygen_duck_sel" -> graft.pql.QueryGenB.duckSelOracle(GenBSelLines)
   )
 }
