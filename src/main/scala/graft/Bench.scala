@@ -48,8 +48,17 @@ object Bench {
     // would dominate (and distort) the headline total whose baseline
     // counterpart does no comparable work. Timed separately, once,
     // under "harness".
+    // r12: the generated-query gate rows join the harness bucket — each
+    // runs dozens-to-hundreds of sub-second generated statements (r11's
+    // headline rose +10.6 s purely from four such rows landing in the
+    // timed set); the headline total stays a throughput number over
+    // engine queries, and the gates are still timed, once, under
+    // "harness"
     val harnessNames =
-      Set("q_corpus_sample", "q_corpus_duck", "q_corpus_hybrid", "q_corpus_startree")
+      Set("q_corpus_sample", "q_corpus_duck", "q_corpus_hybrid", "q_corpus_startree",
+        "q_querygen_sample", "q_querygen_duck", "q_querygen_startree",
+        "q_querygen_hybrid", "q_querygen_graft", "q_querygen_duck_b",
+        "q_querygen_duck_sel")
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(harnessNames).sorted
     val failed = scala.collection.mutable.ArrayBuffer[String]()

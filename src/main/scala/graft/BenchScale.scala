@@ -1213,6 +1213,149 @@ object BenchScale {
       s""""dict":{${dictRs.map(_.json).mkString(",")}}}"""
   }
 
+  /** Streaming-ingest scale section (BASELINE B5 past the MemoryStream
+    * toy): a `rows`-row deterministic event stream lands through
+    * [[graft.streaming.RealtimeIngest]]'s checkpointed parquet segment
+    * sink — the consume→seal→commit lifecycle — in three measured
+    * phases:
+    *
+    *  1. BULK throughput: the event set, pre-staged as `files` parquet
+    *     files (the "stream partitions"), consumed with
+    *     `maxFilesPerTrigger` batching under `Trigger.AvailableNow` —
+    *     every micro-batch commit publishes one immutable segment set.
+    *     Records end-to-end rows/s, batch count, and per-commit
+    *     latency stats from the query's own progress events.
+    *  2. LIVE freshness: a ProcessingTime(500 ms) query watches a
+    *     fresh source dir; marker files are dropped in one at a time
+    *     and the wall clock runs until each marker's row is VISIBLE to
+    *     a reader of the committed segments (`_spark_metadata`-aware
+    *     read, the same path queries use). That wall time IS the
+    *     event→queryable freshness the reference quotes for its
+    *     consuming segments (divergence documented in RealtimeIngest:
+    *     Spark exposes rows at commit granularity).
+    *  3. ROLLUP mode: the same bulk set through `startWithRollup`
+    *     (aggregateMetrics) — per-batch dimension rollup before the
+    *     segment write; records rows/s and the output row count.
+    *
+    * Exactly-once evidence: the committed bulk segment count must
+    * equal `rows` exactly (offset checkpoint + sink transaction log),
+    * asserted here, not just spec'd at 100K. */
+  def runStream(spark: SparkSession, rows: Long, files: Int = 40,
+      maxFilesPerTrigger: Int = 4): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.RealtimeIngest
+    val base = s"$dataRoot/scale_stream"
+    def fresh(p: String): String = {
+      val d = new java.io.File(s"$base/$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (d.exists()) rm(d)
+      d.mkdirs()
+      d.getAbsolutePath
+    }
+    val srcDir = fresh("src")
+    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def eventFrame(n: Long, parts: Int, idOffset: Long): DataFrame =
+      spark.range(0, n, 1, parts).select(
+        (col("id") + idOffset).as("event_id"),
+        (lit(1700000000000L) + col("id")).as("ts"),
+        pmod(xxhash64(col("id")), lit(1000)).cast("int").as("key"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(100000)).cast("double") / 100.0).as("value"))
+    val genSecs = time {
+      eventFrame(rows, files, 0).write.mode("overwrite").parquet(srcDir)
+    }
+    def source(dir: String): DataFrame =
+      spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
+
+    // 1. bulk throughput + per-commit latency
+    val bulkSeg = fresh("segments")
+    val bulkCkpt = fresh("ckpt")
+    var progress: Seq[Long] = Nil
+    val bulkSecs = time {
+      val q = RealtimeIngest.start(source(srcDir), bulkSeg, bulkCkpt,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+      progress = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.get("triggerExecution").longValue())
+    }
+    val countAfter = RealtimeIngest.readSegments(spark, bulkSeg).count()
+    require(countAfter == rows,
+      s"exactly-once violation: committed $countAfter of $rows rows")
+    // one representative query over the committed segments: freshly
+    // landed data is immediately aggregate-queryable
+    val qSecs = time {
+      exec(RealtimeIngest.readSegments(spark, bulkSeg)
+        .groupBy(col("key")).agg(sum(col("value"))))
+    }
+    val commitStats =
+      if (progress.isEmpty) """"commit_ms_p50":null,"commit_ms_max":null"""
+      else {
+        val sorted = progress.sorted
+        s""""commit_ms_p50":${sorted(sorted.size / 2)},"commit_ms_max":${sorted.last}"""
+      }
+
+    // 2. live event→queryable freshness (marker probes on a small live dir)
+    val liveSrc = fresh("live_src")
+    val liveSeg = fresh("live_segments")
+    val liveCkpt = fresh("live_ckpt")
+    eventFrame(100000, 4, 10_000_000_000L).write.mode("overwrite").parquet(liveSrc)
+    val liveQ = RealtimeIngest.start(source(liveSrc), liveSeg, liveCkpt,
+      Trigger.ProcessingTime("500 milliseconds"))
+    val freshness = try {
+      // explicit schema: the segment dir is legitimately empty until
+      // the first commit, and a schema-less parquet read would throw
+      def liveRead(): DataFrame = spark.read.schema(eventSchema).parquet(liveSeg)
+      // let the backlog drain before probing
+      var settle = 0
+      while (settle < 600 && liveRead().count() < 100000) {
+        Thread.sleep(100); settle += 1
+      }
+      (1 to 5).map { i =>
+        val markerId = 20000000000L + i
+        val t0 = System.nanoTime()
+        eventFrame(1, 1, markerId).write.mode("append").parquet(liveSrc)
+        var visible = false
+        while (!visible) {
+          // the reader sees only COMMITTED segments (_spark_metadata)
+          visible = liveRead()
+            .filter(col("event_id") === markerId).limit(1).count() > 0
+          if (!visible) Thread.sleep(50)
+        }
+        (System.nanoTime() - t0) / 1e6
+      }
+    } finally liveQ.stop()
+
+    // 3. ingest rollup (aggregateMetrics)
+    val rollSeg = fresh("rollup_segments")
+    val rollCkpt = fresh("rollup_ckpt")
+    val rollSecs = time {
+      val q = RealtimeIngest.startWithRollup(source(srcDir),
+        dims = Seq("key"), metrics = Seq("value"), rollSeg, rollCkpt,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val rollRows = spark.read.parquet(rollSeg).count()
+
+    val fSorted = freshness.sorted
+    s""""stream":{"rows":$rows,"gen_sec":${r3(genSecs)},""" +
+      s""""files":$files,"max_files_per_trigger":$maxFilesPerTrigger,""" +
+      s""""ingest_sec":${r3(bulkSecs)},"rows_per_sec":${(rows / bulkSecs).toLong},""" +
+      s""""batches":${progress.size},$commitStats,""" +
+      s""""count_after":$countAfter,"query_after_sec":${r3(qSecs)},""" +
+      s""""freshness_ms":[${fSorted.map(f => f"$f%.0f").mkString(",")}],""" +
+      s""""freshness_p50_ms":${f"${fSorted(fSorted.size / 2)}%.0f"},""" +
+      s""""rollup_sec":${r3(rollSecs)},"rollup_rows_per_sec":${(rows / rollSecs).toLong},""" +
+      s""""rollup_out_rows":$rollRows}"""
+  }
+
   /** Top-level sections of an existing report (tag → `"tag":{...}`
     * raw text), so a resumed ladder KEEPS the points a previous
     * invocation completed instead of silently dropping them — the
@@ -1375,6 +1518,13 @@ object BenchScale {
       sections += runScale(spark, tag, rows, reps = 5)
       flush()
       println(s"[scale] $tag done")
+    }
+    if (wanted.contains("stream")) {
+      // 10M-row streaming-ingest point (B5 past the MemoryStream toy):
+      // bulk rows/s, live event→queryable freshness, rollup mode
+      sections += runStream(spark, 10000000L)
+      flush()
+      println(s"[scale] stream done")
     }
     if (wanted.contains("sf10000smoke")) {
       // 100K-row dry run of the heavy section: catches a parse or
