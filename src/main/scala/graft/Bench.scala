@@ -74,6 +74,13 @@ object Bench {
     // standard stable estimator for that regime
     val results = names.filterNot(failed.contains).map { n =>
       try {
+        // settle the heap before each query's timed reps — the
+        // BenchScale methodology: without it a query inherits the
+        // 99-query session's garbage and a full-GC pause lands inside
+        // a timed rep (the r11/r12 percentile-rank "risers" were this:
+        // in-bench best-of-2 read 2.7 s while 7 isolated reps settled
+        // at 1.3 s; best-of-2 cannot reject two back-to-back GC hits)
+        System.gc()
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           run(n)
