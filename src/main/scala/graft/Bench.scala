@@ -58,7 +58,8 @@ object Bench {
       Set("q_corpus_sample", "q_corpus_duck", "q_corpus_hybrid", "q_corpus_startree",
         "q_querygen_sample", "q_querygen_duck", "q_querygen_startree",
         "q_querygen_hybrid", "q_querygen_graft", "q_querygen_duck_b",
-        "q_querygen_duck_sel")
+        "q_querygen_duck_sel", "q_querygen_graft_startree",
+        "q_querygen_graft_hybrid")
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(harnessNames).sorted
     val failed = scala.collection.mutable.ArrayBuffer[String]()

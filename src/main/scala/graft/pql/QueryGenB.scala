@@ -126,22 +126,28 @@ object QueryGenB {
 
     /** ANSI-safe arithmetic: column magnitudes in this schema top out
       * around 1.3e6 (AirportSeqIDs), so col±col and col×9 stay far
-      * under 2^31 — neither engine can hit an ANSI overflow. */
-    private def arithExpr(): (String, String) = {
+      * under 2^31 — neither engine can hit an ANSI overflow. The third
+      * element marks FLOAT involvement: Spark computes float
+      * arithmetic IN float (round each op), DuckDB promotes float
+      * operands to double first (exact op) — observed 12176.5 vs
+      * 12176.499634 on a float range — so float-arith shapes stay out
+      * of the DuckDB-valued slice (the Spark twin still checks them). */
+    private def arithExpr(): (String, String, Boolean) = {
       val a = pick(svNumeric)
+      def fl(cs: Col*) = cs.exists(_.dataType == "FLOAT")
       rnd.nextInt(4) match {
         case 0 =>
           val b = pick(svNumeric)
-          (s"ADD(${a.name}, ${b.name})", s"(${a.name} + ${b.name})")
+          (s"ADD(${a.name}, ${b.name})", s"(${a.name} + ${b.name})", fl(a, b))
         case 1 =>
           val b = pick(svNumeric)
-          (s"SUB(${a.name}, ${b.name})", s"(${a.name} - ${b.name})")
+          (s"SUB(${a.name}, ${b.name})", s"(${a.name} - ${b.name})", fl(a, b))
         case 2 =>
           val k = 2 + rnd.nextInt(8)
-          (s"MULT(${a.name}, $k)", s"(${a.name} * $k)")
+          (s"MULT(${a.name}, $k)", s"(${a.name} * $k)", fl(a))
         case _ =>
           val k = 2 + rnd.nextInt(8) // positive literal: no ANSI div-by-zero
-          (s"DIV(${a.name}, $k)", s"(${a.name} / $k)")
+          (s"DIV(${a.name}, $k)", s"(${a.name} / $k)", fl(a))
       }
     }
 
@@ -206,13 +212,15 @@ object QueryGenB {
       case 0 | 1 | 2 => basicAgg()
       case 3 => // basic aggregation over a transform expression
         val f = pick(Vector("SUM", "MIN", "MAX", "AVG", "COUNT"))
-        val (p, s) = arithExpr()
+        val (p, s, anyFloat) = arithExpr()
         AggPick(s"$f($p)", sumSafe(f, s, isFloat = true), None,
-          havingOk = true, duckable = true, Vector.empty)
+          havingOk = true, duckable = !anyFloat, Vector.empty)
       case 4 =>
+        // FLOAT ranges stay out of the duck slice: Spark subtracts in
+        // float, DuckDB in double (see arithExpr)
         val c = pick(svNumeric)
         AggPick(s"MINMAXRANGE(${c.name})", s"MAX(${c.name}) - MIN(${c.name})",
-          None, havingOk = true, duckable = true, numericPool(c))
+          None, havingOk = true, duckable = c.dataType != "FLOAT", numericPool(c))
       case 5 =>
         val c = pick(sv)
         AggPick(s"DISTINCTCOUNT(${c.name})", s"COUNT(DISTINCT ${c.name})",
@@ -266,7 +274,7 @@ object QueryGenB {
             havingOk = false, duckable = true, Vector.empty)
           case _ => AggPick(s"MINMAXRANGEMV(${c.name})",
             s"MAX(GREATEST(${ss.mkString(", ")})) - MIN(LEAST(${ss.mkString(", ")}))",
-            None, havingOk = false, duckable = true, Vector.empty)
+            None, havingOk = false, duckable = c.dataType != "FLOAT", Vector.empty)
         }
       case _ => // MV element-view twins
         rnd.nextInt(3) match {
@@ -341,7 +349,7 @@ object QueryGenB {
       val projPool: Vector[() => (String, Seq[String])] = {
         val base = Vector[() => (String, Seq[String])](
           () => { val c = pick(sv); (c.name, Seq(c.name)) },
-          () => { val (p, s) = arithExpr(); (p, Seq(s)) },
+          () => { val (p, s, _) = arithExpr(); (p, Seq(s)) },
           () => {
             val (p, s) = if (rnd.nextBoolean()) timeConvertExpr()
             else dateTimeConvertExpr()
@@ -369,10 +377,18 @@ object QueryGenB {
         else drawDistinct(sv, rnd.nextInt(MaxOrderByCols + 1))
       val (pqlW, sqlW) = predGen.predicate()
       val limit = rnd.nextInt(MaxResultLimit + 1)
+      // pagination (~25%): LIMIT offset,size — the one selection
+      // surface neither grammar drew before. Sound under containment:
+      // any page of the engine's ordering is a subset of the twin's
+      // full row set, and the trim cap asserts on the page SIZE.
+      val offset = if (rnd.nextInt(4) == 0) rnd.nextInt(20) else 0
+      val limStr =
+        if (limit == MaxResultLimit) ""
+        else if (offset > 0) s"LIMIT $offset, $limit"
+        else s"LIMIT $limit"
       val obStr = if (ob.isEmpty) "" else "ORDER BY " + ob.map(_.name).mkString(", ")
       val pql = join("SELECT", (if (distinct) "DISTINCT " else "") +
-        projs.map(_._1).mkString(", "), "FROM mytable", pqlW, obStr,
-        if (limit == MaxResultLimit) "" else s"LIMIT $limit")
+        projs.map(_._1).mkString(", "), "FROM mytable", pqlW, obStr, limStr)
       val sql = join("SELECT", (if (distinct) "DISTINCT " else "") +
         projs.flatMap(_._2).mkString(", "), "FROM mytable", sqlW, obStr,
         "LIMIT 10000")

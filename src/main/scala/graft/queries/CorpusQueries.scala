@@ -112,7 +112,16 @@ object CorpusQueries {
     // compare is strict equality against DuckDB running the same
     // statement over the flat dump
     "q_querygen_duck_sel" -> ((s, _) =>
-      graft.pql.QueryGenB.duckSelSlice(s, GenBSelLines))
+      graft.pql.QueryGenB.duckSelSlice(s, GenBSelLines)),
+    // the mode-B sample through the star-tree-routed fact segment:
+    // the routing rewrite must leave percentile/MV/HAVING shapes alone
+    // and still answer its basic-agg subset bit-identically
+    "q_querygen_graft_startree" -> ((s, _) =>
+      graft.pql.QueryGenB.runSample(s, GenBSampleLines, starTree = true)),
+    // the mode-B sample through the hybrid stitched view — graft-only
+    // shapes across the broker time-boundary stitch
+    "q_querygen_graft_hybrid" -> ((s, _) =>
+      graft.pql.QueryGenB.runSample(s, GenBSampleLines, hybrid = true))
   )
 
   def oracles: Map[String, String] = Map(
@@ -126,6 +135,8 @@ object CorpusQueries {
     "q_querygen_hybrid" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
     "q_querygen_graft" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines),
     "q_querygen_duck_b" -> graft.pql.QueryGenB.duckAggOracle(GenBDuckLines, GenBPoolSize),
-    "q_querygen_duck_sel" -> graft.pql.QueryGenB.duckSelOracle(GenBSelLines)
+    "q_querygen_duck_sel" -> graft.pql.QueryGenB.duckSelOracle(GenBSelLines),
+    "q_querygen_graft_startree" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines),
+    "q_querygen_graft_hybrid" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines)
   )
 }

@@ -116,6 +116,7 @@ class QueryGenSpec extends SparkSpec {
     covered("arithmetic transform", s => Seq("ADD(", "SUB(", "MULT(", "DIV(")
       .exists(s.contains))
     covered("SELECT DISTINCT", _.startsWith("SELECT DISTINCT"))
+    covered("LIMIT offset,size pagination", _.matches(""".*LIMIT \d+, \d+$"""))
     // the hidden-aggregation HAVING path: a HAVING referencing an
     // aggregation that is NOT in the select list
     def predAggs(p: Pql.Pred): Seq[Pql.Expr] = p match {
@@ -192,6 +193,36 @@ class QueryGenSpec extends SparkSpec {
     val sample = QueryGenB.runSample(spark, GenBSampleLines).collect()
     assert(sample.length === GenBSampleLines)
     assert(sample.forall(_.getBoolean(1)), "q_querygen_graft has a mismatched line")
+  }
+
+  test("mode B through star-tree routing and the hybrid stitch: all matched, " +
+      "routing not vacuous over the default-seed stream") {
+    import graft.queries.CorpusQueries._
+    val st = QueryGenB.runSample(spark, GenBSampleLines, starTree = true).collect()
+    assert(st.length === GenBSampleLines)
+    assert(st.forall(_.getBoolean(1)),
+      "a mode-B line mismatched under star-tree routing")
+    val hy = QueryGenB.runSample(spark, GenBSampleLines, hybrid = true).collect()
+    assert(hy.length === GenBSampleLines)
+    assert(hy.forall(_.getBoolean(1)),
+      "a mode-B line mismatched through the hybrid boundary stitch")
+    // vacuity guard over a wider default-seed stream: mode-B lines are
+    // mostly graft-only shapes the routing rule must NOT touch, but
+    // its basic-agg subset must actually route (the 10-seed sweep saw
+    // 105/2500 ≈ 4%)
+    val fx = CorpusHarness.fixture(spark)
+    graft.Graft.enable(spark)
+    CorpusHarness.registerCorpusTrees(spark, fx)
+    try {
+      val fact = spark.read.parquet(CorpusHarness.stFactDir())
+      val nRouted = QueryGenB.lines(300).count { l =>
+        val q = try Some(Pql.parse(l.pql))
+        catch { case _: IllegalArgumentException => None }
+        q.exists(CorpusHarness.isRouted(_, fact))
+      }
+      assert(nRouted > 0, "no mode-B line routed to a star-tree rollup")
+      info(s"$nRouted/300 mode-B lines answered from rollups")
+    } finally graft.plans.StarTreeRegistry.unregister(CorpusHarness.stFactDir())
   }
 
   // ---- rotating-seed gate (both grammars) ------------------------------
