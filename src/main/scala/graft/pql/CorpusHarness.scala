@@ -277,6 +277,47 @@ object CorpusHarness {
 
   def stFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_stfact_$jvmTag"
 
+  /** One-shot startup sweep of fixture dirs left behind by DEAD
+    * harness JVMs. The per-pid dirs above are written once per
+    * process and never deleted (the process may still be serving
+    * routed queries from them at any point in its life), so across a
+    * round's many harness JVMs they accumulate — the round-12 scale
+    * ladder lost ~26 GB of /tmp to them and crashed mid-run. Scope is
+    * deliberately narrow: only the two name shapes THIS object
+    * writes, and only when the embedded pid is provably not a live
+    * process (a recycled pid keeps the dir — conservative; a later
+    * sweep collects it). The shared pid-less base dirs
+    * (`graft_corpus_fx_<n>`) are never touched: every process
+    * rewrites those before reading them. */
+  private[graft] def sweepStaleFixtureDirs(): Int = {
+    val StFact = """graft_corpus_fx_\d+_stfact_(\d+)""".r
+    val StTree = """graft_corpus_fx_\d+_startree_(\d+)_.*""".r
+    def alive(pid: Long): Boolean = {
+      val h = java.lang.ProcessHandle.of(pid)
+      h.isPresent && h.get.isAlive
+    }
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete()
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val entries = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+    var removed = 0
+    entries.foreach { f =>
+      val stalePid = f.getName match {
+        case StFact(p) => Some(p.toLong)
+        case StTree(p) => Some(p.toLong)
+        case _ => None
+      }
+      stalePid.foreach { p =>
+        if (p != jvmTag && !alive(p)) { rmTree(f); removed += 1 }
+      }
+    }
+    removed
+  }
+  sweepStaleFixtureDirs() // once, at first use of the harness in this JVM
+
   @volatile private var builtTrees: (SparkSession, (Int, Int, Int), Seq[TreeSpec]) = null
 
   /** Build, persist (parquet — queries then column-prune the rollup
