@@ -59,7 +59,8 @@ object Bench {
         "q_querygen_sample", "q_querygen_duck", "q_querygen_startree",
         "q_querygen_hybrid", "q_querygen_graft", "q_querygen_duck_b",
         "q_querygen_duck_sel", "q_querygen_graft_startree",
-        "q_querygen_graft_hybrid")
+        "q_querygen_graft_hybrid", "q_corpus_dict", "q_querygen_dict",
+        "q_querygen_graft_dict")
 
     val names = SparkEntry.queries.keys.toSeq.filterNot(harnessNames).sorted
     val failed = scala.collection.mutable.ArrayBuffer[String]()

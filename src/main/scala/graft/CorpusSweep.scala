@@ -32,6 +32,10 @@ object CorpusSweep {
     // GRAFT_CORPUS_STARTREE=1: mined star-tree rollups registered and
     // the routing rule active; routable lines answer from rollups
     val startree = sys.env.get("GRAFT_CORPUS_STARTREE").contains("1")
+    // GRAFT_CORPUS_DICT=1: dictionary forward-index layout registered
+    // over the fact copy; routable aggregates and ordered selections
+    // answer from the encoded copy via DictRoutingRule
+    val dict = sys.env.get("GRAFT_CORPUS_DICT").contains("1")
     val pqlTable =
       if (hybrid) CorpusHarness.hybridView(spark)
       else if (startree) {
@@ -40,9 +44,15 @@ object CorpusSweep {
         specs.foreach(s => println(s"[sweep] tree dims=${s.dims.mkString("+")} " +
           s"metrics=${s.metrics.size} mined-cover=${s.minedCover}"))
         spark.read.parquet(CorpusHarness.stFactDir())
+      } else if (dict) {
+        graft.Graft.enable(spark)
+        val idx = CorpusHarness.registerCorpusDict(spark, fx)
+        println(s"[sweep] dict layout: ${idx.dicts.size} encoded columns")
+        spark.read.parquet(CorpusHarness.dictFactDir())
       } else fx.mv
     if (hybrid) println("[sweep] HYBRID mode: PQL side reads the stitched view")
     if (startree) println("[sweep] STARTREE mode: routing rule active over the fact segment")
+    if (dict) println("[sweep] DICT mode: dictionary layout registered over the fact segment")
     val lines = fx.lines.slice(start, end)
     val out = new java.io.PrintWriter(new java.io.FileWriter(outFile, true))
     val t0 = System.nanoTime()
@@ -66,6 +76,14 @@ object CorpusSweep {
             .exists(CorpusHarness.isRouted(_, pqlTable)))
         println(s"[sweep] routed $routed/${lines.size} swept lines " +
           "answered from star-tree rollups")
+      }
+      if (dict) {
+        val routed = lines.count(l =>
+          (try Some(graft.pql.Pql.parse(l.pql))
+          catch { case _: IllegalArgumentException => None })
+            .exists(CorpusHarness.dictCensus(_, pqlTable)._1))
+        println(s"[sweep] routed $routed/${lines.size} swept lines " +
+          "answered from the dictionary-encoded copy")
       }
     } finally out.close()
     spark.stop()

@@ -32,6 +32,10 @@ object QueryGenSweep {
     // the boundary stitch and the routing rewrite at sweep width
     val hybrid = sys.env.get("GRAFT_QG_HYBRID").contains("1")
     val startree = sys.env.get("GRAFT_QG_STARTREE").contains("1")
+    // GRAFT_QG_DICT=1: dictionary forward-index layout registered
+    // over the fact copy — routable aggregates/ordered selections
+    // answer from the encoded copy via DictRoutingRule
+    val dict = sys.env.get("GRAFT_QG_DICT").contains("1")
     // GRAFT_QG_GRAMMAR=b sweeps the graft-surface grammar
     // (QueryGenB: percentile family, MV aggregation twins,
     // DISTINCTCOUNT/HLL, HAVING, transform expressions) instead of
@@ -46,9 +50,14 @@ object QueryGenSweep {
         graft.Graft.enable(spark)
         CorpusHarness.registerCorpusTrees(spark, fx)
         spark.read.parquet(CorpusHarness.stFactDir())
+      } else if (dict) {
+        graft.Graft.enable(spark)
+        CorpusHarness.registerCorpusDict(spark, fx)
+        spark.read.parquet(CorpusHarness.dictFactDir())
       } else fx.mv
     if (hybrid) println("[qgsweep] HYBRID mode: PQL side reads the stitched view")
     if (startree) println("[qgsweep] STARTREE mode: routing rule active")
+    if (dict) println("[qgsweep] DICT mode: dictionary layout registered")
     val t0 = System.nanoTime()
     var total = 0
     var mismatched = 0
@@ -59,6 +68,11 @@ object QueryGenSweep {
         val q = try Some(graft.pql.Pql.parse(l.pql))
         catch { case _: IllegalArgumentException => None }
         q.exists(CorpusHarness.isRouted(_, pqlTable))
+      }
+      if (dict) routed += lines.count { l =>
+        val q = try Some(graft.pql.Pql.parse(l.pql))
+        catch { case _: IllegalArgumentException => None }
+        q.exists(CorpusHarness.dictCensus(_, pqlTable)._1)
       }
       val outcomes = CorpusHarness.compareAll(spark, fx, lines, pqlTable = pqlTable)
       val bad = outcomes.filterNot(_.matched)
@@ -73,9 +87,12 @@ object QueryGenSweep {
         f"(${(System.nanoTime() - t0) / 1e9}%.0f s elapsed)")
     }
     println(s"[qgsweep] TOTAL ${total - mismatched}/$total matched across $numSeeds seeds" +
-      (if (startree) s" ($routed answered from rollups)" else ""))
+      (if (startree) s" ($routed answered from rollups)" else "") +
+      (if (dict) s" ($routed answered from the encoded copy)" else ""))
     if (startree)
       graft.plans.StarTreeRegistry.unregister(CorpusHarness.stFactDir())
+    if (dict)
+      graft.plans.DictRegistry.unregister(CorpusHarness.dictFactDir())
     spark.stop()
     if (mismatched > 0) sys.exit(1)
   }

@@ -290,7 +290,7 @@ object CorpusHarness {
     * (`graft_corpus_fx_<n>`) are never touched: every process
     * rewrites those before reading them. */
   private[graft] def sweepStaleFixtureDirs(): Int = {
-    val StFact = """graft_corpus_fx_\d+_stfact_(\d+)""".r
+    val StFact = """graft_corpus_fx_\d+_(?:stfact|dictfact|dictenc)_(\d+)""".r
     val StTree = """graft_corpus_fx_\d+_startree_(\d+)_.*""".r
     def alive(pid: Long): Boolean = {
       val h = java.lang.ProcessHandle.of(pid)
@@ -359,6 +359,74 @@ object CorpusHarness {
           spark.read.parquet(treePath(i))))
     }
     specs
+  }
+
+  // ---- dictionary-layout routed mode -------------------------------------
+
+  /** Fact-segment copy + encoded copy used by dict mode — pid-tagged
+    * for the same write-collision reasons as [[stFactDir]] (and swept
+    * by [[sweepStaleFixtureDirs]] once the JVM dies). */
+  def dictFactDir(numRows: Int = 8000): String = s"${segDir(numRows)}_dictfact_$jvmTag"
+  def dictEncDir(numRows: Int = 8000): String = s"${segDir(numRows)}_dictenc_$jvmTag"
+
+  @volatile private var builtDict: (SparkSession, Int, graft.plans.DictLayout.Index) = null
+
+  /** Build (once per session/numRows), persist, and REGISTER the
+    * dictionary forward-index layout over EVERY single-value string
+    * dimension of the fixture — [[graft.plans.DictRoutingRule]] then
+    * answers routable aggregates and ordered selections from the
+    * encoded copy ([[dictEncDir]]) while non-routable shapes (MV
+    * group keys, transform group keys) keep the raw scan. Corpus and
+    * generated lines run unchanged; the hsql twin still reads the
+    * plain flat table, so any id-space translation or decode defect
+    * flips `matched`. Caller owns
+    * `DictRegistry.unregister(dictFactDir(numRows))`. */
+  def registerCorpusDict(spark: SparkSession, fx: Fixture,
+      numRows: Int = 8000): graft.plans.DictLayout.Index = {
+    val cached = builtDict
+    val idx =
+      if (cached != null && (cached._1 eq spark) && cached._2 == numRows) cached._3
+      else synchronized {
+        val c2 = builtDict
+        if (c2 != null && (c2._1 eq spark) && c2._2 == numRows) c2._3
+        else {
+          fx.mv.write.mode("overwrite").parquet(dictFactDir(numRows))
+          // every SV string dimension (MV/array columns are not
+          // dictionary-encodable; numerics pass through raw) — at
+          // fixture scale each dictionary is ≤ numRows entries
+          val dictCols = fx.mv.schema.fields
+            .filter(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).toSeq
+          val built = graft.plans.DictLayout.build(
+            spark, spark.read.parquet(dictFactDir(numRows)),
+            dictFactDir(numRows), dictEncDir(numRows), dictCols)
+          builtDict = (spark, numRows, built)
+          built
+        }
+      }
+    graft.plans.DictRegistry.register(dictFactDir(numRows), idx)
+    idx
+  }
+
+  /** (answered-from-encoded-copy, still-scans-raw-fact) for one
+    * line's optimized plan under dict mode — same contract as
+    * [[routeCensus]]: "routed" means the plan READS the encoded copy;
+    * a plan may legitimately be neither (constant-folded scans,
+    * metadata-only COUNT). */
+  def dictCensus(q: Pql.Query, pqlTable: DataFrame,
+      numRows: Int = 8000): (Boolean, Boolean) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = Pql.toDataFrame(q, _ => pqlTable).queryExecution.optimizedPlan
+    var routed = false
+    var scansFact = false
+    plan.foreach {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val roots = fs.location.rootPaths.map(_.toString)
+        if (roots.exists(_.contains(dictEncDir(numRows)))) routed = true
+        if (roots.exists(_.contains(dictFactDir(numRows)))) scansFact = true
+      case _ => ()
+    }
+    (routed, scansFact)
   }
 
   /** (answered-from-rollup, still-scans-fact) for one line's optimized
@@ -627,19 +695,24 @@ object CorpusHarness {
     * `starTree = true` reads the fact from its (uncached) parquet
     * segment with the mined rollup trees registered, so routable lines
     * are answered by [[graft.plans.StarTreeRoutingRule]] — a routing
-    * defect then flips `matched` against the plain-table hsql twin. */
+    * defect then flips `matched` against the plain-table hsql twin.
+    * `dict = true` likewise reads a raw fact copy with the dictionary
+    * layout registered ([[registerCorpusDict]]), so
+    * [[graft.plans.DictRoutingRule]] answers routable aggregates and
+    * ordered selections from the encoded copy. */
   def runLines(spark: SparkSession, ids: Seq[Int], numRows: Int = 8000,
-      hybrid: Boolean = false, starTree: Boolean = false): DataFrame = {
+      hybrid: Boolean = false, starTree: Boolean = false,
+      dict: Boolean = false): DataFrame = {
     val fx = fixture(spark, numRows)
     val byId = fx.lines.map(l => l.id -> l).toMap
-    runLineSet(spark, ids.map(byId), numRows, hybrid, starTree)
+    runLineSet(spark, ids.map(byId), numRows, hybrid, starTree, dict)
   }
 
   /** As [[runLines]] but over an explicit line set (the [[QueryGen]]
     * surfaces feed generated lines through the same fixture modes). */
   def runLineSet(spark: SparkSession, lines: Seq[OnTimeCorpus.Line],
       numRows: Int = 8000, hybrid: Boolean = false,
-      starTree: Boolean = false): DataFrame = {
+      starTree: Boolean = false, dict: Boolean = false): DataFrame = {
     val fx = fixture(spark, numRows)
     val table =
       if (hybrid) hybridView(spark, numRows)
@@ -647,13 +720,20 @@ object CorpusHarness {
         graft.Graft.enable(spark)
         registerCorpusTrees(spark, fx, numRows)
         spark.read.parquet(stFactDir(numRows))
+      } else if (dict) {
+        graft.Graft.enable(spark)
+        registerCorpusDict(spark, fx, numRows)
+        spark.read.parquet(dictFactDir(numRows))
       } else fx.mv
     try {
       val outcomes = compareAll(spark, fx, lines, pqlTable = table)
       import spark.implicits._
       outcomes.map(o => (o.id, o.mode, o.matched, o.reason))
         .toDF("line_id", "mode", "matched", "reason")
-    } finally if (starTree) graft.plans.StarTreeRegistry.unregister(stFactDir(numRows))
+    } finally {
+      if (starTree) graft.plans.StarTreeRegistry.unregister(stFactDir(numRows))
+      if (dict) graft.plans.DictRegistry.unregister(dictFactDir(numRows))
+    }
   }
 
   /** Deterministic sample: every `step`-th line id. */

@@ -295,12 +295,16 @@ object QueryGen {
     * from the stitched offline∪realtime view (the
     * `q_querygen_hybrid` surface) — generated predicates probe the
     * broker time-boundary stitch with fresh shapes, the twin still
-    * reading the plain table. */
+    * reading the plain table. With `dict = true` the PQL side reads
+    * the dictionary-layout-registered fact copy (the
+    * `q_querygen_dict` surface): generated predicates — notably
+    * REGEXP_LIKE, the decode-fallback path — and group-bys exercise
+    * [[graft.plans.DictRoutingRule]]'s id-space translation. */
   def runSample(spark: SparkSession, n: Int, seed: Long = DefaultSeed,
       numRows: Int = 8000, starTree: Boolean = false,
-      hybrid: Boolean = false): DataFrame =
+      hybrid: Boolean = false, dict: Boolean = false): DataFrame =
     CorpusHarness.runLineSet(spark, lines(n, seed), numRows,
-        hybrid = hybrid, starTree = starTree)
+        hybrid = hybrid, starTree = starTree, dict = dict)
       .select("line_id", "matched")
       .orderBy("line_id")
 

@@ -557,13 +557,16 @@ object QueryGenB {
 
   /** Run `n` mode-B lines PQL-vs-twin over the corpus fixture →
     * (line_id, matched) — the `q_querygen_graft` surface. starTree /
-    * hybrid answer the PQL side from the routed fact segment / the
-    * stitched offline∪realtime view, as in [[QueryGen.runSample]]. */
+    * hybrid / dict answer the PQL side from the routed fact segment /
+    * the stitched offline∪realtime view / the dictionary-layout
+    * fact copy, as in [[QueryGen.runSample]] (dict mode sends mode-B's
+    * percentile, MV-twin, HAVING, and transform shapes through
+    * [[graft.plans.DictRoutingRule]]'s routable/non-routable split). */
   def runSample(spark: SparkSession, n: Int, seed: Long = DefaultSeed,
       numRows: Int = 8000, starTree: Boolean = false,
-      hybrid: Boolean = false): DataFrame =
+      hybrid: Boolean = false, dict: Boolean = false): DataFrame =
     CorpusHarness.runLineSet(spark, lines(n, seed), numRows,
-        hybrid = hybrid, starTree = starTree)
+        hybrid = hybrid, starTree = starTree, dict = dict)
       .select("line_id", "matched")
       .orderBy("line_id")
 

@@ -71,6 +71,16 @@ object CorpusQueries {
       CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), starTree = true)
         .select("line_id", "matched")
         .orderBy("line_id")),
+    // the same 250-line sample with the dictionary forward-index
+    // layout registered over every SV string dimension and the
+    // routing rule active: routable aggregates and ordered selections
+    // answer from the encoded copy (int dict ids, decode at output),
+    // the hsql twin still reads the plain table — any id-space
+    // translation or decode defect flips `matched` and fails the hash
+    "q_corpus_dict" -> ((s, _) =>
+      CorpusHarness.runLines(s, CorpusHarness.sampleIds(SampleStep), dict = true)
+        .select("line_id", "matched")
+        .orderBy("line_id")),
     // randomized generated queries (QueryGenerator port): shapes the
     // fixed corpus never drew — regex predicates, fresh AND/OR
     // predicate chains over SV+MV columns, new agg/group combinations
@@ -121,7 +131,15 @@ object CorpusQueries {
     // the mode-B sample through the hybrid stitched view — graft-only
     // shapes across the broker time-boundary stitch
     "q_querygen_graft_hybrid" -> ((s, _) =>
-      graft.pql.QueryGenB.runSample(s, GenBSampleLines, hybrid = true))
+      graft.pql.QueryGenB.runSample(s, GenBSampleLines, hybrid = true)),
+    // generated samples through the dictionary layout: mode A's
+    // REGEXP_LIKE predicates hit the per-row decode fallback; mode B's
+    // percentile/MV/HAVING/transform shapes probe the routable /
+    // non-routable split — both against the plain-table twin
+    "q_querygen_dict" -> ((s, _) =>
+      graft.pql.QueryGen.runSample(s, GenSampleLines, dict = true)),
+    "q_querygen_graft_dict" -> ((s, _) =>
+      graft.pql.QueryGenB.runSample(s, GenBSampleLines, dict = true))
   )
 
   def oracles: Map[String, String] = Map(
@@ -137,6 +155,9 @@ object CorpusQueries {
     "q_querygen_duck_b" -> graft.pql.QueryGenB.duckAggOracle(GenBDuckLines, GenBPoolSize),
     "q_querygen_duck_sel" -> graft.pql.QueryGenB.duckSelOracle(GenBSelLines),
     "q_querygen_graft_startree" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines),
-    "q_querygen_graft_hybrid" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines)
+    "q_querygen_graft_hybrid" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines),
+    "q_corpus_dict" -> CorpusHarness.sampleOracle(SampleStep),
+    "q_querygen_dict" -> graft.pql.QueryGen.sampleOracle(GenSampleLines),
+    "q_querygen_graft_dict" -> graft.pql.QueryGenB.sampleOracle(GenBSampleLines)
   )
 }
