@@ -119,9 +119,19 @@ object QueryGen {
     parts.filter(_.nonEmpty).mkString(" ")
 
   /** One seeded generator instance; `line(id)` is NOT idempotent (each
-    * call advances the stream) — build query sets via [[lines]]. */
+    * call advances the stream) — build query sets via [[lines]].
+    *
+    * `nullPredicates = true` (mode B only) widens the SV predicate
+    * draw with an `IS [NOT] NULL` branch — a graft superset the
+    * reference grammar can never emit (Pinot parses but cannot
+    * execute null predicates), kept OFF here so mode A stays a
+    * faithful port with an unchanged draw stream. MV null predicates
+    * are deliberately not drawn: the any-element rule has no direct
+    * `__MV0..4` twin rendering for null tests (an empty MV cell
+    * null-pads all five slots), so only the fixed oracle rows pin
+    * that corner. */
   final class Generator(cols: Vector[Col], pools: Map[String, Vector[String]],
-      seed: Long) {
+      seed: Long, nullPredicates: Boolean = false) {
     private val rnd = new Random(seed)
     private val sv = cols.filter(!_.multiValue)
     private val svNumeric = sv.filter(_.numeric)
@@ -168,17 +178,20 @@ object QueryGen {
 
     private def both(s: String): (String, String) = (s, s)
 
-    private def svPredicate(c: Col): (String, String) = rnd.nextInt(4) match {
-      case 0 => // comparison (:939-947)
-        both(s"${c.name} ${pick(ComparisonOps)} ${pick(pool(c))}")
-      case 1 => // IN / NOT IN (:952-971)
-        val vs = drawDistinct(pool(c), rnd.nextInt(MaxInValues) + 1)
-        val kw = if (rnd.nextBoolean()) "NOT IN" else "IN"
-        both(s"${c.name} $kw (${vs.mkString(", ")})")
-      case 2 => // BETWEEN, bounds possibly inverted → empty (:977-986)
-        both(s"${c.name} BETWEEN ${pick(pool(c))} AND ${pick(pool(c))}")
-      case _ => regexOrEq(c)
-    }
+    private def svPredicate(c: Col): (String, String) =
+      rnd.nextInt(if (nullPredicates) 5 else 4) match {
+        case 0 => // comparison (:939-947)
+          both(s"${c.name} ${pick(ComparisonOps)} ${pick(pool(c))}")
+        case 1 => // IN / NOT IN (:952-971)
+          val vs = drawDistinct(pool(c), rnd.nextInt(MaxInValues) + 1)
+          val kw = if (rnd.nextBoolean()) "NOT IN" else "IN"
+          both(s"${c.name} $kw (${vs.mkString(", ")})")
+        case 2 => // BETWEEN, bounds possibly inverted → empty (:977-986)
+          both(s"${c.name} BETWEEN ${pick(pool(c))} AND ${pick(pool(c))}")
+        case 3 => regexOrEq(c)
+        case _ => // IS [NOT] NULL — graft superset, same text both sides
+          both(s"${c.name} IS ${if (rnd.nextBoolean()) "NOT " else ""}NULL")
+      }
 
     /** Regex predicate (:991-1023): one inner character of a string
       * value replaced by `.*`. Only regex-inert values (letters,

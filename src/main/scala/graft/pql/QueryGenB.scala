@@ -19,7 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * register plan), HAVING (the reference's own TODO — graft executes
   * it, including hidden not-selected aggregations), and transform
   * expressions (ADD/SUB/MULT/DIV, TIMECONVERT, DATETIMECONVERT,
-  * VALUEIN) in aggregation arguments and group-by keys.
+  * VALUEIN) in aggregation arguments and group-by keys. The predicate
+  * draw additionally emits `IS [NOT] NULL` on single-value columns
+  * (a graft superset — the reference parses but cannot execute null
+  * predicates, so mode A's faithful grammar never draws them).
   *
   * This generator emits exactly those shapes, each paired with an
   * independently-written Spark-SQL twin over the H2-style flattened
@@ -102,7 +105,8 @@ object QueryGenB {
     private val rnd = new Random(seed)
     // the reference predicate machinery (incl. MV OR-expansion), on
     // its own seeded stream so mode-B draws don't perturb it
-    private val predGen = new QueryGen.Generator(cols, pools, seed ^ 0x9E3779B97F4A7C15L)
+    private val predGen = new QueryGen.Generator(cols, pools,
+      seed ^ 0x9E3779B97F4A7C15L, nullPredicates = true)
 
     private val sv = cols.filter(!_.multiValue)
     private val svNumeric = sv.filter(_.numeric)

@@ -117,6 +117,8 @@ class QueryGenSpec extends SparkSpec {
       .exists(s.contains))
     covered("SELECT DISTINCT", _.startsWith("SELECT DISTINCT"))
     covered("LIMIT offset,size pagination", _.matches(""".*LIMIT \d+, \d+$"""))
+    covered("IS NULL predicate", _.contains(" IS NULL"))
+    covered("IS NOT NULL predicate", _.contains(" IS NOT NULL"))
     // the hidden-aggregation HAVING path: a HAVING referencing an
     // aggregation that is NOT in the select list
     def predAggs(p: Pql.Pred): Seq[Pql.Expr] = p match {
