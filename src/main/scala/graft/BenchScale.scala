@@ -1225,6 +1225,12 @@ object BenchScale {
     *     every micro-batch commit publishes one immutable segment set.
     *     Records end-to-end rows/s, batch count, and per-commit
     *     latency stats from the query's own progress events.
+    *  1b. KILL+RESTART: a second consumption of the same set is
+    *     stopped mid-stream (after the first committed batch, while
+    *     later batches are still landing) and restarted from its
+    *     checkpoint — total AND distinct-id counts must both equal
+    *     `rows` exactly (lost batch fails the first, replayed batch
+    *     the second).
     *  2. LIVE freshness: a ProcessingTime(500 ms) query watches a
     *     fresh source dir; marker files are dropped in one at a time
     *     and the wall clock runs until each marker's row is VISIBLE to
@@ -1302,6 +1308,47 @@ object BenchScale {
         s""""commit_ms_p50":${sorted(sorted.size / 2)},"commit_ms_max":${sorted.last}"""
       }
 
+    // 1b. kill + restart mid-stream: exactly-once across an
+    // INTERRUPTED run — the reference's consuming-segment recovery
+    // contract (a killed server re-consumes from its last committed
+    // offset; every row appears exactly once). The first query is
+    // stopped while batches are still landing; the restart resumes
+    // from the offset checkpoint, and the _spark_metadata-aware read
+    // must count every source row exactly once — files an aborted
+    // in-flight batch may have written are invisible by construction
+    // (sink transaction log). Both the total and the DISTINCT id
+    // count are asserted: a lost batch fails the first, a replayed
+    // batch fails the second.
+    val rSeg = fresh("restart_segments")
+    val rCkpt = fresh("restart_ckpt")
+    var killedMid = false
+    var killedAfter = 0L
+    val restartSecs = time {
+      val q1 = RealtimeIngest.start(source(srcDir), rSeg, rCkpt,
+        Trigger.AvailableNow())
+      try {
+        def committed(): Long =
+          try RealtimeIngest.readSegments(spark, rSeg).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        var polls = 0
+        while (q1.isActive && { killedAfter = committed(); killedAfter == 0L } &&
+            polls < 2400) {
+          Thread.sleep(25); polls += 1
+        }
+        if (q1.isActive && killedAfter < rows) { killedMid = true; q1.stop() }
+        q1.awaitTermination()
+      } finally if (q1.isActive) q1.stop()
+      val q2 = RealtimeIngest.start(source(srcDir), rSeg, rCkpt,
+        Trigger.AvailableNow())
+      q2.awaitTermination()
+    }
+    val rCount = RealtimeIngest.readSegments(spark, rSeg).count()
+    val rDistinct = RealtimeIngest.readSegments(spark, rSeg)
+      .select(col("event_id")).distinct().count()
+    require(rCount == rows && rDistinct == rows,
+      s"restart exactly-once violation: count=$rCount distinct=$rDistinct " +
+        s"of $rows (killedMid=$killedMid after $killedAfter committed)")
+
     // 2. live event→queryable freshness (marker probes on a small live dir)
     val liveSrc = fresh("live_src")
     val liveSeg = fresh("live_segments")
@@ -1350,6 +1397,8 @@ object BenchScale {
       s""""ingest_sec":${r3(bulkSecs)},"rows_per_sec":${(rows / bulkSecs).toLong},""" +
       s""""batches":${progress.size},$commitStats,""" +
       s""""count_after":$countAfter,"query_after_sec":${r3(qSecs)},""" +
+      s""""restart":{"sec":${r3(restartSecs)},"killed_mid":$killedMid,""" +
+      s""""committed_at_kill":$killedAfter,"count":$rCount,"distinct_ids":$rDistinct},""" +
       s""""freshness_ms":[${fSorted.map(f => f"$f%.0f").mkString(",")}],""" +
       s""""freshness_p50_ms":${f"${fSorted(fSorted.size / 2)}%.0f"},""" +
       s""""rollup_sec":${r3(rollSecs)},"rollup_rows_per_sec":${(rows / rollSecs).toLong},""" +
