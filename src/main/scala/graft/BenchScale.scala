@@ -1517,6 +1517,25 @@ object BenchScale {
       spark.stop()
       return
     }
+    // "gen:sf100,sf1000" only (re)generates the named datasets + their
+    // star-tree segments, touching no artifact sections — for
+    // restoring a dataset reclaimed under disk pressure so the compact
+    // Bench scale summary can run again without re-recording the
+    // (still-ledger-fresh) BenchScale sections
+    if (args.length > 1 && args(1).startsWith("gen:")) {
+      val rowsByTag = Map("sf1" -> 100000L, "sf100" -> 10000000L,
+        "sf1000" -> 100000000L)
+      args(1).stripPrefix("gen:").split(",").map(_.trim).foreach { tag =>
+        val rows = rowsByTag.getOrElse(tag,
+          throw new IllegalArgumentException(s"unknown gen tag $tag"))
+        val dir = s"$dataRoot/scale_$tag"
+        val secs = time { ScaleTable.ensure(spark, dir, rows) }
+        ensureStarTree(spark, dir, spark.read.parquet(s"$dir/ontime.parquet"))
+        println(f"[scale] $tag dataset ensured ($rows rows, $secs%.1f s)")
+      }
+      spark.stop()
+      return
+    }
     // "layout:sf100,sf1000" re-measures ONLY the layout subsections
     // (sorted ordered-read, dictionary routing, native-format run) and
     // splices them into the existing artifact — a routing-rule change
