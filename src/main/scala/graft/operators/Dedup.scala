@@ -129,26 +129,45 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       minEstJaccard: Double = 0.5): DataFrame =
-    // semiFilterSigs = false: here the signature frame is the INLINE
-    // text→shingle→minhash kernel, not a stored segment. The
-    // candidate-id broadcast that the semi-filter needs re-executes
-    // the banding subtree, and every extra consumer of the signature
-    // frame re-runs the kernel over the corpus — measured 4× wall on
-    // the one-shot sf0.1 oracle queries (q_near_dup 1.4→5.6 s) for a
-    // shuffle-size win that only matters when signatures are wide and
-    // the corpus is huge, i.e. exactly the regime where the caller
-    // should be on the stored-segment + cached staged path instead.
+    // r12: the inline path used to SKIP the candidate-id semi-filter
+    // (semiFilterSigs = false) because the id subtree re-executed the
+    // banding — and with the inline text→minhash kernel as the
+    // signature frame, every re-execution re-hashed the corpus
+    // (measured 4× wall at sf0.1 when the filter was on). The raw pair
+    // frame is now a lazy local checkpoint inside
+    // [[candidatePairsFromSignatures]], so the id subtree reads
+    // materialized blocks instead of re-running the banding: the
+    // semi-filter is pure win on both paths and the flag is gone.
     candidatePairsFromSignatures(
       minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
-      idCol, numHashes, bands, minEstJaccard, semiFilterSigs = false)
+      idCol, numHashes, bands, minEstJaccard)
 
   /** LSH banding + estimate filter over a PRE-COMPUTED signature frame
     * (`(idCol, sig)` — the [[minhashSignatures]] shape, typically
     * re-read from a stored segment so the self-join never recomputes
-    * text kernels). */
+    * text kernels).
+    *
+    * r12 plan shape: the raw pair frame is a LAZY local checkpoint.
+    * Un-checkpointed, the pair subtree (band explode → self-join →
+    * distinct, the pipeline's dominant shuffles) re-executes under
+    * every consumer — once per est-join side's candidate-id branch and
+    * once as the est join's left input, 3 evaluations per action
+    * (measured 2.5→1.0 s on the sf0.1 near-dup oracle row from this
+    * restructure plus [[verifyCandidates]]'s). A lazy checkpoint adds
+    * NO job (the first action materializes it in passing, unlike the
+    * staged path's eager `count()` barriers, which at oracle scale
+    * cost more than the re-evaluation they save — measured 4.4 s vs
+    * 1.9 s), and the blocks are ContextCleaner-owned: released when
+    * the frame becomes unreachable, no caller-managed lifecycle. Size
+    * is two longs per candidate pair — bounded by the LSH contract.
+    * Trade-off: a checkpoint truncates lineage, so a lost executor
+    * fails the job instead of recomputing (acceptable for the
+    * one-shot/query path; the 100 TB deployment path is
+    * [[nearDupPairsStagedCached]], whose persisted stages recompute
+    * through lineage and whose eager counts gate the broadcasts). */
   def candidatePairsFromSignatures(withSig: DataFrame, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5, semiFilterSigs: Boolean = true): DataFrame = {
+      minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); trailing signature " +
         "components would otherwise be silently dropped, weakening recall")
@@ -161,33 +180,27 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .localCheckpoint(false)
     // The est-filter join needs signatures for CANDIDATE ids only, but
     // joining the raw signature frame shuffles every document's
     // signature array — at 10^8 docs × 64 hashes that is ~2× 50 GB of
     // shuffle for a candidate universe that the LSH contract keeps
     // orders of magnitude smaller. Semi-filter the signature frame by
-    // the candidate-id set first. This lazy path cannot know the id
-    // count without executing the banding subtree, so the semi-join is
-    // UN-hinted: AQE sizes the materialized ids side at runtime and
-    // broadcasts only when it is actually small — unlike a static
-    // broadcast hint, which at the 100x horizon (~6.6x10^8 candidate
-    // ids ≈ 5+ GB) would bypass autoBroadcastJoinThreshold and OOM the
+    // the candidate-id set first (one exploded pass over the
+    // checkpointed pairs, not a two-branch union that would evaluate
+    // them twice). This lazy path cannot know the id count without
+    // executing the banding subtree, so the semi-join is UN-hinted:
+    // AQE sizes the materialized ids side at runtime and broadcasts
+    // only when it is actually small — unlike a static broadcast
+    // hint, which at the 100x horizon (~6.6x10^8 candidate ids ≈
+    // 5+ GB) would bypass autoBroadcastJoinThreshold and OOM the
     // driver. The staged/cached path hint-gates on its eager candidate
-    // count instead ([[candidatePairsStagedCached]]). Stored-segment
-    // callers only (`semiFilterSigs`): the candidate-id subtree
-    // re-executes the banding, which is a segment re-scan here but a
-    // full text-kernel corpus pass in the inline
-    // [[minhashCandidatePairs]] path.
-    val sigs0 = withSig.select(col(idCol), col("sig"))
-    val sigs =
-      if (!semiFilterSigs) sigs0
-      else {
-        val pairIds = pairs.select(col("id_a").as("_gid"))
-          .union(pairs.select(col("id_b").as("_gid"))).distinct()
-        semiFilterByIds(sigs0, idCol, pairIds, knownIdBound = None,
-            BroadcastIdLimit)
-          .select(col(idCol), col("sig"))
-      }
+    // count instead ([[candidatePairsStagedCached]]).
+    val pairIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("_gid")).distinct()
+    val sigs = semiFilterByIds(withSig.select(col(idCol), col("sig")),
+        idCol, pairIds, knownIdBound = None, BroadcastIdLimit)
+      .select(col(idCol), col("sig"))
     pairs
       .join(sigs.toDF("id_a", "sig_a"), "id_a")
       .join(sigs.toDF("id_b", "sig_b"), "id_b")
@@ -262,13 +275,27 @@ object Dedup {
     // runtime-sizes the id side (see [[semiFilterByIds]] — the id set
     // grows with the corpus, so a static broadcast hint is a 100x-
     // scale ceiling). The staged path gates on its eager count.
-    val candIds = cands.select(col("id_a").as("_gid"))
-      .union(cands.select(col("id_b").as("_gid"))).distinct()
+    //
+    // r12: cands and docSh are lazy local checkpoints — both feed the
+    // verify join on BOTH sides (docSh is keyed by id_a on one join
+    // and id_b on the other, so exchange reuse can never unify them),
+    // and cands additionally feeds the candidate-id subtree. Without
+    // the checkpoints each consumer re-executed its whole upstream
+    // (candidate generation 3×, the corpus shingle scan 2× per
+    // action); with them the first action materializes each ONCE and
+    // every consumer reads blocks. No extra job (lazy, unlike the
+    // staged path's eager counts), ContextCleaner-owned lifecycle,
+    // candidate-bounded size; lineage-truncation trade-off documented
+    // on [[candidatePairsFromSignatures]].
+    val candsC = cands.localCheckpoint(false)
+    val candIds = candsC
+      .select(explode(array(col("id_a"), col("id_b"))).as("_gid")).distinct()
     val docSh = semiFilterByIds(df, idCol, candIds, knownIdBound = None,
         BroadcastIdLimit)
       .select(col(idCol),
         GraftFunctions.shingleHashes(col(textCol), shingleSize).as("_sh"))
-    verifyJoin(cands, docSh, threshold)
+      .localCheckpoint(false)
+    verifyJoin(candsC, docSh, threshold)
   }
 
   private def verifyJoin(cands: DataFrame, docSh: DataFrame,
@@ -489,7 +516,23 @@ object Dedup {
           col("_size_b") - col("_rk_b"))).cast("double") >= minOverlap)
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint(false)
+    // r12: verify-stage shingle sets for CANDIDATE docs only — the
+    // unfiltered form shuffled EVERY document's shingle array (several
+    // times the text's size) through both pair joins, the exact flaw
+    // the MinHash pipeline's verify stage fixed in r9. The candidate
+    // pairs are a lazy checkpoint (they feed the id subtree and the
+    // verify join; un-checkpointed, the whole prefix-filter join would
+    // re-execute under each — same trade-off as [[verifyCandidates]]).
+    // docSh itself is deliberately NOT checkpointed: its two join-side
+    // evaluations are candidate-bounded after the semi-filter, and
+    // keeping the shingle kernel in the visible plan is what lets
+    // PlanAuditSpec assert no interpreted shingling crept back in.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("_gid")).distinct()
     val docSh = sh.select(col("_id"), col("_sh"))
+      .join(candIds, col("_id") === col("_gid"), "left_semi")
+      .select(col("_id"), col("_sh"))
     cands
       .join(docSh.toDF("id_a", "_sh_a"), "id_a")
       .join(docSh.toDF("id_b", "_sh_b"), "id_b")
@@ -602,7 +645,12 @@ object Dedup {
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands, shingleSize)
+    // verified pairs checkpoint lazily: [[connectedComponentsResult]]
+    // consumes them under BOTH branches of its edge union, which would
+    // run the verify joins twice (r12; same pattern and trade-off as
+    // [[verifyCandidates]] — pair-bounded size, no extra job)
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize).localCheckpoint(false)
     val comps = connectedComponents(pairs)
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))

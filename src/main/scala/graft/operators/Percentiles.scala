@@ -370,13 +370,28 @@ object Percentiles {
       java.lang.Double.isFinite(b.lo) && java.lang.Double.isFinite(b.hi) &&
         b.hi - b.lo > 0 && java.lang.Double.isFinite(b.hi - b.lo)
 
+    // Scale-adaptive narrowing floor (r12). The final exact histogram
+    // costs a shuffle of the bracket's distinct values plus an ordered
+    // window funneled through ONE task per bracket, while one more
+    // narrowing pass costs a full counting scan — so the break-even
+    // depends on TOTAL size, not just the bracket. At small totals the
+    // extra scan is far cheaper than a big final histogram (measured
+    // sf0.1, 600K near-unique rows: no-narrowing final histogram
+    // ~3.3 s vs narrow-once-then-tiny-final ~0.9 s); at large totals
+    // the scan dominates and the static cap already stops narrowing
+    // (totals ≥ 128M rows leave effCap = cap, so the recorded
+    // 100M/1B-row behavior is bit-identical). Callers passing a tiny
+    // cap to force multi-pass narrowing keep it via the min.
+    val totalRows = groups.map(_.nFin).sum
+    val effCap = math.min(cap, math.max(totalRows / 64L, 65536L))
+    def needsNarrow(b: Bracket): Boolean =
+      b.rows > effCap && b.hi > b.lo && canBucket(b)
     var iter = 0
     var progress = true
-    while (progress && iter < SelectMaxIters &&
-        brackets.exists(b => b.rows > cap && b.hi > b.lo && canBucket(b))) {
+    while (progress && iter < SelectMaxIters && brackets.exists(needsNarrow)) {
       iter += 1
-      val active = brackets.filter(b => b.rows > cap && b.hi > b.lo && canBucket(b))
-      val done = brackets.filterNot(b => b.rows > cap && b.hi > b.lo && canBucket(b))
+      val active = brackets.filter(needsNarrow)
+      val done = brackets.filterNot(needsNarrow)
       // bucket width shrinks with live group count so the driver's
       // collected cells stay ~buckets x ranks regardless of G
       val liveGroups = active.map(_.g).distinct.size

@@ -29,14 +29,25 @@ object Skew {
     * appears exactly once because the left row lands on exactly one
     * salt and the right row exists at every salt. */
   def saltedJoin(left: DataFrame, leftKey: String,
-      right: DataFrame, rightKey: String, salt: Int): DataFrame = {
+      right: DataFrame, rightKey: String, salt: Int,
+      scatterCols: Seq[String] = Nil): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val salts = array((0 until salt).map(lit): _*)
     // deterministic scatter (task retries land on the same salt):
-    // hash the whole left row, not just the key — hashing the key
-    // alone would send the hot key to ONE salt and change nothing
+    // hash left-row columns, not just the key — hashing the key alone
+    // would send the hot key to ONE salt and change nothing. By
+    // default the WHOLE row is hashed (always safe), but that struct(*)
+    // reference defeats column pruning: the scan must read every
+    // column even when the query aggregates two (q_salted_join's
+    // ReadSchema carried all 11 lineitem columns, r12). Callers that
+    // know a compact column set that varies WITHIN a key — a primary
+    // key, a line number — pass it as `scatterCols` so the scan prunes
+    // to the columns the query actually uses. The join RESULT is
+    // identical for any choice: the scatter only decides which salt
+    // partition a (left row, right copy) pair meets in.
+    val sc = if (scatterCols.nonEmpty) scatterCols else left.columns.toSeq
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(left(_)): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(struct(sc.map(left(_)): _*)), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("_salt", explode(salts))
     saltedLeft
       .join(saltedRight,

@@ -737,9 +737,16 @@ object CoreQueries {
     * exercises that case with a genuine hot key at salt=8). */
   def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // scatter by the table's primary key (orderkey, linenumber): it
+    // varies within any hot orderkey (so the hot key still spreads
+    // across salts) and keeps the scan pruned to the 4 columns the
+    // query touches — the default whole-row scatter hash forced all
+    // 11 lineitem columns through the read (r12; result rows are
+    // scatter-invariant, SkewSpec pins both)
     graft.operators.Skew.saltedJoin(
         t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey", salt = 2)
+        t(s, dir, "orders"), "o_orderkey", salt = 2,
+        scatterCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
         round(sum($"l_extendedprice"), 3).as("sum_price"))

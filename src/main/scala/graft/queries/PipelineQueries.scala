@@ -170,15 +170,21 @@ object PipelineQueries {
     * exact answer, the q_percentile_approx pattern. */
   def qMvPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // exploded MV elements have few distinct values, so the exact side
-    // collapses to a tiny (label, value) histogram
-    // (graft.operators.Percentiles.exact) joined with the compact
-    // KLL-sketch branch — no full-distribution reducer buffers
+    // r12: exploded MV elements are NEAR-UNIQUE doubles (measured
+    // 127,898 distinct of 128,000 at sf0.1 — the old "few distinct
+    // values" comment was wrong), so the exact side's distinct
+    // (label, value) histogram degenerated to the exploded data
+    // itself. Grouped rank-narrowing selection is the right plan for
+    // that shape (≤64 label groups, near-unique values); values are
+    // bit-identical to Percentiles.exact (same rank arithmetic and
+    // interpolation, probed on q_percentile_approx's switch).
     val elems = t(s, dir, "embeddings")
       .select($"label", explode($"embedding").as("e0"))
       .select($"label", $"e0".cast("double").as("e"))
-    val exact = graft.operators.Percentiles.exact(
-      elems, Seq("label"), "e", Seq(0.5 -> "_pe1", 0.9 -> "_pe2"))
+    val exact = graft.operators.Percentiles.rankSelectKeyed(
+      elems, Seq("label"), "e",
+      Seq(graft.operators.Percentiles.Spec(0.5, "_pe1", nearestRank = false),
+        graft.operators.Percentiles.Spec(0.9, "_pe2", nearestRank = false)))
     val approx = elems
       .groupBy($"label")
       .agg(expr("approx_percentile(e, array(0.5, 0.9), 10000)").as("_pa"))
@@ -397,9 +403,13 @@ object PipelineQueries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter($"vec_id" < 20)
     val k = 3
+    // exact top-k feeds BOTH the hit join and the per-query count —
+    // un-checkpointed, the brute-force corpus scan ran twice per
+    // action (r12; lazy checkpoint: ≤ k rows per query, no extra job)
     val exact = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
         "embedding", k, excludeSelf = true)
       .select($"query_id", $"corpus_id")
+      .localCheckpoint(false)
     val approx = Similarity.lshBucketedKnn(queries, "vec_id", emb, "vec_id",
         "embedding", k, numPlanes = 4, numTables = 32, excludeSelf = true)
       .select($"query_id", $"corpus_id")
@@ -479,7 +489,10 @@ object PipelineQueries {
     * the outcome reproducible, not merely probable). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = perturbedDocs(s, dir)
+    // the (doc, pert) fixture feeds the estimate frame and both corpus
+    // union branches — lazy checkpoint so the token-slice kernels run
+    // once per action, not 3× (bounded: doc_id < 200 at every SF)
+    val base = perturbedDocs(s, dir).localCheckpoint(false)
     val withJ = base.select($"doc_id",
       Dedup.minhashJaccard(
         Dedup.minhashSignature($"text", 128, 2),
@@ -504,7 +517,9 @@ object PipelineQueries {
     * Jaccard value the oracle-visible direct computation gives. */
   def qNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = perturbedDocs(s, dir)
+    // same bounded-fixture checkpoint as qMinhashPairs (union branches
+    // + exact side would otherwise re-run the token kernels per branch)
+    val base = perturbedDocs(s, dir).localCheckpoint(false)
     val corpus = base.select($"doc_id", $"text")
       .union(base.select(($"doc_id" + 1000000).as("doc_id"), $"pert".as("text")))
     val found = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.7,
@@ -530,9 +545,12 @@ object PipelineQueries {
     * survivor set. */
   def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // nearDupDedup reads the universe for signatures, verify shingles,
+    // and the survivor join — checkpoint the bounded fixture once
     val universe = t(s, dir, "documents")
       .filter($"doc_id" < 200 && size(TextAnalysis.tokens($"text")) >= 30)
       .select($"doc_id", $"text")
+      .localCheckpoint(false)
     Dedup.nearDupDedup(universe, "doc_id", "text",
         threshold = 0.7, numHashes = 128, bands = 32, shingleSize = 2)
       .select($"doc_id")

@@ -39,15 +39,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
-  test("inline candidate path skips the signature semi-filter; staged path keeps it") {
+  test("both candidate paths semi-filter signatures over checkpointed pairs") {
     val df = Seq((1L, base), (2L, base.replace("quick", "fast"))).toDF("id", "text")
-    // inline: the semi-filter's candidate-id broadcast would re-run
-    // the text→signature kernel over the corpus (measured 4× wall on
-    // the sf0.1 one-shot oracles) — the plan must carry NO left-semi
+    // r12: the raw pair frame is a lazy local checkpoint, so the
+    // candidate-id subtree reads materialized blocks instead of
+    // re-running the banding (the old reason the INLINE path skipped
+    // the filter — a corpus-wide kernel re-run per consumer). Both
+    // paths must now carry the left-semi signature filter AND the
+    // checkpoint scan it probes.
     val inlinePlan = Dedup.minhashCandidatePairs(df, "id", "text", numHashes = 64)
       .queryExecution.executedPlan.toString
-    assert(!inlinePlan.toLowerCase.contains("leftsemi"),
-      s"inline candidate path must not semi-filter signatures:\n$inlinePlan")
+    assert(inlinePlan.toLowerCase.contains("leftsemi"),
+      s"inline candidate path must semi-filter signatures:\n$inlinePlan")
+    assert(inlinePlan.contains("ExistingRDD") || inlinePlan.contains("Scan ExistingRDD"),
+      s"inline candidate path must read the checkpointed pair frame:\n$inlinePlan")
     // staged (stored-segment shape): the semi-filter is the scale
     // contract — signatures shuffle for candidate ids only
     val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 64)
