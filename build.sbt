@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r12: default forked-JVM heap 8g -> 24g. The 99-query bench session
+  // plus harness fixtures at local[32] churns an 8g heap into full-GC
+  // pauses that land inside timed reps (measured same-tree A/B at
+  // sf0.1: engine total 48.1 -> 43.5 s, harness bucket 246 -> 166 s;
+  // the Bench GC-settle cannot reject back-to-back pauses). The box
+  // has 128 GiB; 24g is safe at every core count the driver benches.
+  // Still env-parameterized for constrained deployments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
