@@ -34,6 +34,19 @@ object OptProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // r12: count Spark jobs per execution — eager driver-coordinated
+    // operators (rankSelect passes, connected components) do their work
+    // in jobs the output frame's plan never shows, so the job count is
+    // the pass-structure evidence for them
+    val jobCount = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+
     def exec(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
@@ -57,14 +70,19 @@ object OptProbe {
             new java.io.File(out, s"$n.txt").toPath,
             txt.getBytes("UTF-8"))
         }
+        val j0 = jobCount.get()
         val ts = (1 to reps).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
           exec(n)
           (System.nanoTime() - t0) / 1e9
         }
+        // listener delivery is async; settle before reading the count
+        Thread.sleep(300)
+        val jobsPerExec = (jobCount.get() - j0).toDouble / reps
         println(f"[opt] $n%-32s min=${ts.min}%.3f p50=${p50(ts)}%.3f " +
-          f"max=${ts.max}%.3f reps=${ts.map(x => f"$x%.3f").mkString(",")}")
+          f"max=${ts.max}%.3f jobs=$jobsPerExec%.1f " +
+          f"reps=${ts.map(x => f"$x%.3f").mkString(",")}")
       } catch { case e: Throwable =>
         println(s"[opt] $n FAILED: ${e.getMessage}")
         e.printStackTrace()

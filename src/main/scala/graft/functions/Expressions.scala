@@ -673,6 +673,27 @@ object exprs {
     override def prettyName: String = "sorted_jaccard_hash"
   }
 
+  /** Monotone fixed radix cell of a double ([[HashOps.radixCell]]):
+    * top `bits` bits of the sign-corrected IEEE bit pattern, in
+    * [0, 2^bits). Cell order is value order for all non-NaN inputs —
+    * the bucketing needs no min/max pre-pass, which is what lets the
+    * rank-narrowing percentile fuse its stats scan into the first
+    * narrowing scan. */
+  case class RadixCell(child: Expression, bits: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.radixCell(input.asInstanceOf[Double], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashOps.radixCell($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): RadixCell =
+      copy(child = newChild)
+    override def prettyName: String = "radix_cell"
+  }
+
   /** Fraction of equal components of two array<bigint> signatures. */
   case class SigAgreement(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
@@ -728,6 +749,9 @@ object GraftFunctions {
 
   def lshBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
     GraftSqlBridge.column(exprs.LshBuckets(expr(vec), numPlanes, numTables))
+
+  def radixCell(v: Column, bits: Int): Column =
+    GraftSqlBridge.column(exprs.RadixCell(expr(v), bits))
 
   def sigAgreement(a: Column, b: Column): Column =
     GraftSqlBridge.column(exprs.SigAgreement(expr(a), expr(b)))

@@ -1343,6 +1343,28 @@ object HashOps {
     null
   }
 
+  /** Monotone fixed radix cell of a double: the top `bits` bits of the
+    * sign-corrected IEEE-754 bit pattern, shifted to [0, 2^bits).
+    *
+    * The map `s = bits(v) XOR ((bits(v) >> 63) & Long.MaxValue)` is the
+    * standard signed-sortable transform — for non-NaN doubles it is
+    * strictly monotone in the numeric order (-Inf → most-negative long
+    * region, +Inf → most-positive), so truncating to the top bits gives
+    * a bucketing whose cell order IS value order WITHOUT knowing the
+    * data's min/max first. That property is what lets
+    * [[graft.operators.Percentiles.rankSelectKeyed]] fuse its stats
+    * pass and first narrowing pass into one scan.
+    *
+    * `v + 0.0` canonicalizes -0.0 → +0.0 (IEEE: x + 0.0 == x for every
+    * other x), keeping the cell assignment consistent with the NUMERIC
+    * comparisons (`>=`/`<=`, where -0.0 == 0.0) the narrowing
+    * predicates use downstream. NaN must be filtered by the caller. */
+  def radixCell(v: Double, bits: Int): Long = {
+    val b = java.lang.Double.doubleToLongBits(v + 0.0)
+    val s = b ^ ((b >> 63) & Long.MaxValue)
+    (s >> (64 - bits)) + (1L << (bits - 1))
+  }
+
   /** Fraction of equal components between two equal-length MinHash
     * signatures — the MinHash Jaccard estimate. */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {

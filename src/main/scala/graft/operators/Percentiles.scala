@@ -187,24 +187,29 @@ object Percentiles {
     * interpolation between closest ranks. The plan is quickselect
     * re-expressed as Spark scans:
     *
-    *   1. one stats pass (count, NaN count, finite min/max);
-    *   2. narrowing passes: bucket the value range into
-    *      [[SelectBuckets]] equal-width cells and aggregate
-    *      (count, min, max) per cell — `floor((v-lo)/w·B)` is a
-    *      MONOTONE function of v (positive-constant IEEE ops preserve
-    *      order), so per-cell counts are exact rank arithmetic, and
-    *      the next bracket's bounds are the cells' ACTUAL min/max
-    *      values, never float-reconstructed boundaries. Each pass
-    *      shrinks the candidate rows ~[[SelectBuckets]]× for
-    *      uniform-ish data (one pass at 10⁹ rows: 10⁹ → ~3.7·10⁵);
-    *   3. one final pass: exact value histogram of the ≤[[SelectCap]]
+    *   1. one FUSED stats + first-narrowing pass (r12): aggregate
+    *      (count, min, max) per fixed monotone RADIX cell
+    *      ([[graft.functions.HashOps.radixCell]] — top bits of the
+    *      sign-corrected IEEE pattern, so cell order is value order
+    *      with no min/max pre-pass). Group count / n / NaN count /
+    *      finite min/max and the first ~[[SelectBuckets]]× candidate
+    *      shrink all come out of this single scan (the pre-r12 flow
+    *      paid a separate stats scan first);
+    *   2. further narrowing passes if needed: bucket the bracket's
+    *      value range into [[SelectBuckets]] equal-width cells and
+    *      aggregate (count, min, max) per cell — `floor((v-lo)/w·B)`
+    *      is a MONOTONE function of v (positive-constant IEEE ops
+    *      preserve order), so per-cell counts are exact rank
+    *      arithmetic, and the next bracket's bounds are the cells'
+    *      ACTUAL min/max values, never float-reconstructed boundaries;
+    *   3. one final pass: exact value histogram of the remaining
     *      bracket rows (`groupBy(value).count` + per-bracket running
     *      sum), from which every requested order statistic reads off.
     *
     * Every pass is a full scan with a tiny aggregate — no shuffle ever
     * carries more than bracket-distinct values, nothing sorts more
     * than one bracket, and the driver holds ≤ `SelectBuckets` cells.
-    * Typical cost: 3 scans total, vs one full-data shuffle + window.
+    * Typical cost: 2 scans total, vs one full-data shuffle + window.
     *
     * EAGER: runs its passes at call time and returns the 1-row result
     * frame (callers timing it must rebuild per repetition). Ties,
@@ -234,10 +239,11 @@ object Percentiles {
     * values identical — the histogram's worst case is ONE shuffle
     * bounded by the data, which a multi-batch scan loop can never
     * undercut (state ≤ data by construction, so the shuffle never
-    * exceeds ~1 scan-equivalent of traffic). The stats collect is
-    * truncated at SelectMaxGroups + 1, so a million-group key never
-    * materializes a million driver rows just to learn it belongs to
-    * the histogram. */
+    * exceeds ~1 scan-equivalent of traffic). The fused stats+cell
+    * collect is head-truncated at SelectMaxGroups groups' worth of
+    * cell rows, so a million-group key never materializes a million
+    * groups' rows on the driver just to learn it belongs to the
+    * histogram. */
   private final val StatsCollectBound = SelectMaxGroups + 1
 
   /** GROUPED exact percentiles by rank-narrowing selection — the
@@ -283,17 +289,89 @@ object Percentiles {
     val base = df.select(keys :+ col(valueCol).cast("double").as("_v"): _*)
     val nn = base.filter(col("_v").isNotNull)
 
-    // ---- stats pass: one row per group (collect truncated — a
-    // high-cardinality key must not flood the driver just to learn it
-    // belongs to the histogram fallback) ----
-    val statRows = base.groupBy(keys: _*).agg(
-      count(col("_v")).as("_n"),
-      sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
-      min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
-      max(when(!isnan(col("_v")), col("_v"))).as("_mx")).head(StatsCollectBound)
-    if (statRows.isEmpty && keyCols.nonEmpty)
+    // ---- FUSED stats + first-narrowing pass (r12): ONE scan computes,
+    // per (group, radix cell), the exact count and the ACTUAL min/max
+    // inside the cell. The radix cell (top bits of the sign-corrected
+    // IEEE bit pattern, [[graft.functions.HashOps.radixCell]]) is a
+    // FIXED monotone bucketing — cell order is value order with no
+    // min/max pre-pass — so the separate stats scan the old flow paid
+    // is gone: group count / n / nNaN / finite min / finite max all
+    // derive from the same cell rows that seed the first narrowing
+    // (3 full scans → 2 on the common narrow-once shapes; the grouped
+    // near-unique 1B-row query saves a full counting scan).
+    //
+    // The collect stays driver-bounded: ≤ (cells + 2) rows per group,
+    // head-truncated at SelectMaxGroups groups' worth — one row past
+    // that proves >SelectMaxGroups groups and routes to the histogram
+    // exactly as the old stats pass did. (That fallback now costs a
+    // (key, cell)-grained shuffle instead of a (key)-grained one; it
+    // is bounded by distinct (key, value) — i.e. never more than the
+    // histogram fallback's own shuffle — and only a >64-group keyed
+    // call pays it.)
+    // First-pass cell budget: global calls have exactly one group, so
+    // the full default bucket budget fits the driver bound (8194 cell
+    // rows); keyed calls cap at 2048 cells/group — worst case
+    // SelectMaxGroups × 2050 ≈ 133K collected cell rows, a few MB.
+    // A caller-passed smaller `buckets` is respected (specs pass 8/16
+    // to force multi-pass narrowing).
+    val fusedBits = {
+      val ceiling = if (keyCols.isEmpty) 8192 else 2048
+      val target = math.min(ceiling, math.max(buckets, 2))
+      63 - java.lang.Long.numberOfLeadingZeros(target.toLong)
+    }
+    val b0 = 1 << fusedBits
+    val cellOf =
+      when(col("_v").isNull, lit(-2L))
+        .when(isnan(col("_v")), lit(-1L))
+        .otherwise(graft.functions.GraftFunctions.radixCell(col("_v"), fusedBits))
+    val fusedBound = StatsCollectBound * (b0 + 2)
+    val fusedAgg = base
+      .groupBy(keys :+ cellOf.as("_cell"): _*)
+      .agg(count(lit(1)).as("_c"),
+        min(when(!isnan(col("_v")), col("_v"))).as("_cmn"),
+        max(when(!isnan(col("_v")), col("_v"))).as("_cmx"))
+    // global: exactly one group, ≤ b0+2 rows by construction — a plain
+    // collect is one job, where head()'s incremental take would pad
+    // the pass with scale-up jobs. Keyed: head() keeps the driver
+    // bounded when the key turns out to be high-cardinality.
+    val fusedRows =
+      if (keyCols.isEmpty) fusedAgg.collect() else fusedAgg.head(fusedBound)
+    if (fusedRows.isEmpty && keyCols.nonEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+
+    // reassemble per-group stats + cells (first-appearance order — the
+    // same stability class as the old stats pass's head() order)
+    final case class CellRow(cell: Long, c: Long, mn: Double, mx: Double)
+    val kLen = keyCols.length
+    val byGroup = new scala.collection.mutable.LinkedHashMap[
+      IndexedSeq[Any], scala.collection.mutable.ArrayBuffer[CellRow]]()
+    fusedRows.foreach { r =>
+      val key: IndexedSeq[Any] = (0 until kLen).map(r.get)
+      val buf = byGroup.getOrElseUpdate(key,
+        new scala.collection.mutable.ArrayBuffer[CellRow]())
+      buf += CellRow(r.getLong(kLen), r.getLong(kLen + 1),
+        if (r.isNullAt(kLen + 2)) Double.NaN else r.getDouble(kLen + 2),
+        if (r.isNullAt(kLen + 3)) Double.NaN else r.getDouble(kLen + 3))
+    }
+    // global aggregation over EMPTY input still yields one all-null
+    // group (aggregate-without-grouping semantics, as the old stats
+    // pass's single agg row did)
+    if (byGroup.isEmpty && keyCols.isEmpty)
+      byGroup(IndexedSeq.empty[Any]) =
+        new scala.collection.mutable.ArrayBuffer[CellRow]()
+    final case class GStat(keyVals: IndexedSeq[Any], n: Long, nNaN: Long,
+        mn: Double, mx: Double, cells: Seq[CellRow])
+    val statRows: Seq[GStat] = byGroup.toSeq.map { case (key, cellsAll) =>
+      val nonNull = cellsAll.filter(_.cell >= -1L)
+      val radix = cellsAll.filter(_.cell >= 0L).sortBy(_.cell)
+      GStat(key,
+        nonNull.map(_.c).sum,
+        cellsAll.find(_.cell == -1L).map(_.c).getOrElse(0L),
+        if (radix.isEmpty) Double.NaN else radix.map(_.mn).min,
+        if (radix.isEmpty) Double.NaN else radix.map(_.mx).max,
+        radix.toSeq)
+    }
 
     // driver-embeddable typed key literals; any failure -> histogram
     def typedLit(v: Any, i: Int): Option[Column] =
@@ -301,11 +379,12 @@ object Percentiles {
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           v, keyFields(i).dataType)))
       catch { case scala.util.control.NonFatal(_) => None }
-    val groupLits: Seq[Option[Seq[Column]]] = statRows.toSeq.map { r =>
-      val ls = keyCols.indices.map(i => typedLit(r.get(i), i))
+    val groupLits: Seq[Option[Seq[Column]]] = statRows.map { g =>
+      val ls = keyCols.indices.map(i => typedLit(g.keyVals(i), i))
       if (ls.forall(_.isDefined)) Some(ls.map(_.get)) else None
     }
-    if (statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
+    if (fusedRows.length >= fusedBound ||
+        statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
       // Unconditional histogram past the group ceiling (or on a key
       // the driver cannot re-embed as a typed literal): exact either
       // way, different plan. Even the histogram's degenerate state
@@ -324,17 +403,11 @@ object Percentiles {
         n: Long, nNaN: Long, mn: Double, mx: Double) {
       def nFin: Long = n - nNaN
     }
-    val groups: Seq[G] = statRows.toSeq.zipWithIndex.map { case (r, gi) =>
+    val groups: Seq[G] = statRows.zipWithIndex.map { case (gs, gi) =>
       val pred = if (keyCols.isEmpty) lit(true)
         else keyCols.indices.map(i => keys(i) <=> groupLits(gi).get(i))
           .reduce(_ && _)
-      val base = keyCols.length
-      G(gi, keyCols.indices.map(r.get),
-        pred,
-        r.getLong(base),
-        if (r.isNullAt(base + 1)) 0L else r.getLong(base + 1),
-        if (r.isNullAt(base + 2)) Double.NaN else r.getDouble(base + 2),
-        if (r.isNullAt(base + 3)) Double.NaN else r.getDouble(base + 3))
+      G(gi, gs.keyVals, pred, gs.n, gs.nNaN, gs.mn, gs.mx)
     }
 
     // 0-indexed ranks each spec needs within one group of n rows
@@ -361,10 +434,48 @@ object Percentiles {
     final case class Bracket(g: Int, lo: Double, hi: Double, below: Long,
         rows: Long, ranks: Seq[Long])
 
-    var brackets: Seq[Bracket] = groups.flatMap { g =>
+    // merge overlapping/adjacent brackets WITHIN a group (sorted by
+    // (group, lo); exact counts make overlap detection arithmetic)
+    def mergeBrackets(narrowed: Seq[Bracket]): Seq[Bracket] =
+      narrowed.sortBy(b => (b.g, b.lo, b.hi))
+        .foldLeft(Vector.empty[Bracket]) { (acc, b) =>
+          acc.lastOption match {
+            case Some(p) if p.g == b.g && b.lo <= p.hi =>
+              val lo = math.min(p.lo, b.lo)
+              val hi = math.max(p.hi, b.hi)
+              val below = math.min(p.below, b.below)
+              val rows = math.max(p.below + p.rows, b.below + b.rows) - below
+              acc.init :+ Bracket(b.g, lo, hi, below, rows,
+                (p.ranks ++ b.ranks).distinct.sorted)
+            case _ => acc :+ b
+          }
+        }
+
+    // Seed the brackets from the fused pass's radix cells: the first
+    // narrowing already happened inside the stats scan, so every group
+    // starts at its ranks' ±1-cell runs instead of the whole [mn, mx]
+    // — including groups too small for the loop below, whose
+    // final-pass brackets shrink for free. Cell counts are exact and
+    // cell order is value order (monotone radix map), so this is the
+    // loop body's rank arithmetic applied to pre-collected cells.
+    var brackets: Seq[Bracket] = mergeBrackets(groups.flatMap { g =>
       val rs = groupRanks(g.idx)
-      if (rs.isEmpty) None else Some(Bracket(g.idx, g.mn, g.mx, 0L, g.nFin, rs))
-    }
+      val cells = statRows(g.idx).cells
+      if (rs.isEmpty || cells.isEmpty) Nil
+      else {
+        val counts = cells.map(_.c)
+        val cum = counts.scanLeft(0L)(_ + _)
+        rs.map { k =>
+          val ci = cum.indexWhere(_ > k) - 1 // cell holding the rank
+          require(ci >= 0 && ci < cells.length,
+            s"rank $k escaped the fused cells (group ${g.idx}) — bug")
+          val a = math.max(ci - 1, 0)
+          val z = math.min(ci + 1, cells.length - 1)
+          Bracket(g.idx, cells(a).mn, cells(z).mx, cum(a),
+            (a to z).map(counts).sum, Seq(k))
+        }
+      }
+    })
     val predOf: Map[Int, Column] = groups.map(g => g.idx -> g.pred).toMap
     def canBucket(b: Bracket): Boolean =
       java.lang.Double.isFinite(b.lo) && java.lang.Double.isFinite(b.hi) &&
@@ -386,7 +497,7 @@ object Percentiles {
     val effCap = math.min(cap, math.max(totalRows / 64L, 65536L))
     def needsNarrow(b: Bracket): Boolean =
       b.rows > effCap && b.hi > b.lo && canBucket(b)
-    var iter = 0
+    var iter = 1 // the fused pass was narrowing pass 1
     var progress = true
     while (progress && iter < SelectMaxIters && brackets.exists(needsNarrow)) {
       iter += 1
@@ -442,22 +553,7 @@ object Percentiles {
             b.below + cum(a), rows, Seq(k))
         }
       }
-      // merge overlapping/adjacent brackets WITHIN a group (sorted by
-      // (group, lo); exact counts make overlap detection arithmetic)
-      val merged = narrowed.sortBy(b => (b.g, b.lo, b.hi))
-        .foldLeft(Vector.empty[Bracket]) { (acc, b) =>
-          acc.lastOption match {
-            case Some(p) if p.g == b.g && b.lo <= p.hi =>
-              val lo = math.min(p.lo, b.lo)
-              val hi = math.max(p.hi, b.hi)
-              val below = math.min(p.below, b.below)
-              val rows = math.max(p.below + p.rows, b.below + b.rows) - below
-              acc.init :+ Bracket(b.g, lo, hi, below, rows,
-                (p.ranks ++ b.ranks).distinct.sorted)
-            case _ => acc :+ b
-          }
-        }
-      brackets = (done ++ merged).sortBy(b => (b.g, b.lo))
+      brackets = (done ++ mergeBrackets(narrowed)).sortBy(b => (b.g, b.lo))
     }
 
     // final pass: exact value histogram inside the brackets, running

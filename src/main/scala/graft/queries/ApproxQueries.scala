@@ -345,7 +345,17 @@ object ApproxQueries {
       Seq(0.45 -> "_p45", 0.5 -> "_p50", 0.55 -> "_p55",
         0.9 -> "_p90", 0.95 -> "_p95", 1.0 -> "_p100"),
       countColumn = Some("cnt"))
-    merged.join(exact, Seq("l_returnflag"))
+    // null-safe join key (r12): a plain equi-join pushes
+    // IsNotNull(l_returnflag) into ONE of the histogram's two internal
+    // branches (the other sits behind its null-safe bucket join), so
+    // their canonical plans diverge and AQE's exchange reuse cannot
+    // dedup the distinct-pair shuffle — the lineitem scan + aggregate
+    // ran TWICE per execution (plan-verified). <=> keeps both branches
+    // identical and the reuse fires; results are unchanged
+    // (l_returnflag is never null, and both sides derive from the
+    // same rows).
+    merged.join(exact, merged("l_returnflag") <=> exact("l_returnflag"))
+      .drop(exact("l_returnflag"))
       .select($"l_returnflag", $"n_parts",
         round($"_p50", 4).as("p50_exact"),
         round($"_p95", 4).as("p95_exact"),
@@ -397,7 +407,10 @@ object ApproxQueries {
       Seq(0.45 -> "_p45", 0.5 -> "_p50", 0.55 -> "_p55",
         0.9 -> "_p90", 0.95 -> "_p95", 1.0 -> "_p100"),
       countColumn = Some("cnt"))
-    merged.join(exact, Seq("l_returnflag"))
+    // null-safe join key — same exchange-reuse rationale as
+    // qTdigestCompat above (plan-verified double scan otherwise)
+    merged.join(exact, merged("l_returnflag") <=> exact("l_returnflag"))
+      .drop(exact("l_returnflag"))
       .select($"l_returnflag", $"n_parts",
         round($"_p50", 4).as("p50_exact"),
         round($"_p95", 4).as("p95_exact"),

@@ -616,9 +616,16 @@ object PipelineQueries {
     * any false negative from a wrong prefix bound breaks the match. */
   def qJaccardJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r12: same bounded-fixture checkpoint as qDedupCluster — the
+    // similarity join's plan reads its input universe from FOUR
+    // subtrees (prefix explode, doc-frequency, and both verify join
+    // sides), so un-checkpointed the parquet scan + token-filter
+    // kernel ran 4× per action. The shingle kernels themselves stay in
+    // the visible plan (PlanAuditSpec), only the scan is pinned.
     val universe = t(s, dir, "documents")
       .filter($"doc_id" < 200 && size(TextAnalysis.tokens($"text")) >= 30)
       .select($"doc_id", $"text")
+      .localCheckpoint(false)
     Dedup.jaccardSimilarityJoin(universe, "doc_id", "text", n = 2, threshold = 0.7)
       .orderBy($"id_a", $"id_b")
   }
