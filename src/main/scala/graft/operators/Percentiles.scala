@@ -175,6 +175,41 @@ object Percentiles {
     * on whatever bracket remains — correct regardless, just larger. */
   private final val SelectMaxIters = 8
 
+  /** Fused first-pass radix depth: sign + exponent + 12 mantissa bits
+    * ([[graft.functions.HashOps.radixCell]]) = 4096 cells per octave —
+    * real narrowing within any octave with NO min/max pre-pass, which
+    * is what lets the stats pass fuse into the first narrowing scan.
+    * The depth trades narrowing power against the fused shuffle's size
+    * (per map task the emitted cells are ≤ min(task rows, occupied
+    * cells)). 4096/octave is the paired-probe winner: a shallower
+    * 64/octave pass left a uniform 31-octave value domain with ~780K
+    * rows in each top-octave cell at 100M rows, so the loop still ran
+    * an equal-width pass and the fusion saved nothing (RankSelectProbe,
+    * interleaved A/B); at 4096/octave the bracket lands under the
+    * narrowing cap and the whole query is two scans. The small-input
+    * cost (the fused shuffle approaches the data size when task rows <
+    * occupied cells) is bounded by one distinct-shaped KB-scale
+    * shuffle. */
+  private final val FusedBits = 24
+  /** Keyed twin of [[FusedBits]]: every group multiplies the fused
+    * shuffle's cell rows, so keyed calls run one step shallower
+    * (256 cells/octave) — still loop-free on the 100M heavy shapes,
+    * measurably cheaper on small near-unique inputs (paired probe). */
+  private final val FusedBitsKeyed = 20
+  /** Driver bounds on the fused pass's collected cell rows (global /
+    * keyed). Realistic data occupies thousands of cells; hitting the
+    * bound (values spread over ≥64 octaves per group, or a
+    * high-cardinality group key) retreats to the dedicated stats
+    * pass. */
+  private final val FusedGlobalCellBound = (1 << 18) + 1
+  private final val FusedKeyedCellBound = (1 << 19) + 1
+
+  /** A/B hook for scale probes ONLY: forces the classic dedicated
+    * stats-pass flow (the fused pass's fallback), so the fused-scan
+    * win can be measured with interleaved reps in one JVM. Never set
+    * on query paths. */
+  @volatile private[graft] var forceStatsPass: Boolean = false
+
   /** GLOBAL exact percentiles by iterative rank-narrowing selection —
     * the NEAR-UNIQUE-column answer where [[histogramAggs]]'s distinct
     * histogram degenerates to the data itself (a ~10⁸-key shuffle +
@@ -300,78 +335,111 @@ object Percentiles {
     // (3 full scans → 2 on the common narrow-once shapes; the grouped
     // near-unique 1B-row query saves a full counting scan).
     //
-    // The collect stays driver-bounded: ≤ (cells + 2) rows per group,
-    // head-truncated at SelectMaxGroups groups' worth — one row past
-    // that proves >SelectMaxGroups groups and routes to the histogram
-    // exactly as the old stats pass did. (That fallback now costs a
-    // (key, cell)-grained shuffle instead of a (key)-grained one; it
-    // is bounded by distinct (key, value) — i.e. never more than the
-    // histogram fallback's own shuffle — and only a >64-group keyed
-    // call pays it.)
-    // First-pass cell budget: global calls have exactly one group, so
-    // the full default bucket budget fits the driver bound (8194 cell
-    // rows); keyed calls cap at 2048 cells/group — worst case
-    // SelectMaxGroups × 2050 ≈ 133K collected cell rows, a few MB.
-    // A caller-passed smaller `buckets` is respected (specs pass 8/16
-    // to force multi-pass narrowing).
-    val fusedBits = {
-      val ceiling = if (keyCols.isEmpty) 8192 else 2048
-      val target = math.min(ceiling, math.max(buckets, 2))
-      63 - java.lang.Long.numberOfLeadingZeros(target.toLong)
-    }
-    val b0 = 1 << fusedBits
+    // The collect stays driver-bounded (head-truncated at the cell
+    // budget); a truncated result retreats to the classic dedicated
+    // stats pass, so adversarial octave spreads and high-cardinality
+    // keys cost one extra scan, never driver memory. (The truncated
+    // fused agg's (key, cell)-grained shuffle is bounded by distinct
+    // (key, value) — never more than the histogram fallback's own
+    // shuffle.)
+    // First-pass cell depth: 24 bits = sign + exponent + 12 mantissa
+    // bits, i.e. 4096 cells per octave — equal-width-quality narrowing
+    // WITHIN any octave regardless of the data's range. (A shallower
+    // prefix allocates resolution in BIT space, not value space: 13
+    // bits over values spanning 31 octaves is ~2 cells per octave —
+    // measured at 100M rows, such a fused pass narrowed nothing and
+    // just added a groupBy-shaped scan.) The non-empty cell count is
+    // data-limited: ≤ distinct values, and ≤ 4096 × occupied octaves
+    // per group — realistic data spans a few octaves, so thousands of
+    // cells. A caller-passed `buckets` below 256 is respected (specs
+    // pass 8/16 to force multi-pass narrowing through the loop).
+    val fusedBits =
+      if (buckets < 256)
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(buckets, 2).toLong)
+      else if (keyCols.isEmpty) FusedBits
+      else FusedBitsKeyed
     val cellOf =
       when(col("_v").isNull, lit(-2L))
         .when(isnan(col("_v")), lit(-1L))
         .otherwise(graft.functions.GraftFunctions.radixCell(col("_v"), fusedBits))
-    val fusedBound = StatsCollectBound * (b0 + 2)
     val fusedAgg = base
       .groupBy(keys :+ cellOf.as("_cell"): _*)
       .agg(count(lit(1)).as("_c"),
         min(when(!isnan(col("_v")), col("_v"))).as("_cmn"),
         max(when(!isnan(col("_v")), col("_v"))).as("_cmx"))
-    // global: exactly one group, ≤ b0+2 rows by construction — a plain
-    // collect is one job, where head()'s incremental take would pad
-    // the pass with scale-up jobs. Keyed: head() keeps the driver
-    // bounded when the key turns out to be high-cardinality.
+    // Driver bound: head() truncates at the cell budget. An untruncated
+    // result carries exact group stats AND the first narrowing; a
+    // truncated one (adversarial octave spread, or a high-cardinality
+    // group key) falls back to the classic dedicated stats pass below —
+    // one extra scan, correctness unaffected. head()'s incremental take
+    // adds 2-3 tiny post-shuffle jobs; a coalesce(1) to avoid them was
+    // probed at 100M rows and REJECTED — the single-threaded final
+    // aggregation of every partial's cells cost ~0.3 s, more than the
+    // take ladder ever does.
+    val fusedBound =
+      if (keyCols.isEmpty) FusedGlobalCellBound else FusedKeyedCellBound
     val fusedRows =
-      if (keyCols.isEmpty) fusedAgg.collect() else fusedAgg.head(fusedBound)
-    if (fusedRows.isEmpty && keyCols.nonEmpty)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+      if (forceStatsPass) Array.empty[org.apache.spark.sql.Row]
+      else fusedAgg.head(fusedBound)
+    val fusedOk = !forceStatsPass && fusedRows.length < fusedBound
 
-    // reassemble per-group stats + cells (first-appearance order — the
-    // same stability class as the old stats pass's head() order)
     final case class CellRow(cell: Long, c: Long, mn: Double, mx: Double)
-    val kLen = keyCols.length
-    val byGroup = new scala.collection.mutable.LinkedHashMap[
-      IndexedSeq[Any], scala.collection.mutable.ArrayBuffer[CellRow]]()
-    fusedRows.foreach { r =>
-      val key: IndexedSeq[Any] = (0 until kLen).map(r.get)
-      val buf = byGroup.getOrElseUpdate(key,
-        new scala.collection.mutable.ArrayBuffer[CellRow]())
-      buf += CellRow(r.getLong(kLen), r.getLong(kLen + 1),
-        if (r.isNullAt(kLen + 2)) Double.NaN else r.getDouble(kLen + 2),
-        if (r.isNullAt(kLen + 3)) Double.NaN else r.getDouble(kLen + 3))
-    }
-    // global aggregation over EMPTY input still yields one all-null
-    // group (aggregate-without-grouping semantics, as the old stats
-    // pass's single agg row did)
-    if (byGroup.isEmpty && keyCols.isEmpty)
-      byGroup(IndexedSeq.empty[Any]) =
-        new scala.collection.mutable.ArrayBuffer[CellRow]()
     final case class GStat(keyVals: IndexedSeq[Any], n: Long, nNaN: Long,
         mn: Double, mx: Double, cells: Seq[CellRow])
-    val statRows: Seq[GStat] = byGroup.toSeq.map { case (key, cellsAll) =>
-      val nonNull = cellsAll.filter(_.cell >= -1L)
-      val radix = cellsAll.filter(_.cell >= 0L).sortBy(_.cell)
-      GStat(key,
-        nonNull.map(_.c).sum,
-        cellsAll.find(_.cell == -1L).map(_.c).getOrElse(0L),
-        if (radix.isEmpty) Double.NaN else radix.map(_.mn).min,
-        if (radix.isEmpty) Double.NaN else radix.map(_.mx).max,
-        radix.toSeq)
+    val kLen = keyCols.length
+    val statRows: Seq[GStat] = if (fusedOk) {
+      // reassemble per-group stats + cells (first-appearance order —
+      // the same stability class as the old stats pass's head() order)
+      val byGroup = new scala.collection.mutable.LinkedHashMap[
+        IndexedSeq[Any], scala.collection.mutable.ArrayBuffer[CellRow]]()
+      fusedRows.foreach { r =>
+        val key: IndexedSeq[Any] = (0 until kLen).map(r.get)
+        val buf = byGroup.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[CellRow]())
+        buf += CellRow(r.getLong(kLen), r.getLong(kLen + 1),
+          if (r.isNullAt(kLen + 2)) Double.NaN else r.getDouble(kLen + 2),
+          if (r.isNullAt(kLen + 3)) Double.NaN else r.getDouble(kLen + 3))
+      }
+      // global aggregation over EMPTY input still yields one all-null
+      // group (aggregate-without-grouping semantics, as a global stats
+      // pass's single agg row would)
+      if (byGroup.isEmpty && keyCols.isEmpty)
+        byGroup(IndexedSeq.empty[Any]) =
+          new scala.collection.mutable.ArrayBuffer[CellRow]()
+      byGroup.toSeq.map { case (key, cellsAll) =>
+        val nonNull = cellsAll.filter(_.cell >= -1L)
+        val radix = cellsAll.filter(_.cell >= 0L).sortBy(_.cell)
+        GStat(key,
+          nonNull.map(_.c).sum,
+          cellsAll.find(_.cell == -1L).map(_.c).getOrElse(0L),
+          if (radix.isEmpty) Double.NaN else radix.map(_.mn).min,
+          if (radix.isEmpty) Double.NaN else radix.map(_.mx).max,
+          radix.toSeq)
+      }
+    } else {
+      // fallback stats pass (truncated fused collect): one row per
+      // group, head-truncated — a high-cardinality key must not flood
+      // the driver just to learn it belongs to the histogram fallback.
+      // Groups carry NO cells, so their brackets start at [mn, mx] and
+      // the narrowing loop below does the work, exactly the pre-fused
+      // flow.
+      base.groupBy(keys: _*).agg(
+        count(col("_v")).as("_n"),
+        sum(when(isnan(col("_v")), 1L).otherwise(0L)).as("_nan"),
+        min(when(!isnan(col("_v")), col("_v"))).as("_mn"),
+        max(when(!isnan(col("_v")), col("_v"))).as("_mx"))
+        .head(StatsCollectBound).toSeq.map { r =>
+          GStat((0 until kLen).map(r.get),
+            r.getLong(kLen),
+            if (r.isNullAt(kLen + 1)) 0L else r.getLong(kLen + 1),
+            if (r.isNullAt(kLen + 2)) Double.NaN else r.getDouble(kLen + 2),
+            if (r.isNullAt(kLen + 3)) Double.NaN else r.getDouble(kLen + 3),
+            Nil)
+        }
     }
+    if (statRows.isEmpty && keyCols.nonEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
 
     // driver-embeddable typed key literals; any failure -> histogram
     def typedLit(v: Any, i: Int): Option[Column] =
@@ -383,8 +451,7 @@ object Percentiles {
       val ls = keyCols.indices.map(i => typedLit(g.keyVals(i), i))
       if (ls.forall(_.isDefined)) Some(ls.map(_.get)) else None
     }
-    if (fusedRows.length >= fusedBound ||
-        statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
+    if (statRows.length > SelectMaxGroups || groupLits.exists(_.isEmpty)) {
       // Unconditional histogram past the group ceiling (or on a key
       // the driver cannot re-embed as a typed literal): exact either
       // way, different plan. Even the histogram's degenerate state
@@ -461,7 +528,11 @@ object Percentiles {
     var brackets: Seq[Bracket] = mergeBrackets(groups.flatMap { g =>
       val rs = groupRanks(g.idx)
       val cells = statRows(g.idx).cells
-      if (rs.isEmpty || cells.isEmpty) Nil
+      if (rs.isEmpty) Nil
+      else if (cells.isEmpty)
+        // fallback-stats group (no fused cells): start at the full
+        // range and let the loop narrow, the pre-fused flow
+        Seq(Bracket(g.idx, g.mn, g.mx, 0L, g.nFin, rs))
       else {
         val counts = cells.map(_.c)
         val cum = counts.scanLeft(0L)(_ + _)
@@ -497,7 +568,7 @@ object Percentiles {
     val effCap = math.min(cap, math.max(totalRows / 64L, 65536L))
     def needsNarrow(b: Bracket): Boolean =
       b.rows > effCap && b.hi > b.lo && canBucket(b)
-    var iter = 1 // the fused pass was narrowing pass 1
+    var iter = if (fusedOk) 1 else 0 // the fused pass was narrowing pass 1
     var progress = true
     while (progress && iter < SelectMaxIters && brackets.exists(needsNarrow)) {
       iter += 1
